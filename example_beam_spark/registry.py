@@ -1,0 +1,93 @@
+"""Query registry — binds every implemented operator to (a) a PySpark
+callable ``(spark, sf_dir) -> DataFrame`` and (b) where SQL-expressible,
+an equivalent ANSI-SQL oracle string that DuckDB runs on the same parquet
+tables. This is the correctness contract consumed by ``__spark_entry__.py``.
+
+Float-stability convention for oracle-hashed results
+----------------------------------------------------
+The harness hashes values, so floating-point aggregates must be bit-equal
+between Spark and DuckDB. Per-row double arithmetic is IEEE-deterministic
+across engines, but *aggregation order* is not. Rule used everywhere:
+
+- per-row expressions: compute in DOUBLE (identical in both engines);
+- before SUM/AVG: cast to DECIMAL(38,6) — decimal addition is exact and
+  order-independent, so both engines produce the identical decimal;
+- cast the final aggregate back to DOUBLE (deterministic conversion).
+
+Helpers ``dsum``/``davg`` (Spark) and the matching SQL fragments encode
+this convention.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None => rows-only check (non-SQL-expressible)
+    headline: bool = False  # include in bench.py
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def register(
+    name: str, oracle: str | None = None, headline: bool = False
+) -> Callable[[Callable[[SparkSession, str], DataFrame]], Callable[[SparkSession, str], DataFrame]]:
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = Query(name=name, fn=fn, oracle=oracle, headline=headline)
+        return fn
+
+    return deco
+
+
+# ---- float-stability helpers (see module docstring) -----------------------
+
+DEC = "decimal(38,6)"
+
+
+def dsum(col: Column | str, alias: str) -> Column:
+    """Order-independent SUM: sum in exact decimal, return double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double").alias(alias)
+
+
+def davg(col: Column | str, alias: str) -> Column:
+    """Order-independent AVG: exact decimal sum / count, in double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(c.cast(DEC)).cast("double") / F.count(c)).alias(alias)
+
+
+def sql_dsum(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE) AS {alias}"
+
+
+def sql_davg(expr: str, alias: str) -> str:
+    return (
+        f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE) / COUNT({expr}) AS {alias}"
+    )
+
+
+def load_registry() -> dict[str, Query]:
+    """Import every operator module (each registers its queries on import)."""
+    from example_beam_spark.operators import (  # noqa: F401
+        ctr,
+        enrich,
+        relational,
+        dedup,
+        similarity,
+        textops,
+        multimodal,
+    )
+    from example_beam_spark.streaming import entries as streaming_entries  # noqa: F401
+
+    return QUERIES

@@ -1,0 +1,65 @@
+"""Explicit-schema parquet sources.
+
+The analog of the reference's typed BigQuery reads
+(``bigquery/TypedBigQueryTable.scala:14``, ``TypedBigQueryStorage.scala:14-16``):
+every read declares its schema up front (never inferred), and predicates /
+projections written against the result are pushed into the parquet scan by
+Catalyst — the Spark-native equivalent of BigQuery Storage API
+``rowRestriction`` / ``selectedFields`` pushdown.
+
+Scale notes: parquet scans parallelize by row-group; at 100 TB the same
+``load_table`` call fans out across executors with
+``spark.sql.files.maxPartitionBytes`` (default 128 MB) splits, and filter /
+column pushdown keeps IO proportional to what the query touches
+(verify with ``df.explain`` → ``PushedFilters`` / ``ReadSchema``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from example_beam_spark import schemas
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one corpus table with its declared schema (schemas.TABLES).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
+    outright (PARQUET_TYPE_ILLEGAL); read it as raw INT64 nanos
+    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to microseconds
+    — the same ns→µs truncation DuckDB applies, so oracle comparisons agree.
+    """
+    if name not in schemas.TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {sorted(schemas.TABLES)}")
+    # Defensive: the harness may hand us a session it built itself; event-time
+    # semantics and the DuckDB oracle comparison require UTC.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = T.StructType(
+            [
+                f if f.name != "ts" else T.StructField("ts", T.LongType(), False)
+                for f in schemas.EVENTS.fields
+            ]
+        )
+        df = spark.read.schema(raw).parquet(table_path(sf_dir, name))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.schema(schemas.TABLES[name]).parquet(table_path(sf_dir, name))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in schemas.TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every corpus table as a temp view for the SQL surface."""
+    for name, df in load_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
