@@ -1,1 +1,343 @@
-"""Placeholder — populated in this round."""
+"""Deduplication operators over the ``documents`` table — exact,
+MinHash+LSH, exact n-gram Jaccard, and SimHash. North-star extensions
+(BASELINE.json); not in the reference.
+
+Engine-portability: all hashing is md5 hex (identical across engines);
+MinHash uses *lexicographic MIN over salted md5 strings* — a valid minwise
+hash family that both Spark and DuckDB compute bit-identically, so every
+query here has a full value-level oracle.
+
+Scale design (100 TB):
+- exact dedup: one hash-aggregate on md5(text) — partial+final, no blow-up;
+- MinHash signatures: explode distinct shingles (map-side), one
+  partial+final aggregate to 12 mins — state per doc is 12 strings;
+- LSH banding: candidates come from equality joins on band keys (4 shuffle
+  joins on short keys), so the pairwise work is |candidate pairs|, not
+  |docs|²; exact-Jaccard verification joins shingles only for candidates;
+- exact all-pairs n-gram Jaccard is the *small-scale* oracle twin — its
+  shingle self-join is Σ df(g)² and is intentionally the non-scale path
+  (kept because the corpus vocabulary keeps df low; at real scale use the
+  LSH query);
+- SimHash: explode tokens → 16 partial+final bit-weight sums per doc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from example_beam_spark.registry import register
+from example_beam_spark.sources import load_table
+
+SHINGLE_N = 3
+N_HASHES = 12
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+JACCARD_DUP_THRESHOLD = 0.5
+SIMHASH_BITS = 16
+
+# --------------------------------------------------------------------------
+# shared shingle machinery
+# --------------------------------------------------------------------------
+
+
+def _shingle_array(text: Column, n: int = SHINGLE_N) -> Column:
+    """Array of n-token shingle strings (empty when the doc is shorter)."""
+    s = F.split(text, " ")
+    return F.when(
+        F.size(s) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(s) - n),
+            lambda i: F.concat_ws(" ", F.slice(s, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, g) — distinct n-token shingles per document."""
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(_shingle_array(F.col("text"), n))).alias("g")
+    )
+
+
+_SHINGLES_SQL = f"""
+    SELECT DISTINCT doc_id, array_to_string(s[i:i+{SHINGLE_N - 1}], ' ') AS g
+    FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents) t
+    CROSS JOIN UNNEST(generate_series(1, GREATEST(len(s) - {SHINGLE_N - 1}, 0))) AS u(i)
+"""
+
+# --------------------------------------------------------------------------
+# dedup_exact — hash-groupBy exact duplicate detection
+# --------------------------------------------------------------------------
+
+_EXACT_ORACLE = """
+    SELECT doc_id,
+           md5(text) AS content_hash,
+           CAST(ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS BIGINT)
+               AS dup_rank,
+           CAST(COUNT(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS group_size,
+           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+               AS is_canonical
+    FROM documents
+"""
+
+
+@register("dedup_exact", oracle=_EXACT_ORACLE, headline=True)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5(content) groups; lowest doc_id is canonical."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("text"))
+    w = Window.partitionBy(h)
+    rank = F.row_number().over(w.orderBy("doc_id"))
+    return docs.select(
+        "doc_id",
+        h.alias("content_hash"),
+        rank.cast("long").alias("dup_rank"),
+        F.count("*").over(w).cast("long").alias("group_size"),
+        (rank == 1).alias("is_canonical"),
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_minhash_lsh — MinHash signatures → banded LSH candidates → exact
+# Jaccard verification
+# --------------------------------------------------------------------------
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, n_shingles, s0..s{k-1}): per-doc MinHash signature — the
+    i-th component is MIN(md5('i:' || shingle)) (salted-md5 minwise family)."""
+    return sh.groupBy("doc_id").agg(
+        F.countDistinct("g").alias("n_shingles"),
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("g")))).alias(f"s{i}")
+            for i in range(N_HASHES)
+        ],
+    )
+
+
+def band_keys(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bk): one short LSH bucket key per band —
+    md5 of the band's signature slice."""
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"s{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                )
+            ).alias("bk"),
+        )
+        for b in range(N_BANDS)
+    ]
+    return sig.select(
+        "doc_id", F.explode(F.array(*bands)).alias("bandkey")
+    ).select("doc_id", F.col("bandkey.band").alias("band"), F.col("bandkey.bk").alias("bk"))
+
+
+def _minhash_oracle() -> str:
+    sig_cols = ", ".join(
+        f"MIN(md5('{i}:' || g)) AS s{i}" for i in range(N_HASHES)
+    )
+    band_rows = ", ".join(
+        f"({b}, md5(s{b * ROWS_PER_BAND} || '|' || s{b * ROWS_PER_BAND + 1} || '|' || s{b * ROWS_PER_BAND + 2}))"
+        for b in range(N_BANDS)
+    )
+    return f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        sig AS (
+            SELECT doc_id, COUNT(DISTINCT g) AS n_shingles, {sig_cols}
+            FROM sh GROUP BY doc_id
+        ),
+        bands AS (
+            SELECT doc_id, band, bk
+            FROM sig CROSS JOIN LATERAL (VALUES {band_rows}) AS v(band, bk)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+        ),
+        verified AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+            FROM cand c
+            JOIN sh x ON x.doc_id = c.doc_a
+            JOIN sh y ON y.doc_id = c.doc_b AND y.g = x.g
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT v.doc_a, v.doc_b,
+               CAST(v.n_shared AS BIGINT) AS n_shared,
+               CAST(sa.n_shingles AS BIGINT) AS n_a,
+               CAST(sb.n_shingles AS BIGINT) AS n_b,
+               CAST(v.n_shared AS DOUBLE)
+                   / (sa.n_shingles + sb.n_shingles - v.n_shared) AS jaccard,
+               CAST(v.n_shared AS DOUBLE)
+                   / (sa.n_shingles + sb.n_shingles - v.n_shared)
+                   >= {JACCARD_DUP_THRESHOLD} AS is_dup
+        FROM verified v
+        JOIN sig sa ON sa.doc_id = v.doc_a
+        JOIN sig sb ON sb.doc_id = v.doc_b
+    """
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle(), headline=True)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs: shingle → 12-way salted-md5
+    MinHash → 4 bands × 3 rows → bucket-equality candidate join → exact
+    Jaccard verification on candidates only."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs).cache()
+    sig = minhash_signatures(sh)
+    bands = band_keys(sig)
+
+    b2 = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("band").alias("band2"), F.col("bk").alias("bk2")
+    )
+    cand = (
+        bands.join(
+            b2,
+            (F.col("band") == F.col("band2"))
+            & (F.col("bk") == F.col("bk2"))
+            & (F.col("doc_id") < F.col("doc_b")),
+        )
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "g")
+    sh_b = sh.select(F.col("doc_id").alias("_db"), F.col("g").alias("g2"))
+    shared = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, (F.col("doc_b") == F.col("_db")) & (F.col("g") == F.col("g2")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sizes = sig.select("doc_id", "n_shingles")
+    out = (
+        shared.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b")),
+            "doc_b",
+        )
+    )
+    jac = F.col("n_shared").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_shared")
+    )
+    return out.select(
+        "doc_a",
+        "doc_b",
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        jac.alias("jaccard"),
+        (jac >= JACCARD_DUP_THRESHOLD).alias("is_dup"),
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_ngram_jaccard — exact all-pairs n-gram Jaccard above a threshold
+# --------------------------------------------------------------------------
+
+_JACCARD_THRESHOLD = 0.25
+
+_NGRAM_ORACLE = f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_shared
+        FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id
+    )
+    SELECT s.doc_a, s.doc_b,
+           CAST(s.n_shared AS BIGINT) AS n_shared,
+           CAST(s.n_shared AS DOUBLE) / (a.n + b.n - s.n_shared) AS jaccard
+    FROM shared s
+    JOIN sizes a ON a.doc_id = s.doc_a
+    JOIN sizes b ON b.doc_id = s.doc_b
+    WHERE CAST(s.n_shared AS DOUBLE) / (a.n + b.n - s.n_shared) >= {_JACCARD_THRESHOLD}
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs above the threshold. Shingle self-join —
+    the exact small-scale twin of dedup_minhash_lsh (see module docstring
+    for why LSH is the 100-TB path)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    shared = (
+        sh.join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("g2")),
+            (F.col("g") == F.col("g2")) & (F.col("doc_id") < F.col("doc_b")),
+        )
+        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    out = (
+        shared.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+    )
+    jac = F.col("n_shared").cast("double") / (F.col("na") + F.col("nb") - F.col("n_shared"))
+    return out.filter(jac >= _JACCARD_THRESHOLD).select(
+        "doc_a",
+        "doc_b",
+        F.col("n_shared").cast("long").alias("n_shared"),
+        jac.alias("jaccard"),
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_simhash — 16-bit portable SimHash per document
+# --------------------------------------------------------------------------
+
+
+def _simhash_oracle() -> str:
+    weights = ", ".join(
+        f"SUM(CASE WHEN substr(md5('{j}:' || t), 1, 1) < '8' THEN 1 ELSE -1 END) AS w{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    value = " + ".join(
+        f"(CASE WHEN w{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t
+            FROM documents
+        ),
+        wt AS (SELECT doc_id, {weights} FROM toks GROUP BY doc_id)
+        SELECT doc_id, CAST({value} AS BIGINT) AS simhash
+        FROM wt
+    """
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash: per distinct token, bit j votes ±1 by whether
+    md5('j:'||token) starts below hex '8' (an unbiased portable bit);
+    the signature bit is the vote sign. Near-dup docs differ in few bits."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("t")
+    )
+    weights = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.substring(F.md5(F.concat(F.lit(f"{j}:"), F.col("t"))), 1, 1) < "8",
+                    1,
+                ).otherwise(-1)
+            ).alias(f"w{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    value = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"w{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        value = term if value is None else value + term
+    return weights.select("doc_id", value.cast("long").alias("simhash"))

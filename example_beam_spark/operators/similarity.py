@@ -1,1 +1,304 @@
-"""Placeholder — populated in this round."""
+"""Similarity search over the ``embeddings`` table (``array<float>``
+column): brute-force cosine top-k as the exact baseline, a
+random-hyperplane LSH-bucketed variant as the scale path, and sampled
+near-duplicate pair detection. North-star extensions (BASELINE.json).
+
+Float determinism: per-element double products are IEEE-identical across
+engines, but double→decimal rounding is NOT (observed 1-ulp differences
+vs DuckDB at the 12th decimal). So products are quantized with
+FLOOR(p * 1e12) → BIGINT (floor and the *1e12 multiply are exact IEEE ops
+in both engines) and summed as integers (exact, order-independent); the
+final division and sqrt are correctly-rounded IEEE — cosines then hash
+bit-identically against DuckDB.
+
+Scale design (100 TB):
+- brute-force: |queries| × |corpus| row expansion with the dot product as
+  a single array expression (zip_with+aggregate — JVM codegen, no explode,
+  no Python). Right for small query sets / reranking; cost is linear scan
+  per query — the exact twin of the LSH query.
+- LSH: each vector hashes to an 8-bit random-hyperplane bucket
+  (deterministic md5-sign hyperplanes, no stored model); candidates are
+  bucket-equality joins, so comparisons drop ~256× at equal recall for
+  near-neighbor workloads. At real scale: partition by bucket → the
+  top-k per query runs shuffle-local.
+- near-dup pairs: deterministic doc-sampling (vec_id % k) bounds the
+  quadratic exactly the same way in engine and oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from example_beam_spark.registry import register
+from example_beam_spark.sources import load_table
+
+N_QUERIES = 5  # query set: vec_id < 5
+TOP_K = 10
+LSH_BITS = 8
+NEARDUP_SAMPLE_MOD = 4
+NEARDUP_THRESHOLD = 0.35
+
+_SCALE = "1000000000000.0"  # 1e12 quantization for exact integer sums
+
+
+# --------------------------------------------------------------------------
+# Spark-side vector expressions (array-native, no explode)
+# --------------------------------------------------------------------------
+
+
+def dot_dec(a: str, b: str) -> Column:
+    """Order-independent dot product of two float arrays, as double."""
+    return F.expr(
+        f"""(CAST(aggregate(
+                zip_with({a}, {b},
+                         (x, y) -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * {_SCALE}) AS BIGINT)),
+                CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE) / {_SCALE})"""
+    )
+
+
+def norm_dec(a: str) -> Column:
+    """L2 norm with the same quantized-integer-sum determinism."""
+    return F.expr(
+        f"""SQRT(CAST(aggregate(
+                transform({a}, x -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * {_SCALE}) AS BIGINT)),
+                CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE) / {_SCALE})"""
+    )
+
+
+# --------------------------------------------------------------------------
+# DuckDB-side fragments (unnest + generate_subscripts; same decimal rule)
+# --------------------------------------------------------------------------
+
+_ELEMS_SQL = """
+    SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+"""
+
+_NORMS_SQL = f"""
+    SELECT vec_id,
+           SQRT(CAST(SUM(CAST(FLOOR(x * x * {_SCALE}) AS BIGINT)) AS DOUBLE) / {_SCALE}) AS nrm
+    FROM ({_ELEMS_SQL}) e GROUP BY vec_id
+"""
+
+
+# --------------------------------------------------------------------------
+# ann_topk_bruteforce
+# --------------------------------------------------------------------------
+
+_BRUTE_ORACLE = f"""
+    WITH elems AS ({_ELEMS_SQL}),
+    norms AS ({_NORMS_SQL}),
+    dots AS (
+        SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+               CAST(SUM(CAST(FLOOR(q.x * d.x * {_SCALE}) AS BIGINT)) AS DOUBLE) / {_SCALE} AS dot
+        FROM elems q JOIN elems d ON q.i = d.i AND q.vec_id <> d.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+        GROUP BY q.vec_id, d.vec_id
+    ),
+    scored AS (
+        SELECT t.query_id, t.neighbor_id,
+               t.dot / (nq.nrm * nd.nrm) AS cosine
+        FROM dots t
+        JOIN norms nq ON nq.vec_id = t.query_id
+        JOIN norms nd ON nd.vec_id = t.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rk FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+               ) AS BIGINT) AS rk
+        FROM scored
+    ) WHERE rk <= {TOP_K}
+"""
+
+
+@register("ann_topk_bruteforce", oracle=_BRUTE_ORACLE, headline=True)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for each query vector (vec_id < N_QUERIES) by
+    full scan: broadcast the query set, one zip_with/aggregate dot product
+    per (query, candidate) row, window top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", "embedding", norm_dec("embedding").alias("nrm"))
+    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    pairs = base.withColumnRenamed("vec_id", "neighbor_id").join(
+        F.broadcast(queries), F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        (dot_dec("q_emb", "embedding") / (F.col("q_nrm") * F.col("nrm"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# ann_topk_lsh — random-hyperplane bucketed ANN
+# --------------------------------------------------------------------------
+# Hyperplane j has ±1 components: sign_ij = +1 iff md5('j:i') begins with a
+# hex digit < '8' (i is the 1-based element index) — deterministic, no
+# stored model, identical in both engines.
+
+
+def _bucket_expr_spark() -> Column:
+    projs = []
+    for j in range(LSH_BITS):
+        proj = F.expr(
+            f"""CAST(aggregate(
+                    zip_with(embedding,
+                             sequence(1, size(embedding)),
+                             (x, i) -> CAST(FLOOR(
+                                (CASE WHEN substr(md5(concat('{j}:', CAST(i AS STRING))), 1, 1) < '8'
+                                      THEN CAST(x AS DOUBLE) ELSE -CAST(x AS DOUBLE) END)
+                                * {_SCALE}) AS BIGINT)),
+                    CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)"""
+        )
+        projs.append(F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    out = projs[0]
+    for p in projs[1:]:
+        out = out + p
+    return out.cast("long")
+
+
+def _bucket_sql() -> str:
+    projs = []
+    for j in range(LSH_BITS):
+        proj = (
+            f"CAST(SUM(CAST(FLOOR((CASE WHEN substr(md5('{j}:' || CAST(i AS VARCHAR)), 1, 1) < '8' "
+            f"THEN x ELSE -x END) * {_SCALE}) AS BIGINT)) AS DOUBLE)"
+        )
+        projs.append(f"(CASE WHEN {proj} >= 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(projs)
+
+
+_LSH_ORACLE = f"""
+    WITH elems AS ({_ELEMS_SQL}),
+    norms AS ({_NORMS_SQL}),
+    buckets AS (
+        SELECT vec_id, CAST({_bucket_sql()} AS BIGINT) AS bucket
+        FROM elems GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+               CAST(SUM(CAST(FLOOR(q.x * d.x * {_SCALE}) AS BIGINT)) AS DOUBLE) / {_SCALE} AS dot
+        FROM elems q JOIN elems d ON q.i = d.i AND q.vec_id <> d.vec_id
+        JOIN buckets bq ON bq.vec_id = q.vec_id
+        JOIN buckets bd ON bd.vec_id = d.vec_id AND bd.bucket = bq.bucket
+        WHERE q.vec_id < {N_QUERIES}
+        GROUP BY q.vec_id, d.vec_id
+    ),
+    scored AS (
+        SELECT t.query_id, t.neighbor_id, b.bucket,
+               t.dot / (nq.nrm * nd.nrm) AS cosine
+        FROM dots t
+        JOIN buckets b ON b.vec_id = t.query_id
+        JOIN norms nq ON nq.vec_id = t.query_id
+        JOIN norms nd ON nd.vec_id = t.neighbor_id
+    )
+    SELECT query_id, neighbor_id, bucket, cosine, rk FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+               ) AS BIGINT) AS rk
+        FROM scored
+    ) WHERE rk <= {TOP_K}
+"""
+
+
+@register("ann_topk_lsh", oracle=_LSH_ORACLE, headline=True)
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN: 8-bit random-hyperplane signature per vector; each
+    query only scans its own bucket (≈ |corpus|/256 candidates), then
+    exact cosine top-k within the bucket."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        "embedding",
+        norm_dec("embedding").alias("nrm"),
+        _bucket_expr_spark().alias("bucket"),
+    )
+    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cands = base.withColumnRenamed("vec_id", "neighbor_id").join(
+        F.broadcast(queries),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("neighbor_id") != F.col("query_id")),
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.col("q_bucket").alias("bucket"),
+        (dot_dec("q_emb", "embedding") / (F.col("q_nrm") * F.col("nrm"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "bucket", "cosine", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding_neardup_pairs — sampled all-pairs cosine threshold
+# --------------------------------------------------------------------------
+
+_NEARDUP_ORACLE = f"""
+    WITH sample AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % {NEARDUP_SAMPLE_MOD} = 0
+    ),
+    elems AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM sample
+    ),
+    norms AS (
+        SELECT vec_id,
+               SQRT(CAST(SUM(CAST(FLOOR(x * x * {_SCALE}) AS BIGINT)) AS DOUBLE) / {_SCALE}) AS nrm
+        FROM elems GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               CAST(SUM(CAST(FLOOR(a.x * b.x * {_SCALE}) AS BIGINT)) AS DOUBLE) / {_SCALE} AS dot
+        FROM elems a JOIN elems b ON a.i = b.i AND a.vec_id < b.vec_id
+        GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT d.vec_a, d.vec_b, d.dot / (na.nrm * nb.nrm) AS cosine
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.vec_a
+    JOIN norms nb ON nb.vec_id = d.vec_b
+    WHERE d.dot / (na.nrm * nb.nrm) >= {NEARDUP_THRESHOLD}
+"""
+
+
+@register("embedding_neardup_pairs", oracle=_NEARDUP_ORACLE)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs over a deterministic sample
+    (vec_id % {m} = 0): all sampled pairs with cosine ≥ {t}. The exact
+    twin of the LSH bucketing path for near-dup detection at scale."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % NEARDUP_SAMPLE_MOD == 0
+    )
+    base = emb.select("vec_id", "embedding", norm_dec("embedding").alias("nrm"))
+    right = base.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    pairs = base.withColumnRenamed("vec_id", "vec_a").join(
+        right, F.col("vec_a") < F.col("vec_b")
+    )
+    cos = dot_dec("embedding", "emb_b") / (F.col("nrm") * F.col("nrm_b"))
+    return pairs.select("vec_a", "vec_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= NEARDUP_THRESHOLD
+    )

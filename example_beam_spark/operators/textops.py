@@ -1,1 +1,247 @@
-"""Placeholder — populated in this round."""
+"""Text-analysis operators over the ``documents`` table — the
+training-data-pipeline surface (language ID, quality scoring, token
+counting, fingerprinting). Not present in the reference (which has no
+scalar-function library at all, SURVEY.md §2.7); built per the
+north-star extension scope in BASELINE.json.
+
+All operators are pure built-in column expressions (whole-stage codegen,
+no Python in the hot path) and are engine-portable: every construct has an
+exact DuckDB equivalent so the oracle hashes match:
+
+- token split: single-space split (the corpus is single-space separated);
+- hashes: md5 hex strings (identical in every engine) — lexicographic MIN
+  over md5s is the portable min-hash;
+- ratios: per-row double arithmetic (IEEE-deterministic), no
+  transcendentals (exp/log differ across libm builds — avoided).
+
+Scale: each operator is a narrow projection — at 100 TB these run as a
+single scan stage with no shuffle (fingerprint/stats) or one partial+final
+aggregation; column pruning keeps IO to ``doc_id, text``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from example_beam_spark.registry import register
+from example_beam_spark.sources import load_table
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+# language marker words → deterministic vote-based language ID.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "los", "que", "es"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2"),  # pinyin-romanized corpus markers
+}
+
+
+def _sql_in(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+# --------------------------------------------------------------------------
+# text_stats — token counts, punctuation/stopword ratios, quality score
+# --------------------------------------------------------------------------
+
+_STATS_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+               AS n_space_fields,
+           CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
+               AS BIGINT) AS n_punct,
+           CAST(len(list_filter(toks, x -> x IN ({_sql_in(STOPWORDS)}))) AS BIGINT)
+               AS n_stopwords,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks)
+               AS avg_token_len,
+           CAST(len(list_filter(toks, x -> x IN ({_sql_in(STOPWORDS)}))) AS DOUBLE)
+               / len(toks) AS stopword_ratio,
+           (CAST(len(list_filter(toks, x -> x IN ({_sql_in(STOPWORDS)}))) AS DOUBLE)
+               / len(toks)) * 0.5
+             + LEAST(1.0, len(toks) / 100.0) * 0.5 AS quality_score
+    FROM t
+"""
+
+
+@register("text_stats", oracle=_STATS_ORACLE, headline=True)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token count, punctuation count, stopword ratio, average
+    token length, and a deterministic quality score (stopword-density +
+    length saturation — the classic heuristic-quality-filter shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.array_intersect(toks, stop_arr))  # placeholder, replaced below
+    # array_intersect dedupes; count with filter instead for multiplicity
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    no_space = F.regexp_replace(F.col("text"), " ", "")
+    n_punct = F.length(F.col("text")) - F.length(
+        F.regexp_replace(F.col("text"), "[^a-z0-9 ]", "")
+    )
+    stop_ratio = n_stop.cast("double") / n_tokens
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        (F.length(F.col("text")) - F.length(no_space) + 1)
+        .cast("long")
+        .alias("n_space_fields"),
+        n_punct.cast("long").alias("n_punct"),
+        n_stop.cast("long").alias("n_stopwords"),
+        (F.length(no_space).cast("double") / n_tokens).alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        (stop_ratio * 0.5 + F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * 0.5).alias(
+            "quality_score"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# lang_id — marker-word voting language identifier
+# --------------------------------------------------------------------------
+
+
+def _lang_vote_sql(lang: str) -> str:
+    return (
+        f"CAST(len(list_filter(toks, x -> x IN ({_sql_in(LANG_MARKERS[lang])}))) AS BIGINT)"
+    )
+
+
+_LANG_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+    ),
+    votes AS (
+        SELECT doc_id, lang AS lang_true,
+               {", ".join(f"{_lang_vote_sql(l)} AS v_{l}" for l in sorted(LANG_MARKERS))}
+        FROM t
+    )
+    SELECT doc_id, lang_true, v_de, v_en, v_es, v_fr, v_zh,
+           CASE
+             WHEN GREATEST(v_de, v_en, v_es, v_fr, v_zh) = 0 THEN 'unknown'
+             WHEN v_de >= GREATEST(v_en, v_es, v_fr, v_zh) THEN 'de'
+             WHEN v_en >= GREATEST(v_es, v_fr, v_zh) THEN 'en'
+             WHEN v_es >= GREATEST(v_fr, v_zh) THEN 'es'
+             WHEN v_fr >= v_zh THEN 'fr'
+             ELSE 'zh'
+           END AS lang_pred
+    FROM votes
+"""
+
+
+@register("lang_id_markers", oracle=_LANG_ORACLE)
+def lang_id_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word voting language ID (n-gram-heuristic family): count
+    marker hits per language, argmax with a fixed alphabetical tiebreak,
+    'unknown' when no marker fires."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    def vote(markers: tuple[str, ...]):
+        arr = F.array(*[F.lit(w) for w in markers])
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x))).cast("long")
+
+    votes = {lang: vote(markers) for lang, markers in LANG_MARKERS.items()}
+    df = docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_true"),
+        *[votes[lang].alias(f"v_{lang}") for lang in sorted(LANG_MARKERS)],
+    )
+    v = {lang: F.col(f"v_{lang}") for lang in LANG_MARKERS}
+    pred = (
+        F.when(
+            F.greatest(*[v[x] for x in sorted(v)]) == 0, F.lit("unknown")
+        )
+        .when(v["de"] >= F.greatest(v["en"], v["es"], v["fr"], v["zh"]), F.lit("de"))
+        .when(v["en"] >= F.greatest(v["es"], v["fr"], v["zh"]), F.lit("en"))
+        .when(v["es"] >= F.greatest(v["fr"], v["zh"]), F.lit("es"))
+        .when(v["fr"] >= v["zh"], F.lit("fr"))
+        .otherwise(F.lit("zh"))
+    )
+    return df.withColumn("lang_pred", pred)
+
+
+# --------------------------------------------------------------------------
+# token_count_bpe — regex tokenizer count (BPE-ish pre-tokenization)
+# --------------------------------------------------------------------------
+
+_BPE_PATTERN = "[a-z]+|[0-9]|[^a-z0-9 ]"
+
+_BPE_ORACLE = f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT)
+               AS n_bpe_tokens,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS DOUBLE)
+               / n_chars AS tokens_per_char
+    FROM documents
+"""
+
+
+@register("token_count_bpe", oracle=_BPE_ORACLE)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-style pre-tokenizer regex (letter runs,
+    single digits, single punctuation) — the standard proxy for LLM token
+    budgeting at corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 0))
+    return docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_bpe_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        (n_tok.cast("double") / F.col("n_chars")).alias("tokens_per_char"),
+    )
+
+
+# --------------------------------------------------------------------------
+# doc_fingerprint — shingle min-hash fingerprint (winnowing-lite)
+# --------------------------------------------------------------------------
+
+_FP_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS s FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, md5(array_to_string(s[i:i+4], ' ')) AS h
+        FROM toks CROSS JOIN
+             UNNEST(generate_series(1, GREATEST(len(s) - 4, 0))) AS u(i)
+    ),
+    agg AS (
+        SELECT doc_id, MIN(h) AS fingerprint,
+               COUNT(DISTINCT h) AS n_distinct_shingles
+        FROM sh GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           a.fingerprint,
+           COALESCE(a.n_distinct_shingles, 0) AS n_distinct_shingles
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
+@register("doc_fingerprint", oracle=_FP_ORACLE)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 5-token shingle fingerprint: MIN(md5(shingle)) — a one-hash
+    MinHash, the winnowing-style content fingerprint. Computed entirely
+    inside array expressions (no explode → no shuffle, single scan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = F.split(F.col("text"), " ")
+    hashes = F.when(
+        F.size(s) >= 5,
+        F.transform(
+            F.sequence(F.lit(0), F.size(s) - 5),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(s, i + 1, 5))),
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        F.array_min(hashes).alias("fingerprint"),
+        F.coalesce(F.size(F.array_distinct(hashes)), F.lit(0))
+        .cast("long")
+        .alias("n_distinct_shingles"),
+    )
