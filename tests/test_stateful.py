@@ -1,0 +1,228 @@
+"""Stateful-operator tests via the replay harness — scenarios mirror the
+reference's lookup-cache and custom-window suites (cites per test)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from example_beam_spark.streaming.custom_window import ad_ctr_custom_window_stream
+from example_beam_spark.streaming.harness import (
+    StreamScenario,
+    replay,
+    t,
+    watermark_then_filter,
+)
+from example_beam_spark.streaming.lookup_cache import (
+    KIND_DIM,
+    KIND_FACT,
+    lookup_cache_join_stream,
+)
+
+# union-stream schema for the lookup-cache join (cogroup analog)
+UNION_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType(), False),
+        T.StructField("kind", T.IntegerType(), False),
+        T.StructField("payload", T.StringType(), False),
+        T.StructField("event_time", T.TimestampType(), False),
+    ]
+)
+
+TTL = 3600  # 1h, the reference's default (ScreenGlobalWindow...Enricher.scala:15)
+
+
+def _screen(sid: str, pub: str = "p1") -> dict:
+    return {"key": pub, "kind": KIND_FACT, "payload": sid}
+
+
+def _publication(version: str, pub: str = "p1") -> dict:
+    return {"key": pub, "kind": KIND_DIM, "payload": version}
+
+
+def _lookup_query(stream):
+    return lookup_cache_join_stream(
+        watermark_then_filter(stream, 0), ttl_seconds=TTL
+    )
+
+
+def _run(spark, sc, build, delay=0, mode="append"):
+    return [
+        r.asDict()
+        for _, rows in replay(spark, sc, UNION_SCHEMA, build, delay, output_mode=mode)
+        for r in rows
+    ]
+
+
+def test_lookup_screen_after_publication_matches(spark):
+    """LookupCacheEnricherTest.scala:28-42: screen arriving after its
+    publication is enriched immediately."""
+    sc = (
+        StreamScenario()
+        .add_elements_at("12:00:00", _publication("v1"))
+        .add_elements_at("12:00:01", _screen("s1"))
+        .advance_watermark_to_infinity()
+    )
+    out = _run(spark, sc, _lookup_query)
+    assert [(r["fact_id"], r["dim_version"], r["match_status"]) for r in out] == [
+        ("s1", "v1", "matched")
+    ]
+
+
+def test_lookup_early_screen_buffered_then_flushed(spark):
+    """LookupCacheEnricherTest.scala:44-59: screen arrives BEFORE the
+    publication → buffered, emitted when the publication shows up."""
+    sc = (
+        StreamScenario()
+        .add_elements_at("12:00:00", _screen("s1"))
+        .advance_watermark_to("12:10:00")
+        .add_elements_at("12:20:00", _publication("v1"))
+        .advance_watermark_to_infinity()
+    )
+    out = _run(spark, sc, _lookup_query)
+    matched = [r for r in out if r["match_status"] == "matched"]
+    assert [(r["fact_id"], r["dim_version"]) for r in matched] == [("s1", "v1")]
+
+
+def test_lookup_ttl_expiry_flushes_to_dlq(spark):
+    """LookupCacheEnricherTest.scala:78-92: no publication within TTL →
+    buffered screen expires to the DLQ."""
+    sc = (
+        StreamScenario()
+        .add_elements_at("12:00:00", _screen("s1"))
+        .advance_watermark_to("14:00:00")  # past 12:00 + 1h TTL
+        .advance_watermark_to_infinity()
+    )
+    out = _run(spark, sc, _lookup_query)
+    assert [(r["fact_id"], r["match_status"]) for r in out] == [("s1", "dlq")]
+
+
+def test_lookup_latest_publication_wins(spark):
+    """LookupCacheEnricherTest.scala:114-133: two versions, later
+    event-time wins regardless of arrival order."""
+    sc = (
+        StreamScenario()
+        .add_elements_at("12:00:01", _publication("v2"))
+        .add_elements_at("12:00:00", _publication("v1"))  # older, arrives later
+        .add_elements_at("12:00:02", _screen("s1"))
+        .advance_watermark_to_infinity()
+    )
+    out = _run(spark, sc, _lookup_query)
+    assert [(r["fact_id"], r["dim_version"]) for r in out] == [("s1", "v2")]
+
+
+def test_lookup_expired_cache_not_matched(spark):
+    """Publication older than TTL relative to the screen is not served
+    from the cache (screen buffered → DLQ at GC)."""
+    sc = (
+        StreamScenario()
+        .add_elements_at("12:00:00", _publication("v1"))
+        .add_elements_at("13:30:00", _screen("s1"))  # 90 min later > 1h TTL
+        .advance_watermark_to_infinity()
+    )
+    out = _run(spark, sc, _lookup_query)
+    assert [(r["fact_id"], r["match_status"]) for r in out] == [("s1", "dlq")]
+
+
+# --------------------------------------------------------------------------
+# custom merging ad-event window
+# --------------------------------------------------------------------------
+
+
+def _ad(action: str, ad="ad1", screen="s1") -> dict:
+    return {"ad_id": ad, "screen_id": screen, "action": action}
+
+
+def _custom_query(stream):
+    from example_beam_spark import schemas  # noqa: F401
+
+    return ad_ctr_custom_window_stream(watermark_then_filter(stream, 0))
+
+
+def _run_ad(spark, sc, delay=0):
+    from example_beam_spark import schemas
+
+    return [
+        r.asDict()
+        for _, rows in replay(
+            spark, sc, schemas.AD_EVENT, _custom_query, delay, output_mode="append"
+        )
+        for r in rows
+    ]
+
+
+def test_custom_window_click_after_impression(spark):
+    """AdCtrCustomWindowCalculatorTest.scala:30-45: impression then click
+    within 10 min → one merged window, CTR 1.0, window end = click time
+    (low-latency emission just after the click)."""
+    sc = (
+        StreamScenario()
+        .add_elements_at("12:00:00", _ad("impression"))
+        .add_elements_at("12:05:00", _ad("click"))
+        .advance_watermark_to_infinity()
+    )
+    out = _run_ad(spark, sc)
+    assert len(out) == 1
+    r = out[0]
+    assert (r["clicks"], r["impressions"], r["ctr"]) == (1, 1, 1.0)
+    assert r["window_start"] == t("12:00:00").replace(tzinfo=None)
+    assert r["window_end"] == t("12:05:00").replace(tzinfo=None)
+
+
+def test_custom_window_impression_only_expires(spark):
+    """AdCtrCustomWindowCalculatorTest (expiry): impression with no click
+    → window closes at impression + 10 min with CTR 0."""
+    sc = (
+        StreamScenario()
+        .add_elements_at("12:00:00", _ad("impression"))
+        .advance_watermark_to_infinity()
+    )
+    out = _run_ad(spark, sc)
+    assert len(out) == 1
+    r = out[0]
+    assert (r["clicks"], r["impressions"], r["ctr"]) == (0, 1, 0.0)
+    assert r["window_end"] == t("12:10:00").replace(tzinfo=None)
+
+
+def test_custom_window_orphan_click(spark):
+    """Click with no impression looks back 1 min and expires alone."""
+    sc = (
+        StreamScenario()
+        .add_elements_at("12:00:00", _ad("click"))
+        .advance_watermark_to_infinity()
+    )
+    out = _run_ad(spark, sc)
+    assert len(out) == 1
+    r = out[0]
+    assert (r["clicks"], r["impressions"]) == (1, 0)
+    assert r["ctr"] is None
+    assert r["window_start"] == t("11:59:00").replace(tzinfo=None)
+
+
+def test_custom_window_disjoint_windows_flush(spark):
+    """Two impressions > 10 min apart form separate windows."""
+    sc = (
+        StreamScenario()
+        .add_elements_at("12:00:00", _ad("impression"))
+        .add_elements_at("12:30:00", _ad("impression"))
+        .advance_watermark_to_infinity()
+    )
+    out = _run_ad(spark, sc)
+    starts = sorted(r["window_start"].isoformat() for r in out)
+    assert starts == ["1970-01-01T12:00:00", "1970-01-01T12:30:00"]
+
+
+def test_custom_window_duplicate_clicks_capped(spark):
+    """Capped semigroup: duplicate clicks still CTR 1.0
+    (AdCtrCustomWindowCalculatorTest dedup case)."""
+    sc = (
+        StreamScenario()
+        .add_elements_at("12:00:00", _ad("impression"))
+        .add_elements_at("12:01:00", _ad("click"))
+        .add_elements_at("12:01:30", _ad("click"))
+        .advance_watermark_to_infinity()
+    )
+    out = _run_ad(spark, sc)
+    assert [(r["clicks"], r["impressions"], r["ctr"]) for r in out] == [(1, 1, 1.0)]
