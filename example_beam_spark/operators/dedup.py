@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from example_beam_spark.registry import register
-from example_beam_spark.sources import load_table
+from example_beam_spark.sources import load_table, spread_small_input
 
 SHINGLE_N = 3
 N_HASHES = 12
@@ -108,9 +108,14 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_signatures(sh: DataFrame) -> DataFrame:
     """(doc_id, n_shingles, s0..s{k-1}): per-doc MinHash signature — the
-    i-th component is MIN(md5('i:' || shingle)) (salted-md5 minwise family)."""
+    i-th component is MIN(md5('i:' || shingle)) (salted-md5 minwise family).
+
+    ``shingles()`` already emits distinct (doc_id, g) rows, so a plain
+    ``count`` equals COUNT(DISTINCT) without the Expand-based
+    distinct-aggregate plan (one partial+final HashAggregate instead of
+    two aggregation passes)."""
     return sh.groupBy("doc_id").agg(
-        F.countDistinct("g").alias("n_shingles"),
+        F.count("g").alias("n_shingles"),
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("g")))).alias(f"s{i}")
             for i in range(N_HASHES)
@@ -187,9 +192,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate pairs: shingle → 12-way salted-md5
     MinHash → 4 bands × 3 rows → bucket-equality candidate join → exact
     Jaccard verification on candidates only."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_small_input(load_table(spark, sf_dir, "documents"), spark)
     sh = shingles(docs).cache()
-    sig = minhash_signatures(sh)
+    # sig feeds both the band keys and the final size join — cache the
+    # (one row per doc) signature table instead of recomputing the
+    # shingle aggregation twice.
+    sig = minhash_signatures(sh).cache()
     bands = band_keys(sig)
 
     b2 = bands.select(
@@ -268,7 +276,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard pairs above the threshold. Shingle self-join —
     the exact small-scale twin of dedup_minhash_lsh (see module docstring
     for why LSH is the 100-TB path)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_small_input(load_table(spark, sf_dir, "documents"), spark)
     sh = shingles(docs).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     shared = (
@@ -321,7 +329,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash: per distinct token, bit j votes ±1 by whether
     md5('j:'||token) starts below hex '8' (an unbiased portable bit);
     the signature bit is the vote sign. Near-dup docs differ in few bits."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_small_input(load_table(spark, sf_dir, "documents"), spark)
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("t")
     )

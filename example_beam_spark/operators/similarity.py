@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from example_beam_spark.registry import register
-from example_beam_spark.sources import load_table
+from example_beam_spark.sources import load_table, spread_small_input
 
 N_QUERIES = 5  # query set: vec_id < 5
 TOP_K = 10
@@ -118,7 +118,7 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k for each query vector (vec_id < N_QUERIES) by
     full scan: broadcast the query set, one zip_with/aggregate dot product
     per (query, candidate) row, window top-k."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_small_input(load_table(spark, sf_dir, "embeddings"), spark)
     base = emb.select("vec_id", "embedding", norm_dec("embedding").alias("nrm"))
     queries = base.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -218,7 +218,7 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed ANN: 8-bit random-hyperplane signature per vector; each
     query only scans its own bucket (≈ |corpus|/256 candidates), then
     exact cosine top-k within the bucket."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_small_input(load_table(spark, sf_dir, "embeddings"), spark)
     base = emb.select(
         "vec_id",
         "embedding",
@@ -286,7 +286,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs over a deterministic sample
     (vec_id % {m} = 0): all sampled pairs with cosine ≥ {t}. The exact
     twin of the LSH bucketing path for near-dup detection at scale."""
-    emb = load_table(spark, sf_dir, "embeddings").filter(
+    emb = spread_small_input(load_table(spark, sf_dir, "embeddings"), spark).filter(
         F.col("vec_id") % NEARDUP_SAMPLE_MOD == 0
     )
     base = emb.select("vec_id", "embedding", norm_dec("embedding").alias("nrm"))

@@ -55,6 +55,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.schema(schemas.TABLES[name]).parquet(table_path(sf_dir, name))
 
 
+def spread_small_input(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Round-robin repartition ONLY when the scan yields fewer partitions
+    than cores — the corpus tables are single small parquet files, so a
+    CPU-heavy map stage (shingling, per-shingle md5, vector math) would
+    otherwise run on one core before its first shuffle. At real scale a
+    100 TB table scans into thousands of splits (>= parallelism) and this
+    is a no-op, so the hot path never pays an extra shuffle."""
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in schemas.TABLES}
 
