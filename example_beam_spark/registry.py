@@ -87,6 +87,8 @@ def load_registry() -> dict[str, Query]:
         similarity,
         textops,
         multimodal,
+        io_roundtrip,
+        setops,
     )
     from example_beam_spark.streaming import entries as streaming_entries  # noqa: F401
 
