@@ -218,32 +218,136 @@ def read_events_stream_flushed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     d = _stage_dir(sf_dir, "events", variant="+sentinel")
-    sentinel_file = os.path.join(d, "zz_sentinel.parquet")
-    if not os.path.exists(sentinel_file):
-        row = dict(
-            event_id=-1,
-            ts=_SENTINEL_TS_NANOS,
-            user_id=_SENTINEL_USER,
-            event_type="__sentinel__",
-            value=0.0,
-            props=None,
-        )
-        spark.createDataFrame([row], raw).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(sentinel_file)
-    df = spark.readStream.schema(raw).parquet(d)
+    # TWO sentinel files at increasing times, read as separate micro-batches
+    # (maxFilesPerTrigger=1): a watermark update only takes effect at the
+    # NEXT batch, and stateful operators (outer joins especially) evict and
+    # emit one batch after that — the second sentinel guarantees the final
+    # eviction batch actually runs before availableNow terminates.
+    # Written with pyarrow as SINGLE parquet files: the streaming file
+    # source lists plain files only and would silently skip the directory
+    # that df.write.parquet() produces.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for i in (0, 1):
+        sentinel_file = os.path.join(d, f"zz_sentinel_{i}.parquet")
+        if not os.path.exists(sentinel_file):
+            table = pa.table(
+                {
+                    "event_id": pa.array([-1 - i], pa.int64()),
+                    "ts": pa.array(
+                        [_SENTINEL_TS_NANOS + i * 1_000_000_000], pa.int64()
+                    ),
+                    "user_id": pa.array([_SENTINEL_USER], pa.int64()),
+                    "event_type": pa.array(["__sentinel__"], pa.string()),
+                    "value": pa.array([0.0], pa.float64()),
+                    "props": pa.array([None], pa.string()),
+                }
+            )
+            pq.write_table(table, sentinel_file)
+    df = (
+        spark.readStream.schema(raw)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-@register("sessionize_events_stream", oracle=None)
+@register(
+    "enrich_stream_stream_join",
+    oracle="""
+    SELECT c.event_id, c.user_id, c.ts,
+           v.event_id AS view_event_id, v.ts AS view_ts, v.value AS view_value
+    FROM events c
+    LEFT JOIN events v
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view'
+     AND v.ts >= c.ts - INTERVAL 6 HOUR
+     AND v.ts <= c.ts
+    WHERE c.event_type = 'click'
+""",
+)
+def enrich_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 as a REAL stream-stream left-outer join: clicks enriched with
+    the same user's views from the preceding 6 hours — the repeater-free
+    Spark replacement (see streaming/join_stream.py). Same oracle as the
+    batch enrich_time_range_join: after the sentinel drains the watermark,
+    the streaming result equals the batch join."""
+    from example_beam_spark.streaming.join_stream import (
+        stream_stream_time_range_join,
+    )
+
+    ev = read_events_stream_flushed(spark, sf_dir).withColumnRenamed(
+        "ts", "event_time"
+    )
+    # ONE shared watermark node, then watermark-anchored CASE filters fork
+    # the two sides. Two separate withWatermark calls would create two
+    # watermark operators whose maxes must BOTH advance for the global
+    # min watermark to move — a batch seen by only one side pins the
+    # watermark and strands outer-join state (see tests/test_stateful.py).
+    wm = ev.withWatermark("event_time", "1 hour")
+    clicks = wm.filter(
+        F.when(F.col("event_type") == "click", F.col("event_time")).isNotNull()
+    )
+    views = wm.filter(
+        F.when(F.col("event_type") == "view", F.col("event_time")).isNotNull()
+    )
+    facts = clicks.select("event_id", "user_id", "event_time")
+    dims = views.select(
+        F.col("user_id").alias("user_id_dim"),
+        F.col("event_id").alias("view_event_id"),
+        F.col("event_time").alias("dim_event_time"),
+        F.col("value").alias("view_value"),
+    )
+    joined = stream_stream_time_range_join(
+        facts, dims, key="user_id", ttl_seconds=6 * 3600
+    )
+    out = run_to_append(joined, spark)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("event_time").alias("ts"),
+        "view_event_id",
+        F.col("dim_event_time").alias("view_ts"),
+        "view_value",
+    )
+
+
+_SESSIONIZE_STREAM_ORACLE = """
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+        SELECT *, SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(ts) AS last_event_time
+    FROM sessions
+    GROUP BY user_id, session_id
+"""
+
+
+@register("sessionize_events_stream", oracle=_SESSIONIZE_STREAM_ORACLE)
 def sessionize_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sessionization via the built-in session_window (gap-based
     merging windows — the built-in cousin of the reference's custom merging
     WindowFn). Append mode (the only mode session windows support) + a
-    watermark-advancing sentinel so every session flushes. No SQL oracle:
-    session_window merge semantics aren't expressible in one portable SQL
-    statement; gated rows-only here and batch-equivalence-tested in
-    tests/test_streaming.py."""
+    watermark-advancing sentinel so every session flushes. Oracle:
+    gaps-and-islands in SQL; session_window's end is last-event + gap, and
+    two events exactly gap apart start a NEW session (windows [t, t+gap)
+    merge only when they properly overlap), hence the >= in the oracle's
+    session-break predicate."""
     ev = read_events_stream_flushed(spark, sf_dir).withColumnRenamed(
         "ts", "event_time"
     )

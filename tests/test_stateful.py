@@ -226,3 +226,116 @@ def test_custom_window_duplicate_clicks_capped(spark):
     )
     out = _run_ad(spark, sc)
     assert [(r["clicks"], r["impressions"], r["ctr"]) for r in out] == [(1, 1, 1.0)]
+
+
+# --------------------------------------------------------------------------
+# stream-stream time-range join (J2 — the repeater-join replacement)
+# --------------------------------------------------------------------------
+
+from example_beam_spark.streaming.join_stream import (  # noqa: E402
+    stream_stream_time_range_join,
+)
+
+JOIN_TTL = 600  # 10 min — the reference's screen TTL (AdEventFixedWindow
+# WithRepeaterEnricher.scala:14-15)
+
+
+def _join_query(stream):
+    """Facts = ad events, dims = screens, both forked off ONE watermarked
+    stream. The single shared EventTimeWatermark node is load-bearing:
+    with one withWatermark per branch, a batch whose row reaches only one
+    of the two watermark operators leaves the other's max (and thus the
+    global min watermark) pinned, and outer-join state never flushes."""
+    wm = stream.withWatermark("event_time", "0 seconds")
+
+    def branch(kind):
+        return wm.filter(
+            F.when(
+                (~F.col("is_sentinel")) & (F.col("kind") == kind),
+                F.col("event_time"),
+            ).isNotNull()
+        )
+
+    facts = branch(KIND_FACT).select(
+        F.col("key"), F.col("payload").alias("ad"), "event_time"
+    )
+    dims = branch(KIND_DIM).select(
+        F.col("key").alias("key_dim"),
+        F.col("payload").alias("screen"),
+        F.col("event_time").alias("dim_event_time"),
+    )
+    return stream_stream_time_range_join(
+        facts, dims, key="key", ttl_seconds=JOIN_TTL
+    ).select("key", "ad", "event_time", "screen", "dim_event_time")
+
+
+def _ad(ad: str, key: str = "s1") -> dict:
+    return {"key": key, "kind": KIND_FACT, "payload": ad}
+
+
+def _scr(name: str, key: str = "s1") -> dict:
+    return {"key": key, "kind": KIND_DIM, "payload": name}
+
+
+def test_join_ad_within_screen_ttl_matches(spark):
+    """RepeaterEnricherTest 'enriched': ad shortly after the screen joins;
+    a second ad much later but still inside the TTL ALSO joins — the exact
+    capability the reference needed RepeatDoFn for."""
+    sc = (
+        StreamScenario()
+        .add_elements_at("12:00:30", _scr("screenA"))
+        .add_elements_at("12:01:00", _ad("ad1"))
+        .add_elements_at("12:09:00", _ad("ad2"))
+        .advance_watermark_to_infinity()
+        .advance_watermark_to_infinity()
+    )
+    out = _run(spark, sc, _join_query)
+    got = {(r["ad"], r["screen"]) for r in out}
+    assert got == {("ad1", "screenA"), ("ad2", "screenA")}
+
+
+def test_join_ad_beyond_ttl_goes_to_dlq(spark):
+    """RepeaterEnricherTest 'expired': an ad after the screen's TTL gets
+    the outer-null (DLQ) row once the watermark passes."""
+    sc = (
+        StreamScenario()
+        .add_elements_at("12:00:30", _scr("screenA"))
+        .add_elements_at("12:20:00", _ad("adLate"))
+        .advance_watermark_to_infinity()
+        .advance_watermark_to_infinity()
+    )
+    out = _run(spark, sc, _join_query)
+    by_ad = {r["ad"]: r["screen"] for r in out}
+    assert by_ad == {"adLate": None}
+
+
+def test_join_ad_before_screen_goes_to_dlq(spark):
+    """RepeaterEnricherTest 'not enriched': an ad with no prior screen
+    (the screen arrives after the ad's event time) is unmatched — the
+    validity window only extends FORWARD from the screen."""
+    sc = (
+        StreamScenario()
+        .add_elements_at("12:01:00", _ad("adEarly"))
+        .add_elements_at("12:02:00", _scr("screenA"))
+        .advance_watermark_to_infinity()
+        .advance_watermark_to_infinity()
+    )
+    out = _run(spark, sc, _join_query)
+    by_ad = {r["ad"]: r["screen"] for r in out}
+    assert by_ad == {"adEarly": None}
+
+
+def test_join_multiple_screens_all_match(spark):
+    """Two screen versions inside the TTL both join (the join is 1:N,
+    unlike the lookup cache's latest-wins)."""
+    sc = (
+        StreamScenario()
+        .add_elements_at("12:00:00", _scr("v1"))
+        .add_elements_at("12:05:00", _scr("v2"))
+        .add_elements_at("12:06:00", _ad("ad1"))
+        .advance_watermark_to_infinity()
+        .advance_watermark_to_infinity()
+    )
+    out = _run(spark, sc, _join_query)
+    got = {(r["ad"], r["screen"]) for r in out}
+    assert got == {("ad1", "v1"), ("ad1", "v2")}
