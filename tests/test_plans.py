@@ -1,0 +1,75 @@
+"""Plan-shape tests — pin the physical strategies that keep queries viable
+at 100 TB (SURVEY.md §4): pushdown, pruning, broadcast, codegen, shuffle
+counts. These are the Spark-native analogs of the reference's manual
+optimizations (rowRestriction pushdown, side-input broadcast, typed-read
+column pruning)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from example_beam_spark.plans import (
+    has_broadcast_join,
+    has_pushed_filter,
+    num_exchanges,
+    read_schema_columns,
+    wholestage_codegen_spans,
+)
+from example_beam_spark.registry import load_registry
+from example_beam_spark.sources import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_like_predicate_pushed_to_scan(spark):
+    """S5 analog: `name LIKE '%9%'` must reach the parquet reader as
+    StringContains (the rowRestriction equivalent)."""
+    q = load_registry()["part_name_like"]
+    assert has_pushed_filter(q.fn(spark, SF), "StringContains")
+
+
+def test_equality_and_range_filters_pushed(spark):
+    df = load_table(spark, SF, "orders").filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 1000.0)
+    )
+    assert has_pushed_filter(df, "EqualTo(o_orderstatus,F)")
+    assert has_pushed_filter(df, "GreaterThan(o_totalprice,1000.0)")
+
+
+def test_column_pruning_reaches_scan(spark):
+    """P9 analog: a two-column projection must scan two columns, not the
+    whole lineitem schema."""
+    df = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    cols = read_schema_columns(df, "lineitem.parquet")
+    assert cols == {"l_orderkey", "l_quantity"}, cols
+
+
+def test_small_dims_broadcast_in_q5(spark):
+    """J1 analog: region/nation/customer/supplier stay broadcast —
+    Catalyst must not sort-merge-shuffle the dimension joins."""
+    q = load_registry()["q5_revenue_by_nation"]
+    assert has_broadcast_join(q.fn(spark, SF))
+
+
+def test_broadcast_enrich_has_no_fact_shuffle(spark):
+    """enrich_broadcast_latest joins facts to a broadcast dimension: the
+    fact side must reach the join without a hash-partition exchange."""
+    q = load_registry()["enrich_broadcast_latest"]
+    df = q.fn(spark, SF)
+    assert has_broadcast_join(df)
+    # only the dim-side dedup aggregation may shuffle (its input is tiny)
+    assert num_exchanges(df) <= 2, num_exchanges(df)
+
+
+def test_flagship_ctr_is_one_shuffle(spark):
+    """The flagship windowed CTR is partial+final HashAggregate around
+    exactly ONE exchange — the Combine.perKey shape (SURVEY §3.1)."""
+    q = load_registry()["ctr_fixed_capped"]
+    df = q.fn(spark, SF)
+    assert num_exchanges(df) == 1, num_exchanges(df)
+    assert wholestage_codegen_spans(df) >= 1
+
+
+def test_q1_single_shuffle_aggregation(spark):
+    q = load_registry()["q1_pricing_summary"]
+    assert num_exchanges(q.fn(spark, SF)) == 1
