@@ -10,7 +10,12 @@ query here has a full value-level oracle.
 Scale design (100 TB):
 - exact dedup: one hash-aggregate on md5(text) — partial+final, no blow-up;
 - MinHash signatures: explode distinct shingles (map-side), one
-  partial+final aggregate to 12 mins — state per doc is 12 strings;
+  partial+final aggregate to 12 mins — state per doc is 12 strings.
+  (Measured dead end: computing the 12 mins map-side with higher-order
+  functions — array_min(transform(...)) or one F.aggregate over the
+  shingle array — is 6-15× SLOWER than explode+groupBy, because HOF
+  lambdas evaluate interpreted per element while the exploded aggregate
+  runs in whole-stage codegen. Keep the explode.);
 - LSH banding: candidates come from equality joins on band keys (4 shuffle
   joins on short keys), so the pairwise work is |candidate pairs|, not
   |docs|²; exact-Jaccard verification joins shingles only for candidates;

@@ -358,3 +358,81 @@ def q_enrich_broadcast_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clicks.join(signups, "user_id", "left_anti").select(
         "event_id", "user_id", "ts", "value"
     )
+
+
+# --------------------------------------------------------------------------
+# J4 — cogroup: both sides grouped by key into one co-located function call
+# --------------------------------------------------------------------------
+
+_COGROUP_ORACLE = """
+    WITH c AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_clicks
+        FROM events WHERE event_type = 'click' GROUP BY user_id
+    ),
+    s AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_signups
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    latest AS (
+        SELECT user_id, value AS latest_signup_version
+        FROM (
+            SELECT user_id, value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events WHERE event_type = 'signup'
+        ) WHERE rn = 1
+    )
+    SELECT COALESCE(c.user_id, s.user_id) AS user_id,
+           COALESCE(c.n_clicks, 0) AS n_clicks,
+           COALESCE(s.n_signups, 0) AS n_signups,
+           l.latest_signup_version
+    FROM c
+    FULL OUTER JOIN s ON c.user_id = s.user_id
+    LEFT JOIN latest l ON COALESCE(c.user_id, s.user_id) = l.user_id
+"""
+
+
+@register("cogroup_user_activity", oracle=_COGROUP_ORACLE)
+def cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 (cogroup, ScreenGlobalWindowWithLookupCacheEnricher.scala:43,
+    LookupCacheDoFn.scala:34): clicks and signups co-partitioned by
+    user_id into ONE Arrow-batched function call per key group —
+    ``groupby().cogroup().applyInPandas`` is Spark's literal
+    ``KV[K, (Iterable[V], Iterable[W])]``. Output: per-user activity
+    profile with latest-wins signup version (the cache's tiebreak: max ts,
+    then max event_id).
+
+    Scale notes: one hash-partition shuffle per side on user_id (exactly
+    the cogroup shuffle Beam plans); the pandas function sees one key
+    group at a time, so memory is bounded by the largest single key.
+    """
+    import pandas as pd
+
+    clicks = _clicks(spark, sf_dir).select("user_id", "event_id")
+    signups = _signups(spark, sf_dir).select("user_id", "event_id", "ts", "value")
+
+    def profile(cl: pd.DataFrame, sg: pd.DataFrame) -> pd.DataFrame:
+        uid = cl["user_id"].iloc[0] if len(cl) else sg["user_id"].iloc[0]
+        latest = None
+        if len(sg):
+            top = sg.sort_values(["ts", "event_id"], ascending=False).iloc[0]
+            latest = float(top["value"])
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_clicks": [len(cl)],
+                "n_signups": [len(sg)],
+                "latest_signup_version": [latest],
+            }
+        )
+
+    return (
+        clicks.groupby("user_id")
+        .cogroup(signups.groupby("user_id"))
+        .applyInPandas(
+            profile,
+            schema="user_id long, n_clicks long, n_signups long, "
+            "latest_signup_version double",
+        )
+    )
