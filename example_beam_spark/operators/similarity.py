@@ -13,9 +13,14 @@ bit-identically against DuckDB.
 
 Scale design (100 TB):
 - brute-force: |queries| × |corpus| row expansion with the dot product as
-  a single array expression (zip_with+aggregate — JVM codegen, no explode,
-  no Python). Right for small query sets / reranking; cost is linear scan
-  per query — the exact twin of the LSH query.
+  a single array expression (zip_with+aggregate, no explode, no Python).
+  Right for small query sets / reranking; cost is linear scan per query —
+  the exact twin of the LSH query. (Measured dead end: the
+  posexplode+join+groupBy formulation — codegen'd, mirroring the oracle's
+  SQL shape — is ~3× SLOWER here: with only |queries|×|corpus|×dim lambda
+  steps the interpreted-HOF cost is small, while the exploded form pays a
+  640k-row join + hash aggregate. HOF-vs-explode is a row-count
+  tradeoff, not a rule — cf. the opposite outcome in operators/dedup.py.)
 - LSH: each vector hashes to an 8-bit random-hyperplane bucket
   (deterministic md5-sign hyperplanes, no stored model); candidates are
   bucket-equality joins, so comparisons drop ~256× at equal recall for
