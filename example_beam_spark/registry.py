@@ -89,6 +89,7 @@ def load_registry() -> dict[str, Query]:
         multimodal,
         io_roundtrip,
         setops,
+        subqueries,
     )
     from example_beam_spark.streaming import entries as streaming_entries  # noqa: F401
 
