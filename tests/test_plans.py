@@ -73,3 +73,40 @@ def test_flagship_ctr_is_one_shuffle(spark):
 def test_q1_single_shuffle_aggregation(spark):
     q = load_registry()["q1_pricing_summary"]
     assert num_exchanges(q.fn(spark, SF)) == 1
+
+
+def test_exists_plans_as_semi_join(spark):
+    """q4: the EXISTS subquery must execute as one left-semi join, not a
+    duplicating inner join + distinct."""
+    from example_beam_spark.plans import explain_formatted
+
+    q = load_registry()["q4_late_orders"]
+    plan = explain_formatted(q.fn(spark, SF))
+    assert "LeftSemi" in plan, plan
+
+
+def test_not_in_plans_as_broadcast_anti_join(spark):
+    """q16: the NOT IN exclusion set must execute as a broadcast
+    left-anti join over the fact side."""
+    from example_beam_spark.plans import explain_formatted
+
+    q = load_registry()["q16_supplier_cnt"]
+    plan = explain_formatted(q.fn(spark, SF))
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan, plan
+
+
+def test_scalar_subquery_is_single_broadcast(spark):
+    """q22: the AVG threshold is one broadcast row, not a per-row
+    subquery; NOT EXISTS is an anti join."""
+    from example_beam_spark.plans import explain_formatted
+
+    import re
+
+    q = load_registry()["q22_rich_idle_customers"]
+    plan = explain_formatted(q.fn(spark, SF))
+    assert "LeftAnti" in plan
+    # exactly one nested-loop join (the 1-row threshold broadcast); the
+    # formatted plan names each node twice (tree + detail block), so count
+    # detail blocks only
+    nlj = re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, flags=re.MULTILINE)
+    assert len(nlj) == 1, plan
