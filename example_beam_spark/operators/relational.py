@@ -348,15 +348,18 @@ _SESSION_ORACLE = f"""
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sessions AS (
-        SELECT *, SUM(new_session) OVER (
+        -- CAST: DuckDB SUM over INTEGER returns HUGEINT; Spark's running
+        -- sum is LongType. Cast so the driver's type-sensitive value hash
+        -- agrees (same convention as every other count/sum oracle here).
+        SELECT *, CAST(SUM(new_session) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS session_id
+               ) AS BIGINT) AS session_id
         FROM marked
     )
     SELECT user_id, session_id,
            MIN(ts) AS session_start, MAX(ts) AS session_end,
-           COUNT(*) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
            {sql_dsum('value', 'session_value')}
     FROM sessions
     GROUP BY user_id, session_id
@@ -381,7 +384,9 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sess = marked.withColumn(
         "session_id",
-        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
     )
     return sess.groupBy("user_id", "session_id").agg(
         F.min("ts").alias("session_start"),

@@ -5,23 +5,42 @@ operator (Beam merges windows inside GroupByKey via WindowFn.mergeWindows;
 Spark has no user-definable merging WindowFn, so the merge lives in
 ``applyInPandasWithState`` — SURVEY.md §7.3).
 
-Window assignment (AdEventWindowFn.scala:18-26), per (screen_id, ad_id):
-- impression at t  → [t, t + impression_duration)   (looks forward for clicks)
-- click at t       → [t - click_duration, t)        (looks back for its impression)
+Window assignment (AdEventWindow.scala:70-83, AdEventWindowFn.scala:18-26),
+per (screen_id, ad_id) — both directions are FORWARD:
 
-Merge (AdEventWindow.scala:19-51, implementing the *tested* behavior, not
-the acknowledged-buggy corner cases): overlapping windows for the same key
-merge with start = min(start); end = the latest click's window end if any
-click participates (a click pins the end to its own event time, giving the
-pattern its low latency — README.md:82), else the latest impression's end.
+- impression at t → [t, t + impression_duration)  (waits forward for clicks)
+- click at t      → [t, t + click_duration)       (waits forward for its
+  impression; ``forClick`` is ``timestamp.plus(duration).minus(1)`` exactly
+  like ``forImpression``)
 
-Emission: when the watermark passes the merged window end (event-time
-timeout), emit one capped AdCtr (clicks=min(1,·), impressions=min(1,·) —
-AdCtrCappedSemigroup, model.scala:88-98) timestamped at window end.
+Merge (AdEventWindow.scala:19-51 + AdEventWindowFn.scala:28-37): Beam's
+``mergeWindows`` groups windows by (screenId, adId) and reduces ALL of them
+— there is NO overlap test; every window of a key that is still live (not
+yet closed by the watermark) merges. Pairwise rule: start = min(starts);
+end = max(starts) when either side is a click (a click — or any event
+merging after one — pins the end to the latest participating event time,
+giving the pattern its low latency, README.md:82), else max(ends).
+Net effect: a session-like window that closes when the watermark passes
+its end; impressions extend the end to their ts + duration, clicks cap it
+at the latest event time.
+
+Lateness (AdCtrCustomWindowCalculator.scala:22-31, ACCUMULATING_FIRED_PANES
++ late firings per element): when the watermark passes the window end the
+on-time pane fires; for ``allowed_lateness_secs`` afterwards the window
+state is retained, late events merge in and immediately re-fire the
+ACCUMULATED pane (AdCtrCustomWindowCalculatorTest.scala:72-95 expects 0.0
+on time then 1.0 late for the same window).
+
+Emission: one capped AdCtr per pane (clicks=min(1,·), impressions=min(1,·)
+— AdCtrCappedSemigroup, model.scala:88-98) with window_start/window_end.
+``window_end`` uses exclusive-end convention (reference stores end − 1 ms
+and emits at maxTimestamp = end; we report the round value — a documented
++1 ms delta; click-pinned ends are exact event times in both).
 
 Scale notes: one shuffle on (screen_id, ad_id) into StateStore partitions;
 state per key = one open window (a handful of scalars); timeout eviction
-bounds state exactly like Beam's window GC.
+bounds state exactly like Beam's window GC. Arrow-batched per key group —
+no per-row Python round trips.
 """
 
 from __future__ import annotations
@@ -41,12 +60,12 @@ OUT_SCHEMA = (
 )
 STATE_SCHEMA = (
     "w_start timestamp, w_end timestamp, n_clicks long, n_impressions long, "
-    "has_click boolean"
+    "has_click boolean, fired boolean"
 )
 
 
 def _emit_row(key_screen: str, key_ad: str, st: tuple) -> dict:
-    w_start, w_end, n_clicks, n_imps, _ = st
+    w_start, w_end, n_clicks, n_imps = st[0], st[1], st[2], st[3]
     clicks = min(1, n_clicks)
     imps = min(1, n_imps)
     return dict(
@@ -60,7 +79,15 @@ def _emit_row(key_screen: str, key_ad: str, st: tuple) -> dict:
     )
 
 
-def make_ad_event_window_fn(impression_secs: int, click_secs: int):
+def _ms(ts: datetime) -> int:
+    return int(ts.timestamp() * 1000)
+
+
+def make_ad_event_window_fn(
+    impression_secs: int, click_secs: int, allowed_lateness_secs: int = 0
+):
+    lateness_ms = allowed_lateness_secs * 1000
+
     def fn(
         key: tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
@@ -68,56 +95,72 @@ def make_ad_event_window_fn(impression_secs: int, click_secs: int):
     ) -> Iterator[pd.DataFrame]:
         screen_id, ad_id = key
         if state.hasTimedOut:
-            if state.exists:
-                yield pd.DataFrame([_emit_row(screen_id, ad_id, state.get)])
-            state.remove()
+            st = state.get
+            wm = state.getCurrentWatermarkMs()
+            if not st[5]:  # on-time pane: watermark passed the window end
+                yield pd.DataFrame([_emit_row(screen_id, ad_id, st)])
+                if lateness_ms > 0 and wm < _ms(st[1]) + lateness_ms:
+                    # keep the window open for late (accumulating) firings
+                    state.update((*st[:5], True))
+                    state.setTimeoutTimestamp(
+                        max(_ms(st[1]) + lateness_ms - 1, wm + 1)
+                    )
+                else:
+                    state.remove()
+            else:  # lateness horizon passed — GC (late panes fired per element)
+                state.remove()
             return
 
         st = state.get if state.exists else None
-        out: list[dict] = []
+        late_fire = False
 
         rows = pd.concat(list(pdfs), ignore_index=True)
+        # deterministic within-batch order: event time, then clicks before
+        # impressions at equal times ('click' < 'impression')
         rows = rows.sort_values(["event_time", "action"], kind="mergesort")
 
         for r in rows.itertuples(index=False):
             ts: datetime = r.event_time
             if r.action == "click":
-                s, e, is_click = ts - timedelta(seconds=click_secs), ts, True
+                s, e, is_click = ts, ts + timedelta(seconds=click_secs), True
             elif r.action == "impression":
                 s, e, is_click = ts, ts + timedelta(seconds=impression_secs), False
             else:  # 'unknown' assigns no window (AdEventWindowFn drops it)
                 continue
             if st is None:
-                st = (s, e, int(is_click), int(not is_click), is_click)
+                st = (s, e, int(is_click), int(not is_click), is_click, False)
             else:
-                w_start, w_end, n_clicks, n_imps, has_click = st
-                if s < w_end and e > w_start:  # overlap → merge
-                    new_start = min(w_start, s)
-                    if is_click:
-                        # a click pins the merged end to ITS end (= click ts)
-                        new_end = e if not has_click else max(w_end, e)
-                    else:
-                        new_end = w_end if has_click else max(w_end, e)
-                    st = (
-                        new_start,
-                        new_end,
-                        n_clicks + int(is_click),
-                        n_imps + int(not is_click),
-                        has_click or is_click,
-                    )
-                else:  # disjoint → flush the open window, start a new one
-                    out.append(_emit_row(screen_id, ad_id, st))
-                    st = (s, e, int(is_click), int(not is_click), is_click)
-
+                # unconditional live-window merge (AdEventWindowFn.scala:28-37)
+                w_start, w_end, n_clicks, n_imps, has_click, fired = st
+                if has_click or is_click:
+                    new_end = max(w_start, s)  # click pins end to latest start
+                else:
+                    new_end = max(w_end, e)
+                st = (
+                    min(w_start, s),
+                    new_end,
+                    n_clicks + int(is_click),
+                    n_imps + int(not is_click),
+                    has_click or is_click,
+                    fired,
+                )
+                late_fire = late_fire or fired
         if st is not None:
+            if late_fire:
+                # accumulating late pane, fired per element batch
+                # (AfterProcessingTime.pastFirstElementInPane analog)
+                yield pd.DataFrame([_emit_row(screen_id, ad_id, st)])
             state.update(st)
-            # emit when the watermark passes the window end; the timeout
-            # must sit strictly above the current watermark
-            state.setTimeoutTimestamp(
-                max(int(st[1].timestamp() * 1000), state.getCurrentWatermarkMs() + 1)
-            )
-        if out:
-            yield pd.DataFrame(out)
+            wm = state.getCurrentWatermarkMs()
+            horizon = _ms(st[1]) + (lateness_ms if st[5] else 0)
+            # Fire when the watermark passes the window's maxTimestamp.
+            # Spark fires a timeout only when watermark > timestamp, and the
+            # reference's maxTimestamp is end − 1 ms (AdEventWindow.scala:53,
+            # forImpression/forClick store duration − 1 ms) — so set the
+            # timeout at horizon − 1 ms: a watermark reaching the round end
+            # closes the window, exactly like Beam. Must also sit strictly
+            # above the current watermark or Spark rejects it.
+            state.setTimeoutTimestamp(max(horizon - 1, wm + 1))
 
     return fn
 
@@ -126,12 +169,15 @@ def ad_ctr_custom_window_stream(
     ad_events: DataFrame,
     impression_duration_secs: int = 600,
     click_duration_secs: int = 60,
+    allowed_lateness_secs: int = 0,
 ) -> DataFrame:
     """CTR per (screen_id, ad_id) in the custom merging window — the
     streaming equivalent of AdCtrCustomWindowCalculator.calculateCtrByScreen.
     ``ad_events`` needs (screen_id, ad_id, action, event_time) + watermark."""
     return ad_events.groupBy("screen_id", "ad_id").applyInPandasWithState(
-        make_ad_event_window_fn(impression_duration_secs, click_duration_secs),
+        make_ad_event_window_fn(
+            impression_duration_secs, click_duration_secs, allowed_lateness_secs
+        ),
         outputStructType=OUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",

@@ -168,20 +168,79 @@ def lookup_cache_join_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_append(joined, spark)
 
 
-@register("ctr_custom_window_stream", oracle=None)
+# Converged custom-window semantics over the corpus (see the query
+# docstring): the whole events file arrives in ONE data batch with the
+# watermark still at -infinity, so ALL of a key's live windows merge
+# unconditionally (AdEventWindowFn.scala:28-37 has no overlap test) into
+# one window per key; the sentinel batches then close every window:
+#   start = min(ts);
+#   end   = ts + dur           (single event; dur = 60s click / 600s view)
+#         | max(ts)            (>= 2 events, any click — a click pins the
+#                               merged end to the latest participant's ts)
+#         | max(ts) + 600s     (>= 2 events, impressions only)
+_CUSTOM_WINDOW_STREAM_ORACLE = """
+    WITH ads AS (
+        SELECT CAST(user_id AS VARCHAR) AS screen_id,
+               json_extract_string(props, '$.k') AS ad_id,
+               (event_type = 'click') AS is_click,
+               ts
+        FROM events
+        WHERE event_type IN ('click', 'view')
+    ),
+    g AS (
+        SELECT screen_id, ad_id,
+               COUNT(*) AS n,
+               CAST(SUM(CASE WHEN is_click THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+               CAST(SUM(CASE WHEN is_click THEN 0 ELSE 1 END) AS BIGINT) AS n_imps,
+               MIN(ts) AS window_start,
+               MAX(ts) AS max_ts,
+               MAX(CASE WHEN is_click THEN 1 ELSE 0 END) = 1 AS has_click
+        FROM ads
+        GROUP BY screen_id, ad_id
+    )
+    SELECT screen_id, ad_id,
+           CAST(LEAST(1, n_clicks) AS BIGINT) AS clicks,
+           CAST(LEAST(1, n_imps) AS BIGINT) AS impressions,
+           CASE WHEN n_imps > 0
+                THEN CAST(LEAST(1, n_clicks) AS DOUBLE)
+                     / CAST(LEAST(1, n_imps) AS DOUBLE)
+           END AS ctr,
+           window_start,
+           CASE
+               WHEN n = 1 AND has_click THEN max_ts + INTERVAL 60 SECOND
+               WHEN n = 1 THEN max_ts + INTERVAL 600 SECOND
+               WHEN has_click THEN max_ts
+               ELSE max_ts + INTERVAL 600 SECOND
+           END AS window_end
+    FROM g
+"""
+
+
+@register("ctr_custom_window_stream", oracle=_CUSTOM_WINDOW_STREAM_ORACLE)
 def ctr_custom_window_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's custom merging ad-event window (W5) as a REAL
     stateful streaming job over the corpus: key (user_id, props.k) plays
-    (screen_id, ad_id); click/view play click/impression; asymmetric
-    10min-forward / 1min-back windows, merged, capped CTR at window close.
-    Non-SQL-expressible (merging windows) → rows-only gate; semantics
-    covered in tests/test_stateful.py."""
+    (screen_id, ad_id); click/view play click/impression; forward
+    10-min impression / 1-min click windows (AdEventWindow.scala:70-83),
+    merged per key, capped CTR emitted at window close. The corpus file is
+    one data micro-batch (watermark still unset while it processes), so
+    every key converges to ONE merged window — which IS SQL-expressible
+    (oracle above); the pane-by-pane merge/lateness semantics are pinned
+    by the replay suite in tests/test_stateful.py."""
     from example_beam_spark.streaming.custom_window import (
         ad_ctr_custom_window_stream,
     )
 
-    ev = read_events_stream(spark, sf_dir).withColumnRenamed("ts", "event_time")
-    ads = ev.filter(F.col("event_type").isin("click", "view")).select(
+    ev = read_events_stream_flushed(spark, sf_dir).withColumnRenamed(
+        "ts", "event_time"
+    )
+    ev = ev.withWatermark("event_time", "1 hour")
+    # drop sentinels AFTER the watermark node (unsplittable CASE predicate)
+    ads = ev.filter(
+        F.when(
+            F.col("event_type").isin("click", "view"), F.col("event_time")
+        ).isNotNull()
+    ).select(
         F.col("user_id").cast("string").alias("screen_id"),
         F.get_json_object("props", "$.k").alias("ad_id"),
         F.when(F.col("event_type") == "click", F.lit("click"))
@@ -189,7 +248,6 @@ def ctr_custom_window_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("action"),
         "event_time",
     )
-    ads = ads.withWatermark("event_time", "1 hour")
     out = ad_ctr_custom_window_stream(ads, 600, 60)
     return run_to_append(out, spark)
 

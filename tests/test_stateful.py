@@ -127,40 +127,51 @@ def test_lookup_expired_cache_not_matched(spark):
 
 
 # --------------------------------------------------------------------------
-# custom merging ad-event window
+# custom merging ad-event window — scenarios mirror ALL SIX reference tests
+# (AdCtrCustomWindowCalculatorTest.scala:30-143); default durations are the
+# reference's 10-min impression / 1-min click forward windows.
 # --------------------------------------------------------------------------
 
 
-def _ad(action: str, ad="ad1", screen="s1") -> dict:
+def _ad_event(action: str, ad="ad1", screen="s1") -> dict:
     return {"ad_id": ad, "screen_id": screen, "action": action}
 
 
-def _custom_query(stream):
-    from example_beam_spark import schemas  # noqa: F401
+def _custom_query(stream, lateness=0, delay=0):
+    return ad_ctr_custom_window_stream(
+        watermark_then_filter(stream, delay), allowed_lateness_secs=lateness
+    )
 
-    return ad_ctr_custom_window_stream(watermark_then_filter(stream, 0))
 
-
-def _run_ad(spark, sc, delay=0):
+def _run_ad(spark, sc, lateness=0, delay=0):
+    """``delay`` holds Spark's auto-advancing watermark back (Beam's
+    TestStream watermark only moves when scripted; Spark's trails the max
+    event time minus the delay — scenarios that rely on the watermark NOT
+    passing a window end between two emits need a nonzero delay)."""
     from example_beam_spark import schemas
 
     return [
         r.asDict()
         for _, rows in replay(
-            spark, sc, schemas.AD_EVENT, _custom_query, delay, output_mode="append"
+            spark,
+            sc,
+            schemas.AD_EVENT,
+            lambda s: _custom_query(s, lateness, delay),
+            delay,
+            output_mode="append",
         )
         for r in rows
     ]
 
 
-def test_custom_window_click_after_impression(spark):
-    """AdCtrCustomWindowCalculatorTest.scala:30-45: impression then click
-    within 10 min → one merged window, CTR 1.0, window end = click time
+def test_custom_window_impression_then_click_on_time(spark):
+    """AdCtrCustomWindowCalculatorTest.scala:30-49 'Impression and then
+    click on-time': one merged window, CTR 1.0, end pinned to click time
     (low-latency emission just after the click)."""
     sc = (
         StreamScenario()
-        .add_elements_at("12:00:00", _ad("impression"))
-        .add_elements_at("12:05:00", _ad("click"))
+        .add_elements_at("12:00:00", _ad_event("impression"))
+        .add_elements_at("12:00:01", _ad_event("click"))
         .advance_watermark_to_infinity()
     )
     out = _run_ad(spark, sc)
@@ -168,45 +179,125 @@ def test_custom_window_click_after_impression(spark):
     r = out[0]
     assert (r["clicks"], r["impressions"], r["ctr"]) == (1, 1, 1.0)
     assert r["window_start"] == t("12:00:00").replace(tzinfo=None)
-    assert r["window_end"] == t("12:05:00").replace(tzinfo=None)
+    assert r["window_end"] == t("12:00:01").replace(tzinfo=None)
 
 
-def test_custom_window_impression_only_expires(spark):
-    """AdCtrCustomWindowCalculatorTest (expiry): impression with no click
-    → window closes at impression + 10 min with CTR 0."""
+def test_custom_window_click_then_impression_on_time(spark):
+    """AdCtrCustomWindowCalculatorTest.scala:97-110 'Click and then
+    impression on-time': forClick looks FORWARD [t, t+1min); the
+    impression at t+1s merges and the pane emits CTR 1.0 at the
+    impression time (= max of window starts)."""
     sc = (
         StreamScenario()
-        .add_elements_at("12:00:00", _ad("impression"))
+        .add_elements_at("12:00:00", _ad_event("click"))
+        .add_elements_at("12:00:01", _ad_event("impression"))
         .advance_watermark_to_infinity()
     )
     out = _run_ad(spark, sc)
     assert len(out) == 1
     r = out[0]
-    assert (r["clicks"], r["impressions"], r["ctr"]) == (0, 1, 0.0)
-    assert r["window_end"] == t("12:10:00").replace(tzinfo=None)
+    assert (r["clicks"], r["impressions"], r["ctr"]) == (1, 1, 1.0)
+    assert r["window_start"] == t("12:00:00").replace(tzinfo=None)
+    assert r["window_end"] == t("12:00:01").replace(tzinfo=None)
 
 
-def test_custom_window_orphan_click(spark):
-    """Click with no impression looks back 1 min and expires alone."""
+def test_custom_window_impression_then_late_click(spark):
+    """AdCtrCustomWindowCalculatorTest.scala:51-70 'Impression and then
+    late click': impression window expires at +10 min with CTR 0.0; the
+    late click forms its own 1-min window emitting CTR undefined."""
     sc = (
         StreamScenario()
-        .add_elements_at("12:00:00", _ad("click"))
+        .add_elements_at("12:00:00", _ad_event("impression"))
+        .advance_watermark_to("12:10:00")  # impression window expires
+        .add_elements_at("12:11:00", _ad_event("click"))
         .advance_watermark_to_infinity()
     )
     out = _run_ad(spark, sc)
-    assert len(out) == 1
-    r = out[0]
-    assert (r["clicks"], r["impressions"]) == (1, 0)
-    assert r["ctr"] is None
-    assert r["window_start"] == t("11:59:00").replace(tzinfo=None)
+    got = sorted(
+        (r["window_end"].isoformat(), r["clicks"], r["impressions"], r["ctr"])
+        for r in out
+    )
+    assert got == [
+        ("1970-01-01T12:10:00", 0, 1, 0.0),  # 10-min impression window
+        ("1970-01-01T12:12:00", 1, 0, None),  # 1-min click window
+    ]
 
 
-def test_custom_window_disjoint_windows_flush(spark):
-    """Two impressions > 10 min apart form separate windows."""
+def test_custom_window_late_click_within_allowed_lateness(spark):
+    """AdCtrCustomWindowCalculatorTest.scala:72-95 'Impression and then
+    late click but in allowed lateness': on-time pane CTR 0.0, then the
+    late click merges into the retained window and re-fires the
+    ACCUMULATED pane with CTR 1.0 at the click time."""
     sc = (
         StreamScenario()
-        .add_elements_at("12:00:00", _ad("impression"))
-        .add_elements_at("12:30:00", _ad("impression"))
+        .add_elements_at("12:00:00", _ad_event("impression"))
+        .advance_watermark_to("12:10:00")
+        .add_elements_at("12:11:00", _ad_event("click"))
+        .advance_watermark_to_infinity()
+    )
+    out = _run_ad(spark, sc, lateness=120)
+    got = [
+        (r["window_end"].isoformat(), r["clicks"], r["impressions"], r["ctr"])
+        for r in out
+    ]
+    assert got == [
+        ("1970-01-01T12:10:00", 0, 1, 0.0),  # on-time pane
+        ("1970-01-01T12:11:00", 1, 1, 1.0),  # accumulated late pane
+    ]
+
+
+def test_custom_window_click_then_late_impression(spark):
+    """AdCtrCustomWindowCalculatorTest.scala:112-133 'Click and then late
+    impression': click window expires at +1 min (CTR undefined); the late
+    impression forms its own 10-min window (CTR 0.0)."""
+    sc = (
+        StreamScenario()
+        .add_elements_at("12:00:00", _ad_event("click"))
+        .advance_watermark_to("12:01:00")  # click window expires
+        .add_elements_at("12:02:00", _ad_event("impression"))
+        .advance_watermark_to_infinity()
+    )
+    out = _run_ad(spark, sc)
+    got = sorted(
+        (r["window_end"].isoformat(), r["clicks"], r["impressions"], r["ctr"])
+        for r in out
+    )
+    assert got == [
+        ("1970-01-01T12:01:00", 1, 0, None),
+        ("1970-01-01T12:12:00", 0, 1, 0.0),
+    ]
+
+
+def test_custom_window_click_then_impression_before_expiry_merges(spark):
+    """AdCtrCustomWindowCalculatorTest.scala:135-152 'Click and then late
+    impression but in allowed lateness': the watermark never passes the
+    click window end before the impression arrives, so the two windows
+    merge (mergeWindows has no overlap test — all live windows of a key
+    merge) and CTR 1.0 emits at the impression time."""
+    sc = (
+        StreamScenario()
+        .add_elements_at("12:00:00", _ad_event("click"))
+        .add_elements_at("12:02:00", _ad_event("impression"))
+        .advance_watermark_to_infinity()
+    )
+    out = _run_ad(spark, sc, lateness=60)
+    got = [
+        (r["window_end"].isoformat(), r["clicks"], r["impressions"], r["ctr"])
+        for r in out
+    ]
+    assert got == [("1970-01-01T12:02:00", 1, 1, 1.0)]
+
+
+def test_custom_window_separate_windows_after_expiry(spark):
+    """Two impressions with a watermark advance between them: the first
+    window is already closed when the second arrives → two windows. (If
+    the watermark had NOT advanced, Beam would merge them — mergeWindows
+    merges all live windows of a key unconditionally.)"""
+    sc = (
+        StreamScenario()
+        .add_elements_at("12:00:00", _ad_event("impression"))
+        .advance_watermark_to("12:15:00")
+        .add_elements_at("12:30:00", _ad_event("impression"))
         .advance_watermark_to_infinity()
     )
     out = _run_ad(spark, sc)
@@ -214,18 +305,43 @@ def test_custom_window_disjoint_windows_flush(spark):
     assert starts == ["1970-01-01T12:00:00", "1970-01-01T12:30:00"]
 
 
-def test_custom_window_duplicate_clicks_capped(spark):
-    """Capped semigroup: duplicate clicks still CTR 1.0
-    (AdCtrCustomWindowCalculatorTest dedup case)."""
+def test_custom_window_live_impressions_merge(spark):
+    """Two impressions 30 min apart with NO watermark advance between:
+    both windows are live → unconditional per-key merge into one window
+    [12:00, 12:40) (end = max of impression ends)."""
     sc = (
         StreamScenario()
-        .add_elements_at("12:00:00", _ad("impression"))
-        .add_elements_at("12:01:00", _ad("click"))
-        .add_elements_at("12:01:30", _ad("click"))
+        .add_elements_at("12:00:00", _ad_event("impression"))
+        .add_elements_at("12:30:00", _ad_event("impression"))
         .advance_watermark_to_infinity()
     )
     out = _run_ad(spark, sc)
-    assert [(r["clicks"], r["impressions"], r["ctr"]) for r in out] == [(1, 1, 1.0)]
+    assert len(out) == 1
+    r = out[0]
+    # two impressions, capped to 1 by the semigroup
+    assert (r["clicks"], r["impressions"], r["ctr"]) == (0, 1, 0.0)
+    assert r["window_start"] == t("12:00:00").replace(tzinfo=None)
+    assert r["window_end"] == t("12:40:00").replace(tzinfo=None)
+
+
+def test_custom_window_duplicate_clicks_capped(spark):
+    """Capped semigroup (model.scala:88-98): duplicate clicks still CTR
+    1.0 — all three events merge into ONE window (the watermark is held
+    back, as in the reference's TestStream where it never advances before
+    the script says so; the second click extends the merged end)."""
+    sc = (
+        StreamScenario()
+        .add_elements_at("12:00:00", _ad_event("impression"))
+        .add_elements_at("12:01:00", _ad_event("click"))
+        .add_elements_at("12:01:30", _ad_event("click"))
+        .advance_watermark_to_infinity()
+    )
+    out = _run_ad(spark, sc, delay=3600)
+    got = [
+        (r["window_end"].isoformat(), r["clicks"], r["impressions"], r["ctr"])
+        for r in out
+    ]
+    assert got == [("1970-01-01T12:01:30", 1, 1, 1.0)]
 
 
 # --------------------------------------------------------------------------
@@ -269,7 +385,7 @@ def _join_query(stream):
     ).select("key", "ad", "event_time", "screen", "dim_event_time")
 
 
-def _ad(ad: str, key: str = "s1") -> dict:
+def _fact(ad: str, key: str = "s1") -> dict:
     return {"key": key, "kind": KIND_FACT, "payload": ad}
 
 
@@ -284,8 +400,8 @@ def test_join_ad_within_screen_ttl_matches(spark):
     sc = (
         StreamScenario()
         .add_elements_at("12:00:30", _scr("screenA"))
-        .add_elements_at("12:01:00", _ad("ad1"))
-        .add_elements_at("12:09:00", _ad("ad2"))
+        .add_elements_at("12:01:00", _fact("ad1"))
+        .add_elements_at("12:09:00", _fact("ad2"))
         .advance_watermark_to_infinity()
         .advance_watermark_to_infinity()
     )
@@ -300,7 +416,7 @@ def test_join_ad_beyond_ttl_goes_to_dlq(spark):
     sc = (
         StreamScenario()
         .add_elements_at("12:00:30", _scr("screenA"))
-        .add_elements_at("12:20:00", _ad("adLate"))
+        .add_elements_at("12:20:00", _fact("adLate"))
         .advance_watermark_to_infinity()
         .advance_watermark_to_infinity()
     )
@@ -315,7 +431,7 @@ def test_join_ad_before_screen_goes_to_dlq(spark):
     validity window only extends FORWARD from the screen."""
     sc = (
         StreamScenario()
-        .add_elements_at("12:01:00", _ad("adEarly"))
+        .add_elements_at("12:01:00", _fact("adEarly"))
         .add_elements_at("12:02:00", _scr("screenA"))
         .advance_watermark_to_infinity()
         .advance_watermark_to_infinity()
@@ -332,7 +448,7 @@ def test_join_multiple_screens_all_match(spark):
         StreamScenario()
         .add_elements_at("12:00:00", _scr("v1"))
         .add_elements_at("12:05:00", _scr("v2"))
-        .add_elements_at("12:06:00", _ad("ad1"))
+        .add_elements_at("12:06:00", _fact("ad1"))
         .advance_watermark_to_infinity()
         .advance_watermark_to_infinity()
     )
