@@ -133,15 +133,25 @@ def ctr_global_window(
 
 
 def reassign_to_fixed(df: DataFrame, period: str) -> DataFrame:
-    """W3 — re-window sliding results into fixed windows of the period:
-    timestamp each aggregate at its window end (exclusive → end-1ms, as the
-    reference's window max timestamp, AdEventWindow.scala:53) and assign
-    tumbling windows of ``period``."""
+    """W3 — re-window sliding results into fixed windows of the period
+    (AdCtrSlidingWindowCalculator.scala:38-39: ``withTimestampCombiner``
+    then ``withFixedWindows(period)`` so downstream consumers see
+    non-overlapping windows): timestamp each aggregate at its window end
+    (exclusive end − 1 ms = the reference's window max timestamp,
+    AdEventWindow.scala:53) and assign tumbling windows of ``period``.
+
+    Purely metadata arithmetic on the already-aggregated rows — no
+    shuffle; Catalyst folds the window expression into the projection."""
     stamped = df.withColumn(
         "event_time", F.col("window_end") - F.expr("INTERVAL 1 MILLISECOND")
     )
     w = F.window("event_time", period)
-    return stamped.withColumn("fixed_window_start", F.col("window.start")).drop("window")
+    return (
+        stamped.withColumn("window", w)
+        .withColumn("fixed_window_start", F.col("window.start"))
+        .withColumn("fixed_window_end", F.col("window.end"))
+        .drop("window", "event_time")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -240,6 +250,36 @@ def q_ctr_sliding_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         window_duration="2 hours",
         slide="1 hour",
     )
+
+
+# W3 oracle: the sliding CTR result with each row re-assigned to the
+# 1-hour tumbling window containing its (window_end − 1 ms) timestamp —
+# the same epoch-aligned bucketing as Spark's F.window.
+_REASSIGNED_ORACLE = f"""
+    SELECT s.*,
+           (TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND * CAST(
+               FLOOR(epoch(s.window_end - INTERVAL 1 MILLISECOND) / 3600) * 3600
+           AS BIGINT)) AS fixed_window_start,
+           (TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND * CAST(
+               FLOOR(epoch(s.window_end - INTERVAL 1 MILLISECOND) / 3600) * 3600
+               + 3600
+           AS BIGINT)) AS fixed_window_end
+    FROM ({_ctr_oracle(7200, capped=False, slide_sec=3600)}) s
+"""
+
+
+@register("ctr_sliding_reassigned", oracle=_REASSIGNED_ORACLE)
+def q_ctr_sliding_reassigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 — sliding moving-average CTR re-windowed into fixed 1-hour
+    windows of the slide period (AdCtrSlidingWindowCalculator.scala:38-39),
+    so each 2-hour aggregate lands in exactly one non-overlapping bucket."""
+    sliding = ctr_sliding_window(
+        _load_ad_events(spark, sf_dir),
+        keys=["user_id"],
+        window_duration="2 hours",
+        slide="1 hour",
+    )
+    return reassign_to_fixed(sliding, "1 hour")
 
 
 @register("ctr_global", oracle=_ctr_oracle(None, capped=False))

@@ -60,3 +60,59 @@ def test_cosine_similarity(spark):
     assert got[0] == 1.0
     assert got[1] == 0.0
     assert math.isclose(got[2], 1.0, rel_tol=1e-12)
+
+
+def test_reassign_to_fixed_buckets_by_period(spark):
+    """W3: each sliding aggregate lands in the tumbling period-window
+    containing its exclusive end - 1 ms (AdCtrSlidingWindowCalculator
+    .scala:38-39)."""
+    from datetime import datetime
+
+    from example_beam_spark.operators.ctr import reassign_to_fixed
+
+    df = spark.createDataFrame(
+        [
+            ("u1", datetime(1970, 1, 1, 10), datetime(1970, 1, 1, 12)),
+            ("u1", datetime(1970, 1, 1, 11), datetime(1970, 1, 1, 13)),
+        ],
+        ["user_id", "window_start", "window_end"],
+    )
+    got = {
+        (r.window_start.hour, r.fixed_window_start.hour, r.fixed_window_end.hour)
+        for r in reassign_to_fixed(df, "1 hour").collect()
+    }
+    # end 12:00 -> fixed [11:00, 12:00); end 13:00 -> fixed [12:00, 13:00)
+    assert got == {(10, 11, 12), (11, 12, 13)}
+
+
+def test_named_and_probes_do_not_change_results(spark):
+    """P10/P11: naming sets the UI job description + plan alias; probes
+    run bounded side actions and return the SAME frame for chaining."""
+    import io
+
+    from example_beam_spark.functions.probes import (
+        job_named,
+        named,
+        probe,
+        probe_count,
+        probe_plan,
+    )
+
+    df = spark.range(100).withColumnRenamed("id", "v")
+    out = io.StringIO()
+    chained = probe_plan(probe_count(probe(named(df, "hundred"), n=3, out=out), out=out), out=out)
+    assert chained.count() == 100  # unchanged by probes
+    text = out.getvalue()
+    assert text.count("[probe]") == 3
+    assert "[count] rows=100" in text
+    assert "Physical Plan" in text
+    assert spark.sparkContext.getLocalProperty("spark.job.description") == "hundred"
+
+    with job_named(spark, "scoped-section"):
+        assert (
+            spark.sparkContext.getLocalProperty("spark.job.description")
+            == "scoped-section"
+        )
+        df.count()
+    # restored after the block
+    assert spark.sparkContext.getLocalProperty("spark.job.description") == "hundred"
