@@ -30,7 +30,10 @@ from example_beam_spark import schemas
 from example_beam_spark.operators.ctr import _ctr_oracle
 from example_beam_spark.registry import register
 from example_beam_spark.sources.parquet import table_path
-from example_beam_spark.streaming.ctr_stream import ctr_fixed_window_stream
+from example_beam_spark.streaming.ctr_stream import (
+    ctr_fixed_window_stream,
+    ctr_sliding_window_stream,
+)
 
 
 def _stage_dir(sf_dir: str, name: str, variant: str = "") -> str:
@@ -115,6 +118,28 @@ def ctr_fixed_capped_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_final(agg, ["user_id", "window_start"], spark)
 
 
+@register("ctr_sliding_total_stream", oracle=_ctr_oracle(7200, capped=False, slide_sec=3600))
+def ctr_sliding_total_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window moving-average CTR as a REAL streaming job (W2
+    streaming — AdCtrSlidingWindowCalculator.scala:31-40, test coverage
+    AdCtrSlidingWindowCalculatorTest.scala:44-109): each event lands in
+    duration/period = 2 windows; StateStore keeps (key × open windows)
+    rows, evicted by the watermark. Final state equals the batch
+    ctr_sliding_total, gated by the same oracle."""
+    ev = read_events_stream(spark, sf_dir).withColumnRenamed("ts", "event_time")
+    ev = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        "event_time",
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("clicks"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("impressions"),
+    )
+    ev = ev.withWatermark("event_time", "1 hour")
+    agg = ctr_sliding_window_stream(
+        ev, keys=["user_id"], window_duration="2 hours", slide="1 hour"
+    )
+    return run_to_final(agg, ["user_id", "window_start"], spark)
+
+
 def run_to_append(agg: DataFrame, spark: SparkSession) -> DataFrame:
     """Drain an append-mode stateful streaming query (availableNow) into
     staging parquet and return everything appended."""
@@ -136,34 +161,100 @@ def run_to_append(agg: DataFrame, spark: SparkSession) -> DataFrame:
     return spark.read.parquet(out_dir)
 
 
-@register("lookup_cache_join_stream", oracle=None)
+# Converged lookup-cache semantics over the corpus (see the query
+# docstring). The whole events file is ONE data batch, so each key's rows
+# are processed in event-time order with the watermark still unset —
+# timers never interleave with data. Per fact (click):
+#   - the cache holds the latest dim (signup) STRICTLY before the fact
+#     (a dim at the exact fact ts sorts after it); if that dim is within
+#     TTL (24 h), the fact matches it immediately;
+#   - otherwise the fact buffers and flushes 'matched' against the FIRST
+#     dim at-or-after it (no TTL check on flush — LookupCacheDoFn.scala
+#     :162-173 flushes the buffer on any dim arrival; the GC timer that
+#     would interleave in wall-clock streaming cannot fire mid-batch);
+#   - no dim after it either → flushed to the DLQ by the GC timer once
+#     the sentinel drives the watermark past max_seen + TTL.
+_LOOKUP_STREAM_ORACLE = """
+    WITH dims AS (
+        SELECT user_id, CAST(event_id AS VARCHAR) AS dim_version, ts AS dim_ts
+        FROM events WHERE event_type = 'signup'
+    ),
+    facts AS (
+        SELECT user_id, CAST(event_id AS VARCHAR) AS fact_id, ts AS fact_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    enriched AS (
+        SELECT f.user_id, f.fact_id, f.fact_ts,
+               b.dim_version AS before_version, b.dim_ts AS before_ts,
+               a.dim_version AS after_version, a.dim_ts AS after_ts
+        FROM facts f
+        LEFT JOIN LATERAL (
+            SELECT dim_version, dim_ts FROM dims d
+            WHERE d.user_id = f.user_id AND d.dim_ts < f.fact_ts
+            ORDER BY d.dim_ts DESC LIMIT 1
+        ) b ON TRUE
+        LEFT JOIN LATERAL (
+            SELECT dim_version, dim_ts FROM dims d
+            WHERE d.user_id = f.user_id AND d.dim_ts >= f.fact_ts
+            ORDER BY d.dim_ts ASC LIMIT 1
+        ) a ON TRUE
+    )
+    SELECT CAST(user_id AS VARCHAR) AS key,
+           fact_id,
+           fact_ts AS fact_time,
+           CASE WHEN before_ts IS NOT NULL
+                     AND fact_ts - before_ts <= INTERVAL 86400 SECOND
+                THEN before_version
+                WHEN after_ts IS NOT NULL THEN after_version
+           END AS dim_version,
+           CASE WHEN before_ts IS NOT NULL
+                     AND fact_ts - before_ts <= INTERVAL 86400 SECOND
+                THEN before_ts
+                WHEN after_ts IS NOT NULL THEN after_ts
+           END AS dim_time,
+           CASE WHEN (before_ts IS NOT NULL
+                      AND fact_ts - before_ts <= INTERVAL 86400 SECOND)
+                     OR after_ts IS NOT NULL
+                THEN 'matched' ELSE 'dlq'
+           END AS match_status
+    FROM enriched
+"""
+
+
+@register("lookup_cache_join_stream", oracle=_LOOKUP_STREAM_ORACLE)
 def lookup_cache_join_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's stateful lookup-cache join (J3/U1-U6) as a REAL
     applyInPandasWithState streaming job over the corpus: signups are the
-    dimension (latest-wins cache, 24h TTL), clicks the facts; early facts
-    buffer, expired facts go to the DLQ. Non-SQL-expressible (keyed state
-    + event-time timers) → rows-only gate; semantics are covered by the
-    replay-harness suite (tests/test_stateful.py)."""
+    dimension (latest-wins cache keyed by user, 24h TTL, dim_version =
+    signup event_id), clicks the facts; early facts buffer until their
+    dim arrives, unmatched facts flush to the DLQ when the GC timer
+    (max-seen + TTL) fires. The corpus file is one data micro-batch, so
+    the run converges to the SQL-expressible as-of semantics in the
+    oracle above; pane-by-pane buffering/TTL/latest-wins behavior is
+    pinned by the replay suite (tests/test_stateful.py)."""
     from example_beam_spark.streaming.lookup_cache import (
         KIND_DIM,
         KIND_FACT,
         lookup_cache_join_stream,
     )
 
-    ev = read_events_stream(spark, sf_dir).withColumnRenamed("ts", "event_time")
-    union = ev.filter(F.col("event_type").isin("click", "signup")).select(
+    ev = read_events_stream_flushed(spark, sf_dir).withColumnRenamed(
+        "ts", "event_time"
+    )
+    ev = ev.withWatermark("event_time", "1 hour")
+    # drop sentinels AFTER the watermark node (unsplittable CASE predicate)
+    union = ev.filter(
+        F.when(
+            F.col("event_type").isin("click", "signup"), F.col("event_time")
+        ).isNotNull()
+    ).select(
         F.col("user_id").cast("string").alias("key"),
         F.when(F.col("event_type") == "signup", F.lit(KIND_DIM))
         .otherwise(F.lit(KIND_FACT))
         .alias("kind"),
-        F.when(
-            F.col("event_type") == "signup", F.col("value").cast("string")
-        )
-        .otherwise(F.col("event_id").cast("string"))
-        .alias("payload"),
+        F.col("event_id").cast("string").alias("payload"),
         "event_time",
     )
-    union = union.withWatermark("event_time", "1 hour")
     joined = lookup_cache_join_stream(union, ttl_seconds=24 * 3600)
     return run_to_append(joined, spark)
 

@@ -147,3 +147,179 @@ def test_ctr_unordered_events(spark):
     )
     out = _flat(replay(spark, sc, schemas.AD_EVENT, _ctr_query(0), 0))
     assert [(r["clicks"], r["impressions"]) for _, r in out][-1] == (1, 1)
+
+
+# --------------------------------------------------------------------------
+# sliding-window CTR (W2) — mirrors AdCtrSlidingWindowCalculatorTest.scala
+# (20-minute window sliding every 10 minutes, total semigroup)
+# --------------------------------------------------------------------------
+
+from example_beam_spark.streaming.ctr_stream import ctr_sliding_window_stream
+
+
+def _sliding_query(delay_seconds: int):
+    def build(stream):
+        ev = watermark_then_filter(stream, delay_seconds)
+        return ctr_sliding_window_stream(
+            _one_hot(ev),
+            keys=["screen_id", "ad_id"],
+            window_duration="20 minutes",
+            slide="10 minutes",
+        )
+
+    return build
+
+
+def _finals_by_window(out):
+    """Last update per sliding window (ACCUMULATING final pane)."""
+    finals = {}
+    for _, r in out:
+        finals[r["window_start"].isoformat()] = (
+            r["clicks"], r["impressions"], r["ctr"],
+        )
+    return finals
+
+
+def test_sliding_ctr_single_period(spark):
+    """AdCtrSlidingWindowCalculatorTest.scala:44-61 'Running average of
+    ctr 1.0': one CTR-1.0 pair at 12:00:01 appears in BOTH overlapping
+    20-minute windows [11:50,12:10) and [12:00,12:20), and nowhere else."""
+    sc = (
+        StreamScenario()
+        .add_elements_at("12:00:01", _imp(), _click())
+        .advance_watermark_to_infinity()
+    )
+    out = _flat(replay(spark, sc, schemas.AD_EVENT, _sliding_query(0), 0))
+    assert _finals_by_window(out) == {
+        "1970-01-01T11:50:00": (1, 1, 1.0),
+        "1970-01-01T12:00:00": (1, 1, 1.0),
+    }
+
+
+def test_sliding_ctr_moving_average_across_periods(spark):
+    """AdCtrSlidingWindowCalculatorTest.scala:63-86: CTR 1.0 in the first
+    period and 0.0 in the second → the overlapping middle window carries
+    the moving average 0.5 (total semigroup: clicks 1 / impressions 2)."""
+    sc = (
+        StreamScenario()
+        .add_elements_at("12:00:01", _imp(), _click())
+        .add_elements_at("12:10:01", _imp())  # adCtrZero
+        .advance_watermark_to_infinity()
+    )
+    out = _flat(replay(spark, sc, schemas.AD_EVENT, _sliding_query(0), 0))
+    assert _finals_by_window(out) == {
+        "1970-01-01T11:50:00": (1, 1, 1.0),
+        "1970-01-01T12:00:00": (1, 2, 0.5),
+        "1970-01-01T12:10:00": (0, 1, 0.0),
+    }
+
+
+def test_sliding_ctr_late_update_within_lateness(spark):
+    """AdCtrSlidingWindowCalculatorTest.scala:88-109: CTR 0.0 arriving
+    late (within 5-minute allowed lateness) re-fires the [11:50,12:10)
+    pane with the ACCUMULATED moving average (1 click / 2 impressions)."""
+    delay = 300
+    sc = (
+        StreamScenario()
+        .add_elements_at("12:00:01", _imp(), _click())
+        .advance_watermark_to("12:10:00")
+        .add_elements_at("12:05:01", _imp())  # late adCtrZero
+        .advance_watermark_to_infinity()
+    )
+    out = _flat(replay(spark, sc, schemas.AD_EVENT, _sliding_query(delay), delay))
+    assert _finals_by_window(out) == {
+        "1970-01-01T11:50:00": (1, 2, 0.5),
+        "1970-01-01T12:00:00": (1, 2, 0.5),
+    }
+    panes = [
+        (bid, r["clicks"], r["impressions"])
+        for bid, r in out
+        if r["window_start"].isoformat() == "1970-01-01T11:50:00"
+    ]
+    # on-time (1,1) then the accumulated late re-fire (1,2) in a later batch
+    assert panes[0][1:] == (1, 1)
+    assert panes[-1][1:] == (1, 2)
+    assert panes[-1][0] > panes[0][0]
+
+
+# --------------------------------------------------------------------------
+# refreshing broadcast side-input join (J1 streaming) — the dimension
+# snapshot is re-loaded every micro-batch, mirroring the reference's ~5 s
+# side-input refresh (README.md:113-118)
+# --------------------------------------------------------------------------
+
+
+def test_side_input_refresh_mid_stream(spark, tmp_path):
+    """A dimension row updated between micro-batches is visible to the
+    NEXT batch: fact f1 joins version v1, then after the dim is updated,
+    fact f2 joins v2 (latest-event-time-wins), without restarting the
+    query — ScreenGlobalWindowWithSideInputEnricherTest.scala:28-59's
+    enrichment plus the refresh behavior the reference only documents."""
+    import pyspark.sql.types as T
+
+    from example_beam_spark.streaming.side_input import (
+        stream_static_refreshing_join,
+    )
+
+    dim_dir = str(tmp_path / "dims")
+    fact_dir = str(tmp_path / "facts")
+    ckpt = str(tmp_path / "ckpt")
+
+    dim_schema = T.StructType(
+        [
+            T.StructField("publication_id", T.StringType(), False),
+            T.StructField("version", T.StringType(), False),
+            T.StructField("dim_time", T.TimestampType(), False),
+        ]
+    )
+    fact_schema = T.StructType(
+        [
+            T.StructField("screen_id", T.StringType(), False),
+            T.StructField("publication_id", T.StringType(), False),
+            T.StructField("event_time", T.TimestampType(), False),
+        ]
+    )
+
+    def write_dim(version, hms):
+        spark.createDataFrame(
+            [("p1", version, t(hms))], dim_schema
+        ).write.mode("append").parquet(dim_dir)
+
+    def write_fact(screen, hms):
+        spark.createDataFrame(
+            [(screen, "p1", t(hms))], fact_schema
+        ).coalesce(1).write.mode("append").parquet(fact_dir)
+
+    write_dim("v1", "12:00:00")
+    write_fact("s1", "12:00:01")
+
+    captured = []
+
+    def sink(df, bid):
+        captured.extend((bid, r.asDict()) for r in df.collect())
+
+    stream = spark.readStream.schema(fact_schema).parquet(fact_dir)
+    q = stream_static_refreshing_join(
+        stream,
+        load_dims=lambda: spark.read.schema(dim_schema).parquet(dim_dir),
+        keys=["publication_id"],
+        ts_col="dim_time",
+        tiebreak="version",
+        sink=sink,
+        checkpoint=ckpt,
+        trigger={"processingTime": "0 seconds"},
+    )
+    try:
+        q.processAllAvailable()
+        # dimension updated mid-stream — no query restart
+        write_dim("v2", "12:05:00")
+        write_fact("s2", "12:05:01")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    by_screen = {r["screen_id"]: r["version"] for _, r in captured}
+    assert by_screen == {"s1": "v1", "s2": "v2"}
+    # the two facts were enriched in different micro-batches
+    batches = {r["screen_id"]: bid for bid, r in captured}
+    assert batches["s2"] > batches["s1"]
