@@ -19,9 +19,10 @@ range. This is exactly the state GC the reference hand-codes with timers
 
 Scale notes: the join shuffles both sides by the equi-key; state per key
 is bounded by TTL × arrival rate. Skewed hot keys are the operational
-risk at 100 TB/day — mitigate by salting the dim side (duplicate dim rows
-per salt, salt the fact key) if one key dominates; the range predicate
-itself adds no extra shuffle.
+risk at 100 TB/day — :func:`salted_stream_stream_time_range_join` spreads
+a hot key across N (key, salt) state partitions (dim rows replicated per
+salt, facts salted deterministically); the range predicate itself adds no
+extra shuffle.
 """
 
 from __future__ import annotations
@@ -63,3 +64,54 @@ def split_matched(joined: DataFrame, probe_col: str) -> tuple[DataFrame, DataFra
         joined.filter(F.col(probe_col).isNotNull()),
         joined.filter(F.col(probe_col).isNull()),
     )
+
+
+def salted_stream_stream_time_range_join(
+    facts: DataFrame,
+    dims: DataFrame,
+    key: str,
+    ttl_seconds: int,
+    n_salts: int,
+    salt_cols: list[str],
+    fact_ts: str = "event_time",
+    dim_ts: str = "dim_event_time",
+    how: str = "leftOuter",
+) -> DataFrame:
+    """Skew-hardened form of :func:`stream_stream_time_range_join`: a hot
+    join key (one screen serving most of the traffic) would put that key's
+    entire state and probe load on ONE StateStore partition. Salting
+    splits it ``n_salts`` ways:
+
+    - facts get a deterministic salt in ``[0, n_salts)`` hashed from
+      ``salt_cols`` (must be stable per fact — e.g. the fact id — so
+      micro-batch replays land on the same partition);
+    - every dim row is replicated once per salt value (the dim side is
+      the small side; ×n_salts rows is the price of spreading the hot
+      key, exactly the classic broadcast-less skew-salt);
+    - the join key becomes (key, salt) packed into one string column, so
+      the engine hash-partitions state on the salted key.
+
+    Join semantics are unchanged: each fact sees every dim row of its
+    original key (each dim copy exists for the fact's salt), and each
+    (fact, dim) pair exists exactly once. Unmatched facts still emit one
+    outer-null row.
+    """
+    skey, salt = f"__salted_{key}", "__salt"
+    facts_s = facts.withColumn(
+        salt, F.pmod(F.xxhash64(*salt_cols), F.lit(n_salts)).cast("int")
+    ).withColumn(skey, F.concat_ws("#", F.col(key), F.col(salt)))
+    dims_s = dims.withColumn(
+        salt, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn(
+        f"{skey}_dim", F.concat_ws("#", F.col(f"{key}_dim"), F.col(salt))
+    )
+    joined = stream_stream_time_range_join(
+        facts_s.drop(salt),
+        dims_s.drop(salt, f"{key}_dim"),
+        key=skey,
+        ttl_seconds=ttl_seconds,
+        fact_ts=fact_ts,
+        dim_ts=dim_ts,
+        how=how,
+    )
+    return joined.drop(skey)

@@ -455,3 +455,62 @@ def test_join_multiple_screens_all_match(spark):
     out = _run(spark, sc, _join_query)
     got = {(r["ad"], r["screen"]) for r in out}
     assert got == {("ad1", "v1"), ("ad1", "v2")}
+
+
+def test_join_salted_hot_key_same_semantics(spark):
+    """Skew salting (the mitigation the join module header documents):
+    a hot key's facts are spread across (key, salt) state partitions while
+    the dim side is replicated per salt — results must be IDENTICAL to the
+    unsalted join: every in-TTL fact matches, the out-of-TTL fact gets the
+    outer-null DLQ row, and no (fact, dim) pair duplicates."""
+    from example_beam_spark.streaming.join_stream import (
+        salted_stream_stream_time_range_join,
+    )
+
+    def _salted_query(stream):
+        wm = stream.withWatermark("event_time", "0 seconds")
+
+        def branch(kind):
+            return wm.filter(
+                F.when(
+                    (~F.col("is_sentinel")) & (F.col("kind") == kind),
+                    F.col("event_time"),
+                ).isNotNull()
+            )
+
+        facts = branch(KIND_FACT).select(
+            F.col("key"), F.col("payload").alias("ad"), "event_time"
+        )
+        dims = branch(KIND_DIM).select(
+            F.col("key").alias("key_dim"),
+            F.col("payload").alias("screen"),
+            F.col("event_time").alias("dim_event_time"),
+        )
+        return salted_stream_stream_time_range_join(
+            facts,
+            dims,
+            key="key",
+            ttl_seconds=JOIN_TTL,
+            n_salts=4,
+            salt_cols=["ad"],  # stable per fact across micro-batch replays
+        ).select("key", "ad", "event_time", "screen", "dim_event_time")
+
+    sc = (
+        StreamScenario()
+        .add_elements_at("12:00:30", _scr("screenA"))
+        # hot key: every fact lands on key s1; salts spread the state
+        .add_elements_at("12:01:00", _fact("ad1"), _fact("ad2"), _fact("ad3"))
+        .add_elements_at("12:09:00", _fact("ad4"))
+        .add_elements_at("12:20:00", _fact("adLate"))  # beyond the 10-min TTL
+        .advance_watermark_to_infinity()
+        .advance_watermark_to_infinity()
+    )
+    out = _run(spark, sc, _salted_query)
+    got = sorted((r["ad"], r["screen"]) for r in out)
+    assert got == [
+        ("ad1", "screenA"),
+        ("ad2", "screenA"),
+        ("ad3", "screenA"),
+        ("ad4", "screenA"),
+        ("adLate", None),
+    ]
