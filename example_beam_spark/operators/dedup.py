@@ -118,9 +118,17 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     ``shingles()`` already emits distinct (doc_id, g) rows, so a plain
     ``count`` equals COUNT(DISTINCT) without the Expand-based
     distinct-aggregate plan (one partial+final HashAggregate instead of
-    two aggregation passes)."""
+    two aggregation passes).
+
+    ``gset`` (the doc's sorted shingle set) rides along for the verify
+    stage: candidate-pair verification is then two one-row-per-doc joins
+    + ``array_intersect``, instead of re-joining the exploded shingle
+    table twice and re-aggregating (measured ~2× on the verify stage at
+    sf0.1). State per doc is bounded by doc length — the same rows that
+    already flow through this aggregate."""
     return sh.groupBy("doc_id").agg(
         F.count("g").alias("n_shingles"),
+        F.sort_array(F.collect_list("g")).alias("gset"),
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("g")))).alias(f"s{i}")
             for i in range(N_HASHES)
@@ -196,12 +204,14 @@ def _minhash_oracle() -> str:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate pairs: shingle → 12-way salted-md5
     MinHash → 4 bands × 3 rows → bucket-equality candidate join → exact
-    Jaccard verification on candidates only."""
+    Jaccard verification on candidates only (``array_intersect`` over the
+    per-doc sorted shingle sets riding on the signature table — no second
+    pass over the exploded shingles; see :func:`minhash_signatures`)."""
     docs = spread_small_input(load_table(spark, sf_dir, "documents"), spark)
-    sh = shingles(docs).cache()
-    # sig feeds both the band keys and the final size join — cache the
-    # (one row per doc) signature table instead of recomputing the
-    # shingle aggregation twice.
+    sh = shingles(docs)
+    # sig feeds the band keys AND the verify joins — cache the
+    # one-row-per-doc signature table instead of recomputing the
+    # shingle aggregation.
     sig = minhash_signatures(sh).cache()
     bands = band_keys(sig)
 
@@ -219,24 +229,28 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "g")
-    sh_b = sh.select(F.col("doc_id").alias("_db"), F.col("g").alias("g2"))
-    shared = (
-        cand.join(sh_a, "doc_a")
-        .join(sh_b, (F.col("doc_b") == F.col("_db")) & (F.col("g") == F.col("g2")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_shared"))
-    )
-    sizes = sig.select("doc_id", "n_shingles")
+    docsets = sig.select("doc_id", "n_shingles", "gset")
     out = (
-        shared.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a")),
+        cand.join(
+            docsets.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("n_shingles").alias("n_a"),
+                F.col("gset").alias("gs_a"),
+            ),
             "doc_a",
         )
         .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b")),
+            docsets.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("n_shingles").alias("n_b"),
+                F.col("gset").alias("gs_b"),
+            ),
             "doc_b",
         )
+        .withColumn(
+            "n_shared", F.size(F.array_intersect("gs_a", "gs_b")).cast("long")
+        )
+        .filter(F.col("n_shared") > 0)
     )
     jac = F.col("n_shared").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_shared")
@@ -244,7 +258,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_a",
         "doc_b",
-        F.col("n_shared").cast("long").alias("n_shared"),
+        "n_shared",
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),
         jac.alias("jaccard"),
