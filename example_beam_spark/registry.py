@@ -90,6 +90,7 @@ def load_registry() -> dict[str, Query]:
         io_roundtrip,
         setops,
         subqueries,
+        tpch,
     )
     from example_beam_spark.streaming import entries as streaming_entries  # noqa: F401
 
