@@ -5,6 +5,13 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is timed end-to-end (plan + execute); results are consumed via
 a count-style action (no driver-side collect of full results).
+
+Guard: a timing is only meaningful if the query computed the RIGHT thing
+(round 3 timed 9 corrupted-timestamp queries and the 18 s headline was
+partly fiction). After timing, each query's Spark row count is checked
+against DuckDB running the registered oracle SQL on the same parquet;
+mismatches are listed in a "tainted_queries" field and the process exits
+non-zero so the driver can see the run is partially invalid.
 """
 
 from __future__ import annotations
@@ -33,12 +40,39 @@ def main() -> None:
     next(iter(headline.values())).fn(spark, sf_dir).limit(1).collect()
 
     timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
     for name, q in sorted(headline.items()):
         t0 = time.perf_counter()
         df = q.fn(spark, sf_dir)
-        n = df.count()
+        counts[name] = df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+        print(f"# {name}: {timings[name]:.3f}s rows={counts[name]}", file=sys.stderr)
+
+    # Taint guard (outside the timed section): a timing only counts if the
+    # query computed the right thing — check each row count against DuckDB
+    # running the same oracle SQL on the same parquet.
+    tainted: list[str] = []
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    for name, q in sorted(headline.items()):
+        if not q.oracle:
+            continue
+        expected = con.execute(
+            f"SELECT COUNT(*) FROM ({q.oracle})"
+        ).fetchone()[0]
+        if counts[name] != expected:
+            tainted.append(name)
+            print(
+                f"# TAINTED {name}: spark rows={counts[name]} oracle rows={expected}",
+                file=sys.stderr,
+            )
+    con.close()
 
     total = round(sum(timings.values()), 3)
     print(
@@ -49,10 +83,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "tainted_queries": tainted,
             }
         )
     )
     spark.stop()
+    if tainted:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

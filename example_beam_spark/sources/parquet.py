@@ -29,13 +29,67 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+_EVENTS_TS_UNIT_CACHE: dict[str, str] = {}
+
+
+def events_ts_unit(sf_dir: str) -> str:
+    """Timestamp unit ('s'|'ms'|'us'|'ns') of ``events.ts`` as physically
+    stored, read ONCE from the parquet footer (cached per path).
+
+    The writer's encoding is negotiated, never assumed — the analog of the
+    reference's schema-negotiating IO (Avro logical types,
+    ``bigquery/SaveSpecificRecord.scala:66-70``; macro-typed reads
+    ``TypedBigQueryTable.scala:14``). A footer read is a few KB of driver-side
+    IO regardless of table size, so this costs nothing at 100 TB."""
+    path = table_path(sf_dir, "events")
+    key = os.path.abspath(path)
+    unit = _EVENTS_TS_UNIT_CACHE.get(key)
+    if unit is None:
+        import pyarrow.parquet as pq
+
+        ts_type = pq.ParquetFile(path).schema_arrow.field("ts").type
+        unit = getattr(ts_type, "unit", None)
+        if unit not in ("s", "ms", "us", "ns"):
+            raise TypeError(
+                f"events.ts in {path} is {ts_type}, not a parquet timestamp; "
+                "the engine reads event time as TimestampType"
+            )
+        _EVENTS_TS_UNIT_CACHE[key] = unit
+    return unit
+
+
+def events_read_schema(spark: SparkSession, sf_dir: str) -> tuple[T.StructType, bool]:
+    """(read schema for the events table, whether the ns→µs shim applies).
+
+    Spark's parquet reader rejects TIMESTAMP(NANOS) outright
+    (PARQUET_TYPE_ILLEGAL), so for ``timestamp[ns]`` files we read ``ts`` as
+    raw INT64 (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to
+    microseconds — the same ns→µs truncation DuckDB applies. For every other
+    unit (s/ms/us) the declared ``TimestampType`` reads natively and the shim
+    MUST NOT run (dividing µs by 1000 corrupts every timestamp 1000×)."""
+    if events_ts_unit(sf_dir) != "ns":
+        return schemas.EVENTS, False
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", T.LongType(), False)
+            for f in schemas.EVENTS.fields
+        ]
+    )
+    return raw, True
+
+
+def apply_ns_shim(df: DataFrame) -> DataFrame:
+    """Truncate a raw-INT64-nanos ``ts`` column to a µs timestamp."""
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one corpus table with its declared schema (schemas.TABLES).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    outright (PARQUET_TYPE_ILLEGAL); read it as raw INT64 nanos
-    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to microseconds
-    — the same ns→µs truncation DuckDB applies, so oracle comparisons agree.
+    ``events.ts`` physical encoding is detected from the parquet footer
+    (:func:`events_read_schema`) — ns-encoded files get the legacy raw-INT64
+    read + ns→µs truncation; s/ms/us files read natively as TimestampType.
     """
     if name not in schemas.TABLES:
         raise KeyError(f"unknown table {name!r}; known: {sorted(schemas.TABLES)}")
@@ -43,15 +97,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # semantics and the DuckDB oracle comparison require UTC.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = T.StructType(
-            [
-                f if f.name != "ts" else T.StructField("ts", T.LongType(), False)
-                for f in schemas.EVENTS.fields
-            ]
-        )
-        df = spark.read.schema(raw).parquet(table_path(sf_dir, name))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        schema, shim = events_read_schema(spark, sf_dir)
+        df = spark.read.schema(schema).parquet(table_path(sf_dir, name))
+        return apply_ns_shim(df) if shim else df
     return spark.read.schema(schemas.TABLES[name]).parquet(table_path(sf_dir, name))
 
 

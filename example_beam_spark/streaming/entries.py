@@ -24,12 +24,14 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-from example_beam_spark import schemas
 from example_beam_spark.operators.ctr import _ctr_oracle
 from example_beam_spark.registry import register
-from example_beam_spark.sources.parquet import table_path
+from example_beam_spark.sources.parquet import (
+    apply_ns_shim,
+    events_read_schema,
+    table_path,
+)
 from example_beam_spark.streaming.ctr_stream import (
     ctr_fixed_window_stream,
     ctr_sliding_window_stream,
@@ -55,18 +57,13 @@ _STAGE_CACHE: dict[tuple[str, str], str] = {}
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming read of the events table (same ns→µs handling as the
-    batch source)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """Streaming read of the events table — the footer-negotiated encoding
+    branch (ns shim vs native TimestampType) is picked BEFORE building the
+    readStream schema, so batch and streaming reads cannot drift."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    raw = T.StructType(
-        [
-            f if f.name != "ts" else T.StructField("ts", T.LongType(), False)
-            for f in schemas.EVENTS.fields
-        ]
-    )
-    df = spark.readStream.schema(raw).parquet(_stage_dir(sf_dir, "events"))
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    schema, shim = events_read_schema(spark, sf_dir)
+    df = spark.readStream.schema(schema).parquet(_stage_dir(sf_dir, "events"))
+    return apply_ns_shim(df) if shim else df
 
 
 def run_to_final(
@@ -344,8 +341,8 @@ def ctr_custom_window_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SENTINEL_USER = -1
-# 2100-01-01 as int64 nanoseconds — far past any corpus event time.
-_SENTINEL_TS_NANOS = 4102444800 * 1_000_000_000
+# 2100-01-01 as epoch seconds — far past any corpus event time.
+_SENTINEL_TS_SECONDS = 4102444800
 
 
 def read_events_stream_flushed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -358,14 +355,8 @@ def read_events_stream_flushed(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark past everything; availableNow's multi-batch executor then
     runs the extra flush batch. Callers must drop sentinel rows AFTER
     withWatermark (unsplittable CASE predicate — see harness module doc)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    raw = T.StructType(
-        [
-            f if f.name != "ts" else T.StructField("ts", T.LongType(), False)
-            for f in schemas.EVENTS.fields
-        ]
-    )
+    schema, shim = events_read_schema(spark, sf_dir)
     d = _stage_dir(sf_dir, "events", variant="+sentinel")
     # TWO sentinel files at increasing times, read as separate micro-batches
     # (maxFilesPerTrigger=1): a watermark update only takes effect at the
@@ -381,12 +372,19 @@ def read_events_stream_flushed(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in (0, 1):
         sentinel_file = os.path.join(d, f"zz_sentinel_{i}.parquet")
         if not os.path.exists(sentinel_file):
+            # Sentinel ts is written in the SAME physical encoding the
+            # corpus uses (raw int64 nanos under the ns shim, else a
+            # native timestamp column), so the staged dir stays
+            # schema-homogeneous under the chosen read schema.
+            sec = _SENTINEL_TS_SECONDS + i
+            if shim:
+                ts_arr = pa.array([sec * 1_000_000_000], pa.int64())
+            else:
+                ts_arr = pa.array([sec * 1_000_000], pa.timestamp("us"))
             table = pa.table(
                 {
                     "event_id": pa.array([-1 - i], pa.int64()),
-                    "ts": pa.array(
-                        [_SENTINEL_TS_NANOS + i * 1_000_000_000], pa.int64()
-                    ),
+                    "ts": ts_arr,
                     "user_id": pa.array([_SENTINEL_USER], pa.int64()),
                     "event_type": pa.array(["__sentinel__"], pa.string()),
                     "value": pa.array([0.0], pa.float64()),
@@ -395,11 +393,11 @@ def read_events_stream_flushed(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             pq.write_table(table, sentinel_file)
     df = (
-        spark.readStream.schema(raw)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(d)
     )
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return apply_ns_shim(df) if shim else df
 
 
 @register(
