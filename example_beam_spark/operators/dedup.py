@@ -2,15 +2,17 @@
 MinHash+LSH, exact n-gram Jaccard, and SimHash. North-star extensions
 (BASELINE.json); not in the reference.
 
-Engine-portability: all hashing is md5 hex (identical across engines);
-MinHash uses *lexicographic MIN over salted md5 strings* — a valid minwise
-hash family that both Spark and DuckDB compute bit-identically, so every
-query here has a full value-level oracle.
+Engine-portability: all hashing derives from md5 hex (identical across
+engines); MinHash uses the one-base-hash *affine family*
+``(a_i * h + b_i) mod p`` with ``h`` = 56 md5 bits mod p — integer
+arithmetic both Spark and DuckDB compute bit-identically, so every query
+here has a full value-level oracle.
 
 Scale design (100 TB):
 - exact dedup: one hash-aggregate on md5(text) — partial+final, no blow-up;
-- MinHash signatures: explode distinct shingles (map-side), one
-  partial+final aggregate to 12 mins — state per doc is 12 strings.
+- MinHash signatures: explode shingles (map-side, no distinct pre-pass —
+  the aggregate is duplicate-tolerant), one md5 per shingle, one
+  partial+final aggregate to 12 affine mins — state per doc is 12 longs.
   (Measured dead end: computing the 12 mins map-side with higher-order
   functions — array_min(transform(...)) or one F.aggregate over the
   shingle array — is 6-15× SLOWER than explode+groupBy, because HOF
@@ -65,6 +67,27 @@ def shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     )
 
 
+def shingles_raw(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, g) WITHOUT per-doc dedup — the cheap stream for consumers
+    whose aggregate is duplicate-tolerant (MinHash MIN; gset via
+    array_distinct in the aggregate). Skips the interpreted ``transform``
+    lambda of :func:`_shingle_array`: explode positions, then a
+    codegen'd ``concat_ws(slice(...))`` projection (measured ~2× faster
+    than the HOF form; duplicate rows are <0.2% on this corpus)."""
+    s = F.split(F.col("text"), " ")
+    return (
+        docs.select("doc_id", s.alias("s"))
+        .select(
+            "doc_id",
+            "s",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.size("s") - n + 1, F.lit(0)))
+            ).alias("i"),
+        )
+        .select("doc_id", F.concat_ws(" ", F.slice("s", F.col("i"), n)).alias("g"))
+    )
+
+
 _SHINGLES_SQL = f"""
     SELECT DISTINCT doc_id, array_to_string(s[i:i+{SHINGLE_N - 1}], ' ') AS g
     FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents) t
@@ -111,28 +134,57 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+# One-base-hash affine MinHash family (the MLlib-MinHashLSH shape): the
+# base hash is the first 14 hex digits of md5(g) reduced mod p, and the
+# i-th hash is (a_i * h + b_i) mod p with md5-derived constants. ONE md5
+# per shingle instead of N_HASHES salted md5s — measured ~2× on the
+# signature aggregate. p = 2^31 - 1 keeps a_i * h < 2^62 (no BIGINT
+# overflow in either engine); both sides compute integer-identically.
+_MINHASH_P = 2147483647
+
+
+def _affine_const(i: int) -> tuple[int, int]:
+    import hashlib
+
+    a = int(hashlib.md5(f"a:{i}".encode()).hexdigest()[:8], 16) % (_MINHASH_P - 1) + 1
+    b = int(hashlib.md5(f"b:{i}".encode()).hexdigest()[:8], 16) % _MINHASH_P
+    return a, b
+
+
 def minhash_signatures(sh: DataFrame) -> DataFrame:
-    """(doc_id, n_shingles, s0..s{k-1}): per-doc MinHash signature — the
-    i-th component is MIN(md5('i:' || shingle)) (salted-md5 minwise family).
+    """(doc_id, n_shingles, gset, s0..s{k-1}): per-doc MinHash signature —
+    the i-th component is MIN((a_i * h(g) + b_i) mod p) over the affine
+    family above. Accepts the duplicate-carrying :func:`shingles_raw`
+    stream: MIN is duplicate-tolerant and ``gset`` dedups in the
+    aggregate, so no distinct pre-pass (and no Expand plan) is needed.
 
-    ``shingles()`` already emits distinct (doc_id, g) rows, so a plain
-    ``count`` equals COUNT(DISTINCT) without the Expand-based
-    distinct-aggregate plan (one partial+final HashAggregate instead of
-    two aggregation passes).
-
-    ``gset`` (the doc's sorted shingle set) rides along for the verify
-    stage: candidate-pair verification is then two one-row-per-doc joins
-    + ``array_intersect``, instead of re-joining the exploded shingle
-    table twice and re-aggregating (measured ~2× on the verify stage at
-    sf0.1). State per doc is bounded by doc length — the same rows that
-    already flow through this aggregate."""
-    return sh.groupBy("doc_id").agg(
-        F.count("g").alias("n_shingles"),
-        F.sort_array(F.collect_list("g")).alias("gset"),
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("g")))).alias(f"s{i}")
-            for i in range(N_HASHES)
-        ],
+    ``gset`` (the doc's sorted distinct shingle set) rides along for the
+    verify stage: candidate-pair verification is then two one-row-per-doc
+    joins + ``array_intersect``, instead of re-joining the exploded
+    shingle table twice and re-aggregating (measured ~2× on the verify
+    stage at sf0.1). State per doc is bounded by doc length — the same
+    rows that already flow through this aggregate."""
+    # materialize the base hash in a projection so the md5 runs ONCE per
+    # row, not once per min-aggregate child expression
+    h = F.conv(F.substring(F.md5("g"), 1, 14), 16, 10).cast("long") % F.lit(
+        _MINHASH_P
+    )
+    mins = []
+    for i in range(N_HASHES):
+        a, b = _affine_const(i)
+        mins.append(
+            F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(_MINHASH_P)).alias(
+                f"s{i}"
+            )
+        )
+    return (
+        sh.withColumn("_h", h)
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.array_distinct(F.collect_list("g"))).alias("gset"),
+            *mins,
+        )
+        .withColumn("n_shingles", F.size("gset").cast("long"))
     )
 
 
@@ -157,7 +209,11 @@ def band_keys(sig: DataFrame) -> DataFrame:
 
 def _minhash_oracle() -> str:
     sig_cols = ", ".join(
-        f"MIN(md5('{i}:' || g)) AS s{i}" for i in range(N_HASHES)
+        "MIN(({a} * (CAST(('0x' || substr(md5(g),1,14)) AS BIGINT) % {p})"
+        " + {b}) % {p}) AS s{i}".format(
+            a=_affine_const(i)[0], b=_affine_const(i)[1], p=_MINHASH_P, i=i
+        )
+        for i in range(N_HASHES)
     )
     band_rows = ", ".join(
         f"({b}, md5(s{b * ROWS_PER_BAND} || '|' || s{b * ROWS_PER_BAND + 1} || '|' || s{b * ROWS_PER_BAND + 2}))"
@@ -208,7 +264,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc sorted shingle sets riding on the signature table — no second
     pass over the exploded shingles; see :func:`minhash_signatures`)."""
     docs = spread_small_input(load_table(spark, sf_dir, "documents"), spark)
-    sh = shingles(docs)
+    sh = shingles_raw(docs)
     # sig feeds the band keys AND the verify joins — cache the
     # one-row-per-doc signature table instead of recomputing the
     # shingle aggregation.

@@ -20,8 +20,15 @@ Scale design (100 TB):
   posexplode+join+groupBy formulation — codegen'd, mirroring the oracle's
   SQL shape — is ~3× SLOWER here: with only |queries|×|corpus|×dim lambda
   steps the interpreted-HOF cost is small, while the exploded form pays a
-  640k-row join + hash aggregate. HOF-vs-explode is a row-count
-  tradeoff, not a rule — cf. the opposite outcome in operators/dedup.py.)
+  640k-row join + hash aggregate. Second measured dead end: Arrow
+  pandas_udf kernels for dot/norm/bucket with identical quantization —
+  oracle-green but 2-10× SLOWER at bench SF: fixed Python-worker cost
+  dominates these small batches, and a UDF-derived bucket column in the
+  join condition defeats the equi-join pushdown (the neardup query
+  degenerated to evaluate-per-pair). HOF-vs-explode-vs-kernel is a
+  row-count × dim tradeoff, not a rule — cf. the opposite outcome in
+  operators/dedup.py; revisit the kernel only with millions of rows per
+  partition AND signatures materialized before any join.)
 - LSH: each vector hashes to an 8-bit random-hyperplane bucket
   (deterministic md5-sign hyperplanes, no stored model); candidates are
   bucket-equality joins, so comparisons drop ~256× at equal recall for

@@ -542,3 +542,88 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_name", "n_name")
     )
+
+
+# --------------------------------------------------------------------------
+# q21 — suppliers who kept multi-supplier orders waiting (EXISTS + NOT
+# EXISTS on the SAME table with different correlated predicates; the only
+# classic TPC-H shape not yet covered). Adapted: the corpus lineitem has no
+# commit/receipt dates, so "late" = shipped >90 days after the order date —
+# the same lateness predicate as q4_late_orders.
+# --------------------------------------------------------------------------
+
+_Q21_ORACLE = """
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_9'
+    JOIN lineitem l1 ON l1.l_suppkey = s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY s_name
+"""
+
+
+@register("q21_waiting_suppliers", oracle=_Q21_ORACLE)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per supplier in one nation: late lines on orders where ANOTHER
+    supplier participated (EXISTS → left-semi) but NO other supplier was
+    also late (NOT EXISTS → left-anti).
+
+    Plan (100 TB): the nation-filtered supplier dim broadcasts into the
+    late-lines scan; the semi and anti sides are the SAME lineitem shuffle
+    keyed by l_orderkey, so the three big inputs co-partition on one key
+    and nothing quadratic ever materializes.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    late = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 90 DAY")
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == "NATION_9"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+    )
+    l1 = late.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+
+    other = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    l1 = l1.join(
+        other,
+        (F.col("o2_orderkey") == F.col("l_orderkey"))
+        & (F.col("o2_suppkey") != F.col("l_suppkey")),
+        "left_semi",
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("o3_orderkey"),
+        F.col("l_suppkey").alias("o3_suppkey"),
+    )
+    l1 = l1.join(
+        other_late,
+        (F.col("o3_orderkey") == F.col("l_orderkey"))
+        & (F.col("o3_suppkey") != F.col("l_suppkey")),
+        "left_anti",
+    )
+    return l1.groupBy("s_name").agg(F.count("*").cast("long").alias("numwait"))

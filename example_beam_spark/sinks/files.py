@@ -56,8 +56,14 @@ def write_file_loads(
     write_disposition: WriteDisposition = WriteDisposition.WRITE_APPEND,
     fmt: str = "parquet",
     max_records_per_file: int | None = None,
+    options: dict[str, str] | None = None,
 ) -> None:
-    """Bulk write ``df`` to ``path`` honoring the dispositions above."""
+    """Bulk write ``df`` to ``path`` honoring the dispositions above.
+
+    ``fmt`` is any Spark data-source name (parquet/json/csv/orc/...);
+    ``options`` passes format options through (e.g. ``{"header": "true"}``
+    for csv). Avro needs the external spark-avro module — absent from this
+    container, so that format fails with an explicit error."""
     exists = _target_exists(path)
     if create_disposition is CreateDisposition.CREATE_NEVER and not exists:
         raise FileNotFoundError(
@@ -77,4 +83,16 @@ def write_file_loads(
     writer = df.write.mode(mode)
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
-    writer.format(fmt).save(path)
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    try:
+        writer.format(fmt).save(path)
+    except Exception as e:
+        if fmt == "avro" and "Failed to find" in str(e):
+            raise RuntimeError(
+                "fmt='avro' needs the external spark-avro module on the "
+                "classpath (the reference's wire format, "
+                "SaveSpecificRecord.scala:66-70); it is not bundled here — "
+                "use parquet/json/csv or add the spark-avro jar"
+            ) from e
+        raise

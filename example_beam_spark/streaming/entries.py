@@ -137,6 +137,33 @@ def ctr_sliding_total_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_final(agg, ["user_id", "window_start"], spark)
 
 
+@register(
+    "dedup_stream_distinct",
+    oracle="""
+    SELECT user_id, event_type, CAST(1 AS BIGINT) AS seen
+    FROM events GROUP BY user_id, event_type
+""",
+)
+def dedup_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACT deduplication: ``dropDuplicates`` over a projected
+    key in a REAL streaming job — each (user_id, event_type) pair is
+    emitted exactly once, on first sight, from the dedup StateStore.
+
+    Scale note: plain streaming dropDuplicates keeps every seen key in
+    state forever — correct for global distinct, and the state size is
+    the DISTINCT cardinality (here ≤ users × event types), not the input
+    size. When duplicates are known to arrive within a bounded delay the
+    production form is ``dropDuplicatesWithinWatermark``, which evicts
+    state at the watermark; that variant trades global exactness for
+    bounded state, so the oracle-exact entry uses the global form.
+    """
+    ev = read_events_stream(spark, sf_dir).select("user_id", "event_type")
+    distinct = ev.dropDuplicates(["user_id", "event_type"]).withColumn(
+        "seen", F.lit(1).cast("long")
+    )
+    return run_to_final(distinct, ["user_id", "event_type"], spark)
+
+
 def run_to_append(agg: DataFrame, spark: SparkSession) -> DataFrame:
     """Drain an append-mode stateful streaming query (availableNow) into
     staging parquet and return everything appended."""

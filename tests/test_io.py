@@ -166,3 +166,32 @@ def test_foreach_batch_retry_in_real_stream(spark):
     )
     q.awaitTermination()
     assert spark.read.parquet(out).count() == 10
+
+
+def test_json_roundtrip_preserves_nested_values(spark):
+    """S6 wire-format coverage beyond parquet: the nested Record survives a
+    json write/read (schema re-imposed on read — json carries no types)."""
+    path = _tmp("t")
+    df = range_records(spark, 25)
+    write_file_loads(df, path, fmt="json")
+    back = spark.read.schema(df.schema).json(path)
+    assert back.count() == 25
+    a = {r["id"]: r for r in df.collect()}
+    b = {r["id"]: r for r in back.collect()}
+    assert a == b
+
+
+def test_csv_roundtrip_flat_projection(spark):
+    """csv cannot carry nested columns; the flat projection round-trips
+    with header + declared schema, and options pass through the sink."""
+    path = _tmp("t")
+    df = range_records(spark, 25).select("id", "timestamp", "name", "description")
+    write_file_loads(df, path, fmt="csv", options={"header": "true"})
+    back = spark.read.schema(df.schema).option("header", "true").csv(path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_avro_raises_clear_error_without_module(spark):
+    path = _tmp("t")
+    with pytest.raises(RuntimeError, match="spark-avro"):
+        write_file_loads(range_records(spark, 5), path, fmt="avro")

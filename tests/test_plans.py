@@ -110,3 +110,39 @@ def test_scalar_subquery_is_single_broadcast(spark):
     # detail blocks only
     nlj = re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, flags=re.MULTILINE)
     assert len(nlj) == 1, plan
+
+
+def test_bucketed_join_needs_no_exchange(spark, tmp_path):
+    """Bucketing demo — the 100 TB co-located join path: write both join
+    sides bucketed by the join key into a warehouse table, then join the
+    bucketed tables. Neither side may shuffle (zero Exchange nodes): the
+    scan partitioning already satisfies the join's distribution. This is
+    the strategy for repeated fact-fact joins at scale (e.g. lineitem ×
+    orders on orderkey), where re-shuffling 100 TB per query would
+    dominate the runtime."""
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bucketdemo LOCATION '{tmp_path}'")
+    try:
+        for df, name, key in (
+            (orders, "orders_b", "o_orderkey"),
+            (li, "lineitem_b", "l_orderkey"),
+        ):
+            (
+                df.write.mode("overwrite")
+                .bucketBy(8, key)
+                .sortBy(key)
+                .saveAsTable(f"bucketdemo.{name}")
+            )
+        ob = spark.table("bucketdemo.orders_b")
+        lb = spark.table("bucketdemo.lineitem_b")
+        # disable broadcast so the join would shuffle if bucketing failed
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+            assert num_exchanges(joined) == 0, joined._jdf.queryExecution().toString()
+            assert joined.count() > 0
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bucketdemo CASCADE")
