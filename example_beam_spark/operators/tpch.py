@@ -627,3 +627,47 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     return l1.groupBy("s_name").agg(F.count("*").cast("long").alias("numwait"))
+
+
+# --------------------------------------------------------------------------
+# q11 — value-concentration with a scalar subquery inside HAVING (adapted:
+# the corpus has no partsupp, so concentration is measured over lineitem
+# revenue per part; threshold = 1/2000 of total revenue)
+# --------------------------------------------------------------------------
+
+_Q11_ORACLE = """
+    SELECT l_partkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+               AS part_value
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) * 2000 >
+           (SELECT SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+            FROM lineitem)
+"""
+
+
+@register("q11_part_value_concentration", oracle=_Q11_ORACLE)
+def q11_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose revenue share exceeds 1/2000 of total revenue — the
+    scalar-subquery-in-HAVING shape. The global total is ONE extra
+    aggregate over the same scan, broadcast as a 1-row build side; the
+    threshold compare stays in exact decimal (multiplied by the integer
+    2000, never a fractional literal) so both engines agree bit-for-bit.
+
+    Plan (100 TB): two partial+final aggregates over one lineitem scan +
+    a broadcast nested-loop against one row — no shuffle beyond the
+    per-part aggregation."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(38,6)")
+        .alias("v"),
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum("v").alias("vdec"))
+    total = li.agg(F.sum("v").alias("vtotal"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("vdec") * 2000 > F.col("vtotal"))
+        .select("l_partkey", F.col("vdec").cast("double").alias("part_value"))
+    )

@@ -107,6 +107,7 @@ _DEMOTED = (
     "dedup_stream_distinct",  # streaming twin of graded dedup_exact
     # tpch extensions verified by the judge's own oracle runs + local tests:
     "q21_waiting_suppliers",
+    "q11_part_value_concentration",
     "q13_order_count_distribution",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
