@@ -424,3 +424,97 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"w{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
         value = term if value is None else value + term
     return weights.select("doc_id", value.cast("long").alias("simhash"))
+
+
+# --------------------------------------------------------------------------
+# dedup_cluster_canonical — connected components over the MinHash dup
+# pairs: every document in a duplicate cluster gets the cluster's minimum
+# doc_id as its canonical representative (the keep-one-per-cluster step a
+# training-data pipeline runs after near-dup pair detection).
+# --------------------------------------------------------------------------
+# Spark side: iterative min-label propagation over the symmetrized edge
+# list — each round every node takes the min label among itself and its
+# neighbors; converged when no label changes. Rounds = graph diameter
+# (dup clusters are shallow; at web scale the standard fix is the
+# large-star/small-star contraction, which bounds rounds at O(log n) —
+# same joins, different edge rewrite). Lineage is truncated per round
+# with localCheckpoint so the plan does not grow exponentially; the
+# driver-side loop iterates O(diameter) times over COUNTS, never rows.
+# Oracle: exact transitive closure via WITH RECURSIVE on the same pairs.
+
+
+def _cluster_oracle() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    sym AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs WHERE is_dup
+        UNION
+        SELECT doc_b, doc_a FROM pairs WHERE is_dup
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM sym
+        UNION
+        SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u AND r.u <> s.v
+    )
+    SELECT u AS doc_id,
+           CAST(LEAST(u, MIN(v)) AS BIGINT) AS canonical_id,
+           CAST(COUNT(DISTINCT v) + 1 AS BIGINT) AS cluster_size
+    FROM reach GROUP BY u
+"""
+
+
+@register("dedup_cluster_canonical", oracle=_cluster_oracle())
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, canonical_id, cluster_size) for every document that has at
+    least one near-duplicate (jaccard >= threshold per the MinHash+LSH
+    pairs); canonical_id = MIN doc_id of the connected dup cluster."""
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .filter(F.col("is_dup"))
+        .select("doc_a", "doc_b")
+    )
+    sym = (
+        pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .distinct()
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .localCheckpoint()
+    )
+    labels = sym.select("u").distinct().select(
+        F.col("u").alias("doc_id"), F.col("u").alias("label")
+    ).localCheckpoint()
+
+    while True:
+        nbr = (
+            sym.join(labels, sym.v == labels.doc_id)
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.doc_id == nbr.u, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    sizes = labels.groupBy("label").agg(F.count("*").cast("long").alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            "doc_id",
+            F.col("label").cast("long").alias("canonical_id"),
+            "cluster_size",
+        )
+    )

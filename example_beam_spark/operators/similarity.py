@@ -342,3 +342,49 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("vec_a", "vec_b", "bucket", cos.alias("cosine")).filter(
         F.col("cosine") >= NEARDUP_THRESHOLD
     )
+
+
+# --------------------------------------------------------------------------
+# embedding_quantize_int8 — symmetric per-vector int8 quantization audit
+# (the embedding-compression step of a training-data pipeline): scale =
+# max|x| / 127, q_i = round-half-up(x_i / scale), and the reported
+# max_abs_err is the worst per-element reconstruction error |q_i*scale -
+# x_i|. Rounding is FLOOR(v + 0.5) — not ROUND(), whose half-even vs
+# half-away behavior differs between engines — so Spark and DuckDB agree
+# bit-for-bit (all other ops are single IEEE multiplies/divides).
+# --------------------------------------------------------------------------
+
+_QUANT_ORACLE = """
+    WITH elems AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
+    ),
+    scales AS (
+        SELECT vec_id, MAX(ABS(x)) / 127 AS scale FROM elems GROUP BY vec_id
+    )
+    SELECT e.vec_id, s.scale,
+           MAX(ABS(CASE WHEN s.scale = 0 THEN 0 - x
+                        ELSE FLOOR(x / s.scale + 0.5) * s.scale - x END))
+               AS max_abs_err
+    FROM elems e JOIN scales s ON s.vec_id = e.vec_id
+    GROUP BY e.vec_id, s.scale
+"""
+
+
+@register("embedding_quantize_int8", oracle=_QUANT_ORACLE)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, scale, max_abs_err) per embedding under symmetric int8
+    quantization. One pass per row: two array expressions (max-abs, then
+    max reconstruction error against the derived scale) — map-side only,
+    no shuffle, no Python; at 100 TB this runs at scan speed."""
+    emb = spread_small_input(load_table(spark, sf_dir, "embeddings"), spark)
+    scale = F.expr(
+        "array_max(transform(embedding, v -> ABS(CAST(v AS DOUBLE)))) / 127"
+    )
+    out = emb.select("vec_id", scale.alias("scale"), F.col("embedding"))
+    err = F.expr(
+        """array_max(transform(embedding,
+               v -> ABS(CASE WHEN scale = 0 THEN 0 - CAST(v AS DOUBLE)
+                        ELSE FLOOR(CAST(v AS DOUBLE) / scale + 0.5) * scale
+                             - CAST(v AS DOUBLE) END)))"""
+    )
+    return out.select("vec_id", "scale", err.alias("max_abs_err"))
