@@ -73,3 +73,42 @@ def test_events_ts_roundtrip_matches_pyarrow(spark):
     assert (a_max - a_min) > datetime.timedelta(days=1), (
         "corpus event-time span collapsed below one day — encoding bug"
     )
+
+
+@pytest.mark.parametrize("unit", ["s", "ms", "us", "ns"])
+def test_events_unit_negotiation_all_branches(spark, tmp_path, unit):
+    """Write a tiny events table in each parquet timestamp unit and read
+    it back through load_table: every branch of the footer negotiation
+    (native TimestampType for s/ms/us; raw-INT64 + ns→µs shim for ns)
+    must yield the same wall-clock instants."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_w
+
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    instants = [
+        base + datetime.timedelta(seconds=i, milliseconds=i, microseconds=i)
+        for i in range(5)
+    ]
+    # drop precision the unit cannot physically carry
+    if unit == "s":
+        instants = [t.replace(microsecond=0) for t in instants]
+    elif unit == "ms":
+        instants = [t.replace(microsecond=t.microsecond // 1000 * 1000) for t in instants]
+    d = tmp_path / unit
+    d.mkdir()
+    table = pa.table(
+        {
+            "event_id": pa.array(range(5), pa.int64()),
+            "ts": pa.array(instants, pa.timestamp(unit)),
+            "user_id": pa.array([1] * 5, pa.int64()),
+            "event_type": pa.array(["click"] * 5, pa.string()),
+            "value": pa.array([0.0] * 5, pa.float64()),
+            "props": pa.array([None] * 5, pa.string()),
+        }
+    )
+    pq_w.write_table(table, str(d / "events.parquet"))
+    got = sorted(
+        r["ts"].replace(tzinfo=None)
+        for r in load_table(spark, str(d), "events").select("ts").collect()
+    )
+    assert got == instants, f"unit={unit}: {got[:2]} != {instants[:2]}"
