@@ -141,3 +141,105 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("frame_idx").cast("string"))
         ).alias("frame_hash"),
     )
+
+
+_RESIZE_ORACLE = """
+    WITH meta AS (
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) % 640 + 16 AS BIGINT) AS width,
+               CAST((octet_length(encode(text)) * 7) % 480 + 16 AS BIGINT) AS height
+        FROM documents
+        WHERE source IN ('src0', 'src1')
+    )
+    SELECT doc_id, width, height,
+           CAST(width * 224 // GREATEST(width, height) AS BIGINT) AS new_width,
+           CAST(height * 224 // GREATEST(width, height) AS BIGINT) AS new_height,
+           md5(CAST(doc_id AS VARCHAR) || ':'
+               || CAST(width * 224 // GREATEST(width, height) AS VARCHAR) || 'x'
+               || CAST(height * 224 // GREATEST(width, height) AS VARCHAR)) AS resize_key
+    FROM meta
+"""
+
+
+@register("multimodal_resize", oracle=_RESIZE_ORACLE)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning for 'image' payloads: fit into 224×224 preserving
+    aspect ratio — all INTEGER geometry (multiply-then-floor-divide, never
+    a float scale factor, so both engines agree exactly). The content-type
+    filter prunes BEFORE any per-pixel work would run; the actual pixel
+    resample is the per-row kernel that slots into a ``mapInPandas`` over
+    this plan's output (absent here — no codecs in the container), while
+    the geometry, pruning, and batch shape are the real distributed
+    content."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    blen = F.octet_length(F.encode(F.col("text"), "UTF-8"))
+    width = (blen % 640 + 16).cast("long")
+    height = ((blen * 7) % 480 + 16).cast("long")
+    m = docs.select("doc_id", width.alias("width"), height.alias("height"))
+    new_w = F.expr("width * 224 div greatest(width, height)").cast("long")
+    new_h = F.expr("height * 224 div greatest(width, height)").cast("long")
+    return m.select(
+        "doc_id",
+        "width",
+        "height",
+        new_w.alias("new_width"),
+        new_h.alias("new_height"),
+        F.md5(
+            F.concat_ws(
+                "", F.col("doc_id").cast("string"), F.lit(":"),
+                new_w.cast("string"), F.lit("x"), new_h.cast("string"),
+            )
+        ).alias("resize_key"),
+    )
+
+
+_AUDIO_SR = 16000  # stand-in PCM rate; 16-bit mono => n_samples = bytes // 2
+_AUDIO_HOP = _AUDIO_SR // 2  # 1 s windows, 50% overlap
+
+
+_AUDIO_ORACLE = f"""
+    WITH meta AS (
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) // 2 AS BIGINT) AS n_samples
+        FROM documents
+        WHERE source = 'src2'
+    )
+    SELECT doc_id, CAST(s AS BIGINT) AS start_sample,
+           CAST(LEAST(s + {_AUDIO_SR}, n_samples) AS BIGINT) AS end_sample,
+           md5(CAST(doc_id AS VARCHAR) || '@' || CAST(s AS VARCHAR)) AS segment_key
+    FROM meta CROSS JOIN UNNEST(generate_series(0, n_samples - 1, {_AUDIO_HOP})) AS u(s)
+"""
+
+
+@register("multimodal_audio_segments", oracle=_AUDIO_ORACLE)
+def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window segmentation for 'audio' payloads: 1-second windows at
+    a 16 kHz PCM stand-in rate with 50% overlap (sequence + explode, all
+    built-ins, no Python). Each (doc, window) row is the unit a feature
+    kernel (spectrogram, fingerprint) would consume via ``mapInPandas`` —
+    segmentation fans out BEFORE the expensive per-window work so it
+    parallelizes across the cluster, which is the point at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("source") == "src2")
+    n_samples = (F.octet_length(F.encode(F.col("text"), "UTF-8")) / 2).cast("long")
+    segs = docs.select(
+        "doc_id",
+        n_samples.alias("n_samples"),
+        F.explode(
+            F.sequence(F.lit(0), n_samples - 1, F.lit(_AUDIO_HOP))
+        ).alias("start_sample"),
+    )
+    return segs.select(
+        "doc_id",
+        F.col("start_sample").cast("long").alias("start_sample"),
+        F.least(F.col("start_sample") + _AUDIO_SR, F.col("n_samples"))
+        .cast("long")
+        .alias("end_sample"),
+        F.md5(
+            F.concat_ws(
+                "", F.col("doc_id").cast("string"), F.lit("@"),
+                F.col("start_sample").cast("string"),
+            )
+        ).alias("segment_key"),
+    )

@@ -104,6 +104,8 @@ _DEMOTED = (
     "part_name_like",  # P8 LIKE pushdown also covered by plan tests
     "customers_without_orders",  # anti-join twin of graded enrich_broadcast_dlq
     "multimodal_frame_sample",  # explode path shared with graded multimodal_decode
+    "multimodal_resize",  # integer-geometry twin of graded multimodal_decode
+    "multimodal_audio_segments",  # sequence+explode twin of multimodal_frame_sample
     "dedup_stream_distinct",  # streaming twin of graded dedup_exact
     "dedup_cluster_canonical",  # canonicalization layer over graded dedup_minhash_lsh
     "embedding_quantize_int8",  # map-side audit op; scan-shaped like graded text_stats
