@@ -245,3 +245,113 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_distinct_shingles"),
     )
+
+
+# --------------------------------------------------------------------------
+# docs_sample_stratified — deterministic hash sampling per stratum (the
+# corpus-subsetting step of a training-data pipeline: no RNG state, no
+# seed coordination — membership is a pure function of the key, so the
+# sample is stable across reruns, engines, and cluster topologies)
+# --------------------------------------------------------------------------
+
+_SAMPLE_MOD = 16  # keep 1/16 per language stratum
+
+
+_SAMPLE_ORACLE = f"""
+    WITH tagged AS (
+        SELECT doc_id, lang, source, n_chars,
+               CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 7))
+                    AS BIGINT) % {_SAMPLE_MOD} AS slot
+        FROM documents
+    )
+    SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+    FROM tagged WHERE slot = 0
+"""
+
+
+@register("docs_sample_stratified", oracle=_SAMPLE_ORACLE)
+def docs_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1/{m} deterministic sample: keep a doc iff 28 md5 bits of its salted
+    id ≡ 0 (mod {m}). Hash-based membership keeps strata proportions
+    unbiased in expectation, needs no shuffle or state, and composes with
+    any predicate pushdown — at 100 TB the sample IS the scan filter.""".format(
+        m=_SAMPLE_MOD
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    slot = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))), 1, 7),
+            16,
+            10,
+        ).cast("long")
+        % _SAMPLE_MOD
+    )
+    return docs.filter(slot == 0).select(
+        "doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+# --------------------------------------------------------------------------
+# docs_pack_sequences — deterministic sequence packing: assign documents
+# (in doc_id order within a language) to fixed-budget token bins via a
+# running token total — the pack-documents-into-context-windows step of an
+# LLM data pipeline, expressed as a window function (one shuffle, no
+# Python, no iteration)
+# --------------------------------------------------------------------------
+
+_PACK_BUDGET = 4096
+
+
+_PACK_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               CAST(len(regexp_extract_all(text, '{{bpe}}')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    runs AS (
+        SELECT doc_id, lang, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens AS tokens_before
+        FROM toks
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(tokens_before // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+           CAST(tokens_before % {_PACK_BUDGET} AS BIGINT) AS pack_offset
+    FROM runs
+"""
+
+
+@register(
+    "docs_pack_sequences",
+    oracle=_PACK_ORACLE.format(bpe=_BPE_PATTERN),
+)
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, n_tokens, pack_id, pack_offset): each doc lands in
+    the 4096-token context bin its running total reaches (docs longer than
+    the budget span bins — splitting is the downstream tokenizer's job).
+    One window function over (lang, doc_id) — a single shuffle keyed by
+    the stratum; at scale the running sum is the textbook distributed
+    prefix-sum the window operator already implements."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 0)).cast(
+        "long"
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = docs.select("doc_id", "lang", n_tok.alias("n_tokens")).withColumn(
+        "tokens_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return runs.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        (F.col("tokens_before") / _PACK_BUDGET).cast("long").alias("pack_id"),
+        (F.col("tokens_before") % _PACK_BUDGET).cast("long").alias("pack_offset"),
+    )

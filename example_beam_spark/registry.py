@@ -106,6 +106,8 @@ _DEMOTED = (
     "multimodal_frame_sample",  # explode path shared with graded multimodal_decode
     "multimodal_resize",  # integer-geometry twin of graded multimodal_decode
     "multimodal_audio_segments",  # sequence+explode twin of multimodal_frame_sample
+    "docs_sample_stratified",  # scan-filter twin of graded text_stats
+    "docs_pack_sequences",  # window-function twin of graded window_order_ranks
     "dedup_stream_distinct",  # streaming twin of graded dedup_exact
     "dedup_cluster_canonical",  # canonicalization layer over graded dedup_minhash_lsh
     "embedding_quantize_int8",  # map-side audit op; scan-shaped like graded text_stats
