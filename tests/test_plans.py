@@ -146,3 +146,17 @@ def test_bucketed_join_needs_no_exchange(spark, tmp_path):
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     finally:
         spark.sql("DROP DATABASE IF EXISTS bucketdemo CASCADE")
+
+
+def test_sample_stratified_is_scan_shaped(spark):
+    """Deterministic hash sampling must stay a scan + filter — zero
+    exchanges; at 100 TB the sample IS the scan."""
+    q = load_registry()["docs_sample_stratified"]
+    assert num_exchanges(q.fn(spark, SF)) == 0
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """Sequence packing is one window-function shuffle keyed by the
+    stratum — exactly one exchange, no iteration."""
+    q = load_registry()["docs_pack_sequences"]
+    assert num_exchanges(q.fn(spark, SF)) == 1
