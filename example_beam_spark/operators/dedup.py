@@ -21,10 +21,10 @@ Scale design (100 TB):
 - LSH banding: candidates come from equality joins on band keys (4 shuffle
   joins on short keys), so the pairwise work is |candidate pairs|, not
   |docs|²; exact-Jaccard verification joins shingles only for candidates;
-- exact all-pairs n-gram Jaccard is the *small-scale* oracle twin — its
-  shingle self-join is Σ df(g)² and is intentionally the non-scale path
-  (kept because the corpus vocabulary keeps df low; at real scale use the
-  LSH query);
+- exact n-gram Jaccard uses PPJoin-style prefix filtering (rare-first
+  token order; join only on each doc's first n - ceil(t*n) + 1 tokens):
+  pairwise work is Σ df(g)² over PREFIX tokens only — an exact
+  similarity join that scales; LSH remains the approximate/cheaper path;
 - SimHash: explode tokens → 16 partial+final bit-weight sums per doc.
 """
 
@@ -348,29 +348,89 @@ _NGRAM_ORACLE = f"""
 
 @register("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard pairs above the threshold. Shingle self-join —
-    the exact small-scale twin of dedup_minhash_lsh (see module docstring
-    for why LSH is the 100-TB path)."""
+    """EXACT 3-gram Jaccard pairs above the threshold, via prefix
+    filtering (the PPJoin family, Xiao et al. / Bayardo et al. — public
+    similarity-join literature): order every doc's shingles by ascending
+    document frequency (ties by shingle), and join docs only on tokens in
+    each doc's first ``n - ceil(t*n) + 1`` shingles. Exactness: if
+    J(x,y) >= t, the smallest common token in that global order cannot sit
+    in either doc's suffix (the suffix holds < t*n tokens, fewer than the
+    required overlap), so it lies in BOTH prefixes and the prefix join
+    finds the pair. Candidates are then verified with the true
+    intersection; nothing below the bar survives.
+
+    Scale (100 TB): pairwise work drops from Σ df(g)² over ALL shingles to
+    Σ df(g)² over PREFIX tokens — rare-first ordering makes prefix tokens
+    precisely the low-df ones. No global rank is materialized (ordering
+    uses the (df, g) tuple itself), so there is no single-partition
+    bottleneck; every stage is an ordinary keyed shuffle."""
     docs = spread_small_input(load_table(spark, sf_dir, "documents"), spark)
-    sh = shingles(docs).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    shared = (
-        sh.join(
-            sh.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("g2")),
-            (F.col("g") == F.col("g2")) & (F.col("doc_id") < F.col("doc_b")),
+    sh = shingles(docs)
+    dfreq = sh.groupBy("g").agg(F.count("*").alias("df"))
+    docsets = (
+        sh.join(dfreq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("df"), F.col("g")))
+            ).alias("toks"),
+            F.count("*").alias("n"),
         )
-        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
-        .agg(F.count("*").alias("n_shared"))
+        .withColumn("p", F.col("n") - F.ceil(F.col("n") * _JACCARD_THRESHOLD) + 1)
+        .withColumn("gset", F.expr("transform(toks, x -> x.g)"))
+        .cache()
     )
+    prefix = docsets.select(
+        "doc_id",
+        "n",
+        F.explode(F.expr("slice(toks, 1, CAST(p AS INT))")).alias("tk"),
+    ).select("doc_id", "n", F.col("tk.g").alias("g"))
+
+    pa_ = prefix.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "g"
+    )
+    pb = prefix.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), F.col("g").alias("g2")
+    )
+    t = F.lit(_JACCARD_THRESHOLD)
+    cand = (
+        pa_.join(
+            pb,
+            (F.col("g") == F.col("g2"))
+            & (F.col("doc_a") < F.col("doc_b"))
+            # size filter: J >= t forces t*na <= nb and t*nb <= na
+            & (F.col("nb") >= t * F.col("na"))
+            & (F.col("na") >= t * F.col("nb")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    sets = docsets.select("doc_id", "n", "gset")
     out = (
-        shared.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        cand.join(
+            sets.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("n").alias("na"),
+                F.col("gset").alias("gs_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("n").alias("nb"),
+                F.col("gset").alias("gs_b"),
+            ),
+            "doc_b",
+        )
+        .withColumn("n_shared", F.size(F.array_intersect("gs_a", "gs_b")).cast("long"))
     )
     jac = F.col("n_shared").cast("double") / (F.col("na") + F.col("nb") - F.col("n_shared"))
     return out.filter(jac >= _JACCARD_THRESHOLD).select(
         "doc_a",
         "doc_b",
-        F.col("n_shared").cast("long").alias("n_shared"),
+        "n_shared",
         jac.alias("jaccard"),
     )
 
