@@ -394,3 +394,32 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         dsum("value", "session_value"),
     )
+
+
+_QUANTILES_ORACLE = """
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.25) AS p25,
+           quantile_cont(l_extendedprice, 0.5) AS p50,
+           quantile_cont(l_extendedprice, 0.9) AS p90,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    GROUP BY l_returnflag
+"""
+
+
+@register("price_quantiles", oracle=_QUANTILES_ORACLE)
+def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of extended price per return flag —
+    the exact-quantile aggregate shape. Spark's ``percentile`` and
+    DuckDB's ``quantile_cont`` share the linear-interpolation definition,
+    so the doubles hash-match bit-for-bit (verified). Exact percentiles
+    need the group's values together (a sort per group); at 100 TB the
+    cheap path is ``percentile_approx``/t-digest — kept out of the oracle
+    registry because approximate results are engine-specific by design."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.25)").alias("p25"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+        F.count("*").cast("long").alias("n_lines"),
+    )
