@@ -160,3 +160,46 @@ def test_pack_sequences_single_shuffle(spark):
     stratum — exactly one exchange, no iteration."""
     q = load_registry()["docs_pack_sequences"]
     assert num_exchanges(q.fn(spark, SF)) == 1
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Skew posture: with one hot key dominating the build of a
+    sort-merge join, AQE's skew-join must split the oversized partition
+    at runtime (plan shows `skew=true`). Thresholds are lowered so the
+    local fixture triggers the same machinery a 100 TB hot key would."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        left = spark.range(0, 200_000).select(
+            (F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 1000)).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("dim")
+        )
+        joined = left.join(right, "k")
+        # collect() (not count()) so THIS DataFrame's own query execution
+        # runs and its AdaptiveSparkPlan finalizes
+        assert len(joined.collect()) > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan[:500]
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
