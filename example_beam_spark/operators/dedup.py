@@ -80,8 +80,15 @@ def shingles_raw(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
         .select(
             "doc_id",
             "s",
+            # guard: sequence(1, 0) would count DOWN in Spark (default
+            # step -1) for docs shorter than n tokens — emit an empty
+            # array instead so explode drops the row, matching the
+            # distinct-shingles path and DuckDB's generate_series
             F.explode(
-                F.sequence(F.lit(1), F.greatest(F.size("s") - n + 1, F.lit(0)))
+                F.when(
+                    F.size("s") >= n,
+                    F.sequence(F.lit(1), F.size("s") - n + 1),
+                ).otherwise(F.array().cast("array<int>"))
             ).alias("i"),
         )
         .select("doc_id", F.concat_ws(" ", F.slice("s", F.col("i"), n)).alias("g"))

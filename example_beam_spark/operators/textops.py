@@ -355,3 +355,78 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("tokens_before") / _PACK_BUDGET).cast("long").alias("pack_id"),
         (F.col("tokens_before") % _PACK_BUDGET).cast("long").alias("pack_offset"),
     )
+
+
+# --------------------------------------------------------------------------
+# span_dedup — sub-document exact dedup: non-overlapping 16-token spans
+# repeated across documents (the span/passage-level pass of a corpus
+# cleaning pipeline — catches boilerplate and partial copies that whole-
+# document hashing misses)
+# --------------------------------------------------------------------------
+
+_SPAN_TOKENS = 16
+
+
+_SPAN_ORACLE = f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+    spans AS (
+        SELECT doc_id, md5(array_to_string(s[i:i+{_SPAN_TOKENS - 1}], ' ')) AS span_hash
+        FROM toks CROSS JOIN
+             UNNEST(generate_series(1, GREATEST(len(s) - {_SPAN_TOKENS - 1}, 0),
+                                    {_SPAN_TOKENS})) AS u(i)
+    )
+    SELECT span_hash,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM spans
+    GROUP BY span_hash
+    HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+
+@register("span_dedup", oracle=_SPAN_ORACLE)
+def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-token non-overlapping spans that recur in >= 2 documents:
+    explode chunk positions (codegen'd slice+concat, no lambda), md5 per
+    span, one partial+final aggregate keyed by the hash. Map-side work is
+    linear in corpus tokens and the shuffle carries one short row per
+    span — the shape that stays cheap at 100 TB. Downstream, a cleaning
+    pass anti-joins documents against these hashes to strip boilerplate."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = F.split(F.col("text"), " ")
+    spans = (
+        docs.select("doc_id", s.alias("s"))
+        .select(
+            "doc_id",
+            "s",
+            # guard: Spark's sequence(1, 0, +step) raises where DuckDB's
+            # generate_series returns empty — emit an empty array for
+            # docs shorter than one span (explode then drops the row)
+            F.explode(
+                F.when(
+                    F.size("s") >= _SPAN_TOKENS,
+                    F.sequence(
+                        F.lit(1),
+                        F.size("s") - (_SPAN_TOKENS - 1),
+                        F.lit(_SPAN_TOKENS),
+                    ),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.md5(F.concat_ws(" ", F.slice("s", F.col("i"), _SPAN_TOKENS))).alias(
+                "span_hash"
+            ),
+        )
+    )
+    return (
+        spans.groupBy("span_hash")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -109,6 +109,7 @@ _DEMOTED = (
     "docs_sample_stratified",  # scan-filter twin of graded text_stats
     "docs_pack_sequences",  # window-function twin of graded window_order_ranks
     "price_quantiles",  # exact-percentile aggregate; agg shape graded via q1/rollup
+    "span_dedup",  # sub-document twin of graded dedup_exact
     "dedup_stream_distinct",  # streaming twin of graded dedup_exact
     "dedup_cluster_canonical",  # canonicalization layer over graded dedup_minhash_lsh
     "embedding_quantize_int8",  # map-side audit op; scan-shaped like graded text_stats
