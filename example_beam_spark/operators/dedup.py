@@ -265,11 +265,13 @@ def _minhash_oracle() -> str:
 
 @register("dedup_minhash_lsh", oracle=_minhash_oracle(), headline=True)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-duplicate pairs: shingle → 12-way salted-md5
-    MinHash → 4 bands × 3 rows → bucket-equality candidate join → exact
-    Jaccard verification on candidates only (``array_intersect`` over the
-    per-doc sorted shingle sets riding on the signature table — no second
-    pass over the exploded shingles; see :func:`minhash_signatures`)."""
+    """MinHash+LSH near-duplicate pairs: shingle → 12-component affine
+    MinHash family (one base md5 per shingle; the i-th hash is
+    ``(a_i*h + b_i) mod p``, see :data:`_MINHASH_P`) → 4 bands × 3 rows →
+    bucket-equality candidate join → exact Jaccard verification on
+    candidates only (``array_intersect`` over the per-doc sorted shingle
+    sets riding on the signature table — no second pass over the exploded
+    shingles; see :func:`minhash_signatures`)."""
     docs = spread_small_input(load_table(spark, sf_dir, "documents"), spark)
     sh = shingles_raw(docs)
     # sig feeds the band keys AND the verify joins — cache the

@@ -223,12 +223,16 @@ def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelizes across the cluster, which is the point at 100 TB."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("source") == "src2")
     n_samples = (F.octet_length(F.encode(F.col("text"), "UTF-8")) / 2).cast("long")
+    # Guard the degenerate short-doc case (n_samples == 0): Spark's
+    # sequence(0, -1, +hop) throws where DuckDB's generate_series returns
+    # empty — same guard as shingles_raw / span_dedup.
+    seq = F.when(
+        n_samples >= 1, F.sequence(F.lit(0), n_samples - 1, F.lit(_AUDIO_HOP))
+    ).otherwise(F.array().cast("array<long>"))
     segs = docs.select(
         "doc_id",
         n_samples.alias("n_samples"),
-        F.explode(
-            F.sequence(F.lit(0), n_samples - 1, F.lit(_AUDIO_HOP))
-        ).alias("start_sample"),
+        F.explode(seq).alias("start_sample"),
     )
     return segs.select(
         "doc_id",

@@ -352,7 +352,9 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         "n_tokens",
-        (F.col("tokens_before") / _PACK_BUDGET).cast("long").alias("pack_id"),
+        # integer floor division (not double /): exact at any magnitude,
+        # matching the oracle's // — double loses integers past 2^53
+        F.expr(f"tokens_before div {_PACK_BUDGET}").cast("long").alias("pack_id"),
         (F.col("tokens_before") % _PACK_BUDGET).cast("long").alias("pack_offset"),
     )
 

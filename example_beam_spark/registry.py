@@ -77,58 +77,18 @@ def sql_davg(expr: str, alias: str) -> str:
     )
 
 
-# The driver's CORRECTNESS gate grades the FIRST 50 registry entries (the
-# set has been positionally frozen since round 1 while the registry grew to
-# 62). Order the registry so the graded window carries one row per DISTINCT
-# operator semantics, promoting the six REAL Structured Streaming queries
-# (the reference's core competency — AdCtrFixedWindowCalculator.scala:30-40
-# et al.) over six redundant variants whose semantics are already graded
-# through other carriers. Everything stays registered and oracle-backed —
-# the tail rows are still run by tests/test_registry_oracle.py every round.
-
-GRADE_WINDOW = 50
-
-_PROMOTED = (
-    "ctr_fixed_capped_stream",
-    "ctr_sliding_total_stream",
-    "lookup_cache_join_stream",
-    "ctr_custom_window_stream",
-    "enrich_stream_stream_join",
-    "sessionize_events_stream",
-)
-
-_DEMOTED = (
-    "ctr_fixed_total",  # A3 total semigroup also carried by ctr_global + q1
-    "ctr_sliding_reassigned",  # W3 re-window variant of graded ctr_sliding_total
-    "setops_except_nations",  # EXCEPT twin of graded intersect/union rows
-    "part_name_like",  # P8 LIKE pushdown also covered by plan tests
-    "customers_without_orders",  # anti-join twin of graded enrich_broadcast_dlq
-    "multimodal_frame_sample",  # explode path shared with graded multimodal_decode
-    "multimodal_resize",  # integer-geometry twin of graded multimodal_decode
-    "multimodal_audio_segments",  # sequence+explode twin of multimodal_frame_sample
-    "docs_sample_stratified",  # scan-filter twin of graded text_stats
-    "docs_pack_sequences",  # window-function twin of graded window_order_ranks
-    "price_quantiles",  # exact-percentile aggregate; agg shape graded via q1/rollup
-    "span_dedup",  # sub-document twin of graded dedup_exact
-    "dedup_stream_distinct",  # streaming twin of graded dedup_exact
-    "dedup_cluster_canonical",  # canonicalization layer over graded dedup_minhash_lsh
-    "embedding_quantize_int8",  # map-side audit op; scan-shaped like graded text_stats
-    # tpch extensions verified by the judge's own oracle runs + local tests:
-    "q21_waiting_suppliers",
-    "q11_part_value_concentration",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_bracket_revenue",
-    "q20_excess_suppliers",
-)
+# The registry has grown past the driver's graded window (first 50 entries,
+# positionally frozen since round 1). Ordering is NATURAL registration order
+# (module import order below, then source order within each module) — the
+# registry does not reorder itself around the window. Entries past the
+# window are still fully oracle-checked every round by
+# tests/test_registry_oracle.py, which runs EVERY registered query against
+# its DuckDB oracle at sf0.001 regardless of position.
 
 
 def load_registry() -> dict[str, Query]:
     """Import every operator module (each registers its queries on import);
-    return the registry ordered so the driver's graded window (first
-    ``GRADE_WINDOW`` entries) covers every distinct operator semantics."""
+    return the registry in natural registration order."""
     from example_beam_spark.operators import (  # noqa: F401
         ctr,
         enrich,
@@ -144,16 +104,4 @@ def load_registry() -> dict[str, Query]:
     )
     from example_beam_spark.streaming import entries as streaming_entries  # noqa: F401
 
-    tail = set(_DEMOTED)
-    head = [n for n in QUERIES if n not in tail and n not in _PROMOTED]
-    head += [n for n in _PROMOTED if n in QUERIES]
-    # A new registration lands in the graded window; this trips when the
-    # window overflows so the promotion/demotion choice is made explicitly.
-    assert len(head) <= GRADE_WINDOW, (
-        f"graded window overflow ({len(head)} > {GRADE_WINDOW}): "
-        "pick which query to demote in registry._DEMOTED"
-    )
-    ordered = {n: QUERIES[n] for n in head}
-    ordered.update({n: QUERIES[n] for n in _DEMOTED if n in QUERIES})
-    assert len(ordered) == len(QUERIES)
-    return ordered
+    return dict(QUERIES)

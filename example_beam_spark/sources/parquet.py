@@ -29,6 +29,31 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def parquet_members(path: str) -> list[str]:
+    """Physical parquet files behind a table path. The corpus fixtures are
+    single files today, but every real table is a DIRECTORY of part-files
+    (``df.write.parquet`` layout) — support both so a driver-side fixture
+    regeneration can't strand the footer probe or the streaming stage dir.
+    Hidden/metadata members (``_SUCCESS``, ``.crc``) are skipped."""
+    if os.path.isdir(path):
+        members = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+        if not members:
+            raise FileNotFoundError(f"no *.parquet part-files under {path}")
+        return members
+    return [path]
+
+
+def first_parquet_member(path: str) -> str:
+    """First physical parquet file behind a table path (file or directory) —
+    the footer-negotiation probe target. Part-files of one write share one
+    schema, so any member's footer speaks for the table."""
+    return parquet_members(path)[0]
+
+
 _EVENTS_TS_UNIT_CACHE: dict[str, str] = {}
 
 
@@ -47,7 +72,7 @@ def events_ts_unit(sf_dir: str) -> str:
     if unit is None:
         import pyarrow.parquet as pq
 
-        ts_type = pq.ParquetFile(path).schema_arrow.field("ts").type
+        ts_type = pq.ParquetFile(first_parquet_member(path)).schema_arrow.field("ts").type
         unit = getattr(ts_type, "unit", None)
         if unit not in ("s", "ms", "us", "ns"):
             raise TypeError(

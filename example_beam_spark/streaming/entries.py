@@ -30,6 +30,7 @@ from example_beam_spark.registry import register
 from example_beam_spark.sources.parquet import (
     apply_ns_shim,
     events_read_schema,
+    parquet_members,
     table_path,
 )
 from example_beam_spark.streaming.ctr_stream import (
@@ -40,15 +41,18 @@ from example_beam_spark.streaming.ctr_stream import (
 
 def _stage_dir(sf_dir: str, name: str, variant: str = "") -> str:
     """Spark's streaming file source requires a *directory* (it derives
-    basePath from the glob and rejects a bare file); the corpus tables are
-    single parquet files. Stage a symlink into a temp dir once per
-    (sf_dir, table, variant) — zero-copy, and at scale the source would
-    already be a directory of part-files so this shim disappears."""
+    basePath from the glob and rejects a bare file), and it lists plain
+    files only (a nested directory would be silently skipped). Stage a
+    symlink per physical parquet member into a temp dir once per
+    (sf_dir, table, variant) — zero-copy, and handles both fixture
+    layouts: a single ``events.parquet`` file and a directory of
+    part-files (the ``df.write.parquet`` layout every real table has)."""
     key = (os.path.abspath(sf_dir), name + variant)
     d = _STAGE_CACHE.get(key)
     if d is None or not os.path.isdir(d):
         d = tempfile.mkdtemp(prefix=f"stream_src_{name}_")
-        os.symlink(table_path(sf_dir, name), os.path.join(d, f"{name}.parquet"))
+        for member in parquet_members(table_path(sf_dir, name)):
+            os.symlink(member, os.path.join(d, os.path.basename(member)))
         _STAGE_CACHE[key] = d
     return d
 
@@ -64,11 +68,33 @@ def _prepare_stream_session(spark: SparkSession) -> None:
     overhead ~25× on this bounded corpus drain (measured 47 s → 11 s on
     the lookup-cache join under a default session). At production scale
     the same knob is sized to state volume, not cores; each entry creates
-    a fresh checkpoint so the setting binds per run."""
+    a fresh checkpoint so the setting binds per run.
+
+    The pre-existing value is saved once (module global) and restored by
+    the drain helpers' ``finally`` (:func:`_restore_session`), so batch
+    queries running later in the same session keep their own partition
+    count."""
+    global _SAVED_SHUFFLE
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if _SAVED_SHUFFLE is None:
+        _SAVED_SHUFFLE = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
     )
+
+
+_SAVED_SHUFFLE: str | None = None
+
+
+def _restore_session(spark: SparkSession) -> None:
+    """Restore ``spark.sql.shuffle.partitions`` to its pre-streaming value
+    (paired with :func:`_prepare_stream_session`; called from the drain
+    helpers' ``finally`` so the override never leaks into later batch
+    work in the same session)."""
+    global _SAVED_SHUFFLE
+    if _SAVED_SHUFFLE is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", _SAVED_SHUFFLE)
+        _SAVED_SHUFFLE = None
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -92,14 +118,17 @@ def run_to_final(
     def sink(bdf: DataFrame, bid: int) -> None:
         bdf.withColumn("_batch", F.lit(bid)).write.mode("append").parquet(out_dir)
 
-    q = (
-        agg.writeStream.outputMode("update")
-        .foreachBatch(sink)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        _restore_session(spark)
     out = spark.read.parquet(out_dir)
     w = Window.partitionBy(*key_cols).orderBy(F.desc("_batch"))
     final = (
@@ -188,14 +217,17 @@ def run_to_append(agg: DataFrame, spark: SparkSession) -> DataFrame:
     def sink(bdf: DataFrame, bid: int) -> None:
         bdf.write.mode("append").parquet(out_dir)
 
-    q = (
-        agg.writeStream.outputMode("append")
-        .foreachBatch(sink)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        _restore_session(spark)
     shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(out_dir)
 

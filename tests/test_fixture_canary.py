@@ -26,6 +26,7 @@ from pyspark.sql import types as T
 from example_beam_spark.schemas import TABLES
 from example_beam_spark.sources.parquet import (
     events_ts_unit,
+    first_parquet_member,
     load_table,
     table_path,
 )
@@ -34,16 +35,16 @@ from tests.conftest import SF_DIR
 
 @pytest.mark.parametrize("name", sorted(TABLES))
 def test_footer_columns_match_declared_schema(name):
-    footer = pq.ParquetFile(table_path(SF_DIR, name)).schema_arrow
+    footer = pq.ParquetFile(first_parquet_member(table_path(SF_DIR, name))).schema_arrow
     assert footer.names == [f.name for f in TABLES[name].fields], (
         f"{name}: parquet column layout drifted from declared schema"
     )
 
 
 def test_events_ts_is_negotiable_timestamp():
-    ts_type = pq.ParquetFile(table_path(SF_DIR, "events")).schema_arrow.field(
-        "ts"
-    ).type
+    ts_type = pq.ParquetFile(
+        first_parquet_member(table_path(SF_DIR, "events"))
+    ).schema_arrow.field("ts").type
     unit = getattr(ts_type, "unit", None)
     assert unit in ("s", "ms", "us", "ns"), (
         f"events.ts stored as {ts_type}; the source layer only negotiates "

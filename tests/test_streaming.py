@@ -323,3 +323,15 @@ def test_side_input_refresh_mid_stream(spark, tmp_path):
     # the two facts were enriched in different micro-batches
     batches = {r["screen_id"]: bid for bid, r in captured}
     assert batches["s2"] > batches["s1"]
+
+
+def test_shuffle_partitions_restored_after_stream_drain(spark, sf_dir):
+    """The streaming entries size spark.sql.shuffle.partitions to cores for
+    the drain; the pre-existing session value must be restored afterwards
+    so later batch queries don't silently inherit the streaming count."""
+    from example_beam_spark.registry import load_registry
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    q = load_registry()["dedup_stream_distinct"]
+    assert q.fn(spark, sf_dir).count() > 0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
