@@ -170,10 +170,24 @@ def ad_ctr_custom_window_stream(
     impression_duration_secs: int = 600,
     click_duration_secs: int = 60,
     allowed_lateness_secs: int = 0,
+    impl: str | None = None,
 ) -> DataFrame:
     """CTR per (screen_id, ad_id) in the custom merging window — the
     streaming equivalent of AdCtrCustomWindowCalculator.calculateCtrByScreen.
-    ``ad_events`` needs (screen_id, ad_id, action, event_time) + watermark."""
+    ``ad_events`` needs (screen_id, ad_id, action, event_time) + watermark.
+
+    ``impl``: 'gsts' (applyInPandasWithState, default) or 'tws'
+    (transformWithState named state + timers — see streaming/tws.py);
+    defaults to the SPARK_GRAFT_STATEFUL_IMPL env var."""
+    from example_beam_spark.streaming.tws import ad_ctr_custom_window_tws, stateful_impl
+
+    if stateful_impl(impl) == "tws":
+        return ad_ctr_custom_window_tws(
+            ad_events,
+            impression_duration_secs,
+            click_duration_secs,
+            allowed_lateness_secs,
+        )
     return ad_events.groupBy("screen_id", "ad_id").applyInPandasWithState(
         make_ad_event_window_fn(
             impression_duration_secs, click_duration_secs, allowed_lateness_secs

@@ -148,13 +148,21 @@ def make_lookup_cache_fn(ttl_seconds: int):
 
 
 def lookup_cache_join_stream(
-    union_stream: DataFrame, ttl_seconds: int
+    union_stream: DataFrame, ttl_seconds: int, impl: str | None = None
 ) -> DataFrame:
     """Apply the stateful join to a pre-unioned keyed stream with columns
     (key string, kind int {0=fact,1=dim}, payload string, event_time
     timestamp) — the analog of the reference's cogroup input
     (LookupCacheDoFn.scala:34). The stream must already carry a watermark
-    (it drives both late-row drop and the GC timeout)."""
+    (it drives both late-row drop and the GC timeout).
+
+    ``impl``: 'gsts' (applyInPandasWithState, default) or 'tws'
+    (transformWithState named state + timers — see streaming/tws.py);
+    defaults to the SPARK_GRAFT_STATEFUL_IMPL env var."""
+    from example_beam_spark.streaming.tws import lookup_cache_join_tws, stateful_impl
+
+    if stateful_impl(impl) == "tws":
+        return lookup_cache_join_tws(union_stream, ttl_seconds)
     return union_stream.groupBy("key").applyInPandasWithState(
         make_lookup_cache_fn(ttl_seconds),
         outputStructType=OUT_SCHEMA,

@@ -34,6 +34,39 @@ UNION_SCHEMA = T.StructType(
 TTL = 3600  # 1h, the reference's default (ScreenGlobalWindow...Enricher.scala:15)
 
 
+@pytest.fixture(params=["gsts", "tws"])
+def impl(request, spark):
+    """Run every lookup-cache / custom-window scenario against BOTH
+    stateful implementations: 'gsts' (applyInPandasWithState) and 'tws'
+    (transformWithState named state + timers, streaming/tws.py). The tws
+    param skips — with the exact reason — where the container lacks the
+    protobuf runtime PySpark's transformWithState client requires."""
+    if request.param == "tws":
+        from example_beam_spark.streaming.tws import (
+            ROCKSDB_PROVIDER,
+            tws_unavailable_reason,
+        )
+
+        reason = tws_unavailable_reason()
+        if reason is not None:
+            pytest.skip(f"tws impl unavailable in this container: {reason}")
+        key = "spark.sql.streaming.stateStore.providerClass"
+        try:
+            prev = spark.conf.get(key)
+        except Exception:
+            prev = None
+        spark.conf.set(key, ROCKSDB_PROVIDER)
+        try:
+            yield "tws"
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+    else:
+        yield "gsts"
+
+
 def _screen(sid: str, pub: str = "p1") -> dict:
     return {"key": pub, "kind": KIND_FACT, "payload": sid}
 
@@ -42,10 +75,13 @@ def _publication(version: str, pub: str = "p1") -> dict:
     return {"key": pub, "kind": KIND_DIM, "payload": version}
 
 
-def _lookup_query(stream):
-    return lookup_cache_join_stream(
-        watermark_then_filter(stream, 0), ttl_seconds=TTL
-    )
+def _lookup_query(impl):
+    def build(stream):
+        return lookup_cache_join_stream(
+            watermark_then_filter(stream, 0), ttl_seconds=TTL, impl=impl
+        )
+
+    return build
 
 
 def _run(spark, sc, build, delay=0, mode="append"):
@@ -56,7 +92,7 @@ def _run(spark, sc, build, delay=0, mode="append"):
     ]
 
 
-def test_lookup_screen_after_publication_matches(spark):
+def test_lookup_screen_after_publication_matches(spark, impl):
     """LookupCacheEnricherTest.scala:28-42: screen arriving after its
     publication is enriched immediately."""
     sc = (
@@ -65,13 +101,13 @@ def test_lookup_screen_after_publication_matches(spark):
         .add_elements_at("12:00:01", _screen("s1"))
         .advance_watermark_to_infinity()
     )
-    out = _run(spark, sc, _lookup_query)
+    out = _run(spark, sc, _lookup_query(impl))
     assert [(r["fact_id"], r["dim_version"], r["match_status"]) for r in out] == [
         ("s1", "v1", "matched")
     ]
 
 
-def test_lookup_early_screen_buffered_then_flushed(spark):
+def test_lookup_early_screen_buffered_then_flushed(spark, impl):
     """LookupCacheEnricherTest.scala:44-59: screen arrives BEFORE the
     publication → buffered, emitted when the publication shows up."""
     sc = (
@@ -81,12 +117,12 @@ def test_lookup_early_screen_buffered_then_flushed(spark):
         .add_elements_at("12:20:00", _publication("v1"))
         .advance_watermark_to_infinity()
     )
-    out = _run(spark, sc, _lookup_query)
+    out = _run(spark, sc, _lookup_query(impl))
     matched = [r for r in out if r["match_status"] == "matched"]
     assert [(r["fact_id"], r["dim_version"]) for r in matched] == [("s1", "v1")]
 
 
-def test_lookup_ttl_expiry_flushes_to_dlq(spark):
+def test_lookup_ttl_expiry_flushes_to_dlq(spark, impl):
     """LookupCacheEnricherTest.scala:78-92: no publication within TTL →
     buffered screen expires to the DLQ."""
     sc = (
@@ -95,11 +131,11 @@ def test_lookup_ttl_expiry_flushes_to_dlq(spark):
         .advance_watermark_to("14:00:00")  # past 12:00 + 1h TTL
         .advance_watermark_to_infinity()
     )
-    out = _run(spark, sc, _lookup_query)
+    out = _run(spark, sc, _lookup_query(impl))
     assert [(r["fact_id"], r["match_status"]) for r in out] == [("s1", "dlq")]
 
 
-def test_lookup_latest_publication_wins(spark):
+def test_lookup_latest_publication_wins(spark, impl):
     """LookupCacheEnricherTest.scala:114-133: two versions, later
     event-time wins regardless of arrival order."""
     sc = (
@@ -109,11 +145,11 @@ def test_lookup_latest_publication_wins(spark):
         .add_elements_at("12:00:02", _screen("s1"))
         .advance_watermark_to_infinity()
     )
-    out = _run(spark, sc, _lookup_query)
+    out = _run(spark, sc, _lookup_query(impl))
     assert [(r["fact_id"], r["dim_version"]) for r in out] == [("s1", "v2")]
 
 
-def test_lookup_expired_cache_not_matched(spark):
+def test_lookup_expired_cache_not_matched(spark, impl):
     """Publication older than TTL relative to the screen is not served
     from the cache (screen buffered → DLQ at GC)."""
     sc = (
@@ -122,7 +158,7 @@ def test_lookup_expired_cache_not_matched(spark):
         .add_elements_at("13:30:00", _screen("s1"))  # 90 min later > 1h TTL
         .advance_watermark_to_infinity()
     )
-    out = _run(spark, sc, _lookup_query)
+    out = _run(spark, sc, _lookup_query(impl))
     assert [(r["fact_id"], r["match_status"]) for r in out] == [("s1", "dlq")]
 
 
@@ -137,13 +173,15 @@ def _ad_event(action: str, ad="ad1", screen="s1") -> dict:
     return {"ad_id": ad, "screen_id": screen, "action": action}
 
 
-def _custom_query(stream, lateness=0, delay=0):
+def _custom_query(stream, lateness=0, delay=0, impl=None):
     return ad_ctr_custom_window_stream(
-        watermark_then_filter(stream, delay), allowed_lateness_secs=lateness
+        watermark_then_filter(stream, delay),
+        allowed_lateness_secs=lateness,
+        impl=impl,
     )
 
 
-def _run_ad(spark, sc, lateness=0, delay=0):
+def _run_ad(spark, sc, impl, lateness=0, delay=0):
     """``delay`` holds Spark's auto-advancing watermark back (Beam's
     TestStream watermark only moves when scripted; Spark's trails the max
     event time minus the delay — scenarios that rely on the watermark NOT
@@ -156,7 +194,7 @@ def _run_ad(spark, sc, lateness=0, delay=0):
             spark,
             sc,
             schemas.AD_EVENT,
-            lambda s: _custom_query(s, lateness, delay),
+            lambda s: _custom_query(s, lateness, delay, impl),
             delay,
             output_mode="append",
         )
@@ -164,7 +202,7 @@ def _run_ad(spark, sc, lateness=0, delay=0):
     ]
 
 
-def test_custom_window_impression_then_click_on_time(spark):
+def test_custom_window_impression_then_click_on_time(spark, impl):
     """AdCtrCustomWindowCalculatorTest.scala:30-49 'Impression and then
     click on-time': one merged window, CTR 1.0, end pinned to click time
     (low-latency emission just after the click)."""
@@ -174,7 +212,7 @@ def test_custom_window_impression_then_click_on_time(spark):
         .add_elements_at("12:00:01", _ad_event("click"))
         .advance_watermark_to_infinity()
     )
-    out = _run_ad(spark, sc)
+    out = _run_ad(spark, sc, impl)
     assert len(out) == 1
     r = out[0]
     assert (r["clicks"], r["impressions"], r["ctr"]) == (1, 1, 1.0)
@@ -182,7 +220,7 @@ def test_custom_window_impression_then_click_on_time(spark):
     assert r["window_end"] == t("12:00:01").replace(tzinfo=None)
 
 
-def test_custom_window_click_then_impression_on_time(spark):
+def test_custom_window_click_then_impression_on_time(spark, impl):
     """AdCtrCustomWindowCalculatorTest.scala:97-110 'Click and then
     impression on-time': forClick looks FORWARD [t, t+1min); the
     impression at t+1s merges and the pane emits CTR 1.0 at the
@@ -193,7 +231,7 @@ def test_custom_window_click_then_impression_on_time(spark):
         .add_elements_at("12:00:01", _ad_event("impression"))
         .advance_watermark_to_infinity()
     )
-    out = _run_ad(spark, sc)
+    out = _run_ad(spark, sc, impl)
     assert len(out) == 1
     r = out[0]
     assert (r["clicks"], r["impressions"], r["ctr"]) == (1, 1, 1.0)
@@ -201,7 +239,7 @@ def test_custom_window_click_then_impression_on_time(spark):
     assert r["window_end"] == t("12:00:01").replace(tzinfo=None)
 
 
-def test_custom_window_impression_then_late_click(spark):
+def test_custom_window_impression_then_late_click(spark, impl):
     """AdCtrCustomWindowCalculatorTest.scala:51-70 'Impression and then
     late click': impression window expires at +10 min with CTR 0.0; the
     late click forms its own 1-min window emitting CTR undefined."""
@@ -212,7 +250,7 @@ def test_custom_window_impression_then_late_click(spark):
         .add_elements_at("12:11:00", _ad_event("click"))
         .advance_watermark_to_infinity()
     )
-    out = _run_ad(spark, sc)
+    out = _run_ad(spark, sc, impl)
     got = sorted(
         (r["window_end"].isoformat(), r["clicks"], r["impressions"], r["ctr"])
         for r in out
@@ -223,7 +261,7 @@ def test_custom_window_impression_then_late_click(spark):
     ]
 
 
-def test_custom_window_late_click_within_allowed_lateness(spark):
+def test_custom_window_late_click_within_allowed_lateness(spark, impl):
     """AdCtrCustomWindowCalculatorTest.scala:72-95 'Impression and then
     late click but in allowed lateness': on-time pane CTR 0.0, then the
     late click merges into the retained window and re-fires the
@@ -235,7 +273,7 @@ def test_custom_window_late_click_within_allowed_lateness(spark):
         .add_elements_at("12:11:00", _ad_event("click"))
         .advance_watermark_to_infinity()
     )
-    out = _run_ad(spark, sc, lateness=120)
+    out = _run_ad(spark, sc, impl, lateness=120)
     got = [
         (r["window_end"].isoformat(), r["clicks"], r["impressions"], r["ctr"])
         for r in out
@@ -246,7 +284,7 @@ def test_custom_window_late_click_within_allowed_lateness(spark):
     ]
 
 
-def test_custom_window_click_then_late_impression(spark):
+def test_custom_window_click_then_late_impression(spark, impl):
     """AdCtrCustomWindowCalculatorTest.scala:112-133 'Click and then late
     impression': click window expires at +1 min (CTR undefined); the late
     impression forms its own 10-min window (CTR 0.0)."""
@@ -257,7 +295,7 @@ def test_custom_window_click_then_late_impression(spark):
         .add_elements_at("12:02:00", _ad_event("impression"))
         .advance_watermark_to_infinity()
     )
-    out = _run_ad(spark, sc)
+    out = _run_ad(spark, sc, impl)
     got = sorted(
         (r["window_end"].isoformat(), r["clicks"], r["impressions"], r["ctr"])
         for r in out
@@ -268,7 +306,7 @@ def test_custom_window_click_then_late_impression(spark):
     ]
 
 
-def test_custom_window_click_then_impression_before_expiry_merges(spark):
+def test_custom_window_click_then_impression_before_expiry_merges(spark, impl):
     """AdCtrCustomWindowCalculatorTest.scala:135-152 'Click and then late
     impression but in allowed lateness': the watermark never passes the
     click window end before the impression arrives, so the two windows
@@ -280,7 +318,7 @@ def test_custom_window_click_then_impression_before_expiry_merges(spark):
         .add_elements_at("12:02:00", _ad_event("impression"))
         .advance_watermark_to_infinity()
     )
-    out = _run_ad(spark, sc, lateness=60)
+    out = _run_ad(spark, sc, impl, lateness=60)
     got = [
         (r["window_end"].isoformat(), r["clicks"], r["impressions"], r["ctr"])
         for r in out
@@ -288,7 +326,7 @@ def test_custom_window_click_then_impression_before_expiry_merges(spark):
     assert got == [("1970-01-01T12:02:00", 1, 1, 1.0)]
 
 
-def test_custom_window_separate_windows_after_expiry(spark):
+def test_custom_window_separate_windows_after_expiry(spark, impl):
     """Two impressions with a watermark advance between them: the first
     window is already closed when the second arrives → two windows. (If
     the watermark had NOT advanced, Beam would merge them — mergeWindows
@@ -300,12 +338,12 @@ def test_custom_window_separate_windows_after_expiry(spark):
         .add_elements_at("12:30:00", _ad_event("impression"))
         .advance_watermark_to_infinity()
     )
-    out = _run_ad(spark, sc)
+    out = _run_ad(spark, sc, impl)
     starts = sorted(r["window_start"].isoformat() for r in out)
     assert starts == ["1970-01-01T12:00:00", "1970-01-01T12:30:00"]
 
 
-def test_custom_window_live_impressions_merge(spark):
+def test_custom_window_live_impressions_merge(spark, impl):
     """Two impressions 30 min apart with NO watermark advance between:
     both windows are live → unconditional per-key merge into one window
     [12:00, 12:40) (end = max of impression ends)."""
@@ -315,7 +353,7 @@ def test_custom_window_live_impressions_merge(spark):
         .add_elements_at("12:30:00", _ad_event("impression"))
         .advance_watermark_to_infinity()
     )
-    out = _run_ad(spark, sc)
+    out = _run_ad(spark, sc, impl)
     assert len(out) == 1
     r = out[0]
     # two impressions, capped to 1 by the semigroup
@@ -324,7 +362,7 @@ def test_custom_window_live_impressions_merge(spark):
     assert r["window_end"] == t("12:40:00").replace(tzinfo=None)
 
 
-def test_custom_window_duplicate_clicks_capped(spark):
+def test_custom_window_duplicate_clicks_capped(spark, impl):
     """Capped semigroup (model.scala:88-98): duplicate clicks still CTR
     1.0 — all three events merge into ONE window (the watermark is held
     back, as in the reference's TestStream where it never advances before
@@ -336,7 +374,7 @@ def test_custom_window_duplicate_clicks_capped(spark):
         .add_elements_at("12:01:30", _ad_event("click"))
         .advance_watermark_to_infinity()
     )
-    out = _run_ad(spark, sc, delay=3600)
+    out = _run_ad(spark, sc, impl, delay=3600)
     got = [
         (r["window_end"].isoformat(), r["clicks"], r["impressions"], r["ctr"])
         for r in out
