@@ -208,6 +208,41 @@ def dedup_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_final(distinct, ["user_id", "event_type"], spark)
 
 
+@register(
+    "dedup_stream_within_watermark",
+    oracle="""
+    SELECT user_id, event_type, date_trunc('hour', ts) AS hour_bucket,
+           CAST(1 AS BIGINT) AS seen
+    FROM events GROUP BY 1, 2, 3
+""",
+)
+def dedup_stream_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with BOUNDED state: ``dropDuplicatesWithinWatermark``
+    — the production form of :func:`dedup_stream_distinct` whose state is
+    evicted once the watermark passes a key's first-occurrence time + delay
+    (plain streaming ``dropDuplicates`` keeps every key forever).
+
+    The dedup key carries an hour bucket of the event time, so every
+    duplicate of a key lies within 1 hour of the first occurrence — well
+    inside the 2-hour watermark delay — and the bounded-state result is
+    EXACTLY the global distinct the oracle computes. That is the design
+    contract at 100 TB too: pick the delay to cover the real duplicate
+    arrival skew and state stays O(keys live in the last delay window)
+    instead of O(all keys ever). Eviction behavior is pinned by a replay
+    test (tests/test_streaming.py::test_drop_duplicates_within_watermark_evicts_state).
+    """
+    ev = read_events_stream(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour_bucket"),
+    )
+    ev = ev.withWatermark("hour_bucket", "2 hours")
+    dd = ev.dropDuplicatesWithinWatermark(
+        ["user_id", "event_type", "hour_bucket"]
+    ).withColumn("seen", F.lit(1).cast("long"))
+    return run_to_append(dd, spark)
+
+
 def run_to_append(agg: DataFrame, spark: SparkSession) -> DataFrame:
     """Drain an append-mode stateful streaming query (availableNow) into
     staging parquet and return everything appended."""

@@ -335,3 +335,44 @@ def test_shuffle_partitions_restored_after_stream_drain(spark, sf_dir):
     q = load_registry()["dedup_stream_distinct"]
     assert q.fn(spark, sf_dir).count() > 0
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_drop_duplicates_within_watermark_evicts_state(spark):
+    """dropDuplicatesWithinWatermark evicts a key's dedup state once the
+    watermark passes its first occurrence + delay: a duplicate within the
+    delay is dropped, the same key re-arriving BEYOND the delay is emitted
+    again (bounded state's documented trade-off vs global dropDuplicates)."""
+    from pyspark.sql import types as T
+
+    from example_beam_spark.streaming.harness import (
+        StreamScenario,
+        replay,
+        watermark_then_filter,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("key", T.StringType(), False),
+            T.StructField("event_time", T.TimestampType(), False),
+        ]
+    )
+    delay = 3600  # 1h
+
+    def build(stream):
+        wm = watermark_then_filter(stream, delay)
+        return wm.dropDuplicatesWithinWatermark(["key"])
+
+    sc = (
+        StreamScenario()
+        .add_elements_at("12:00:00", {"key": "a"})
+        .add_elements_at("12:00:10", {"key": "a"})  # dup within delay → dropped
+        .advance_watermark_to("14:30:00")  # wm 13:30 > 12:00 + 1h → state evicted
+        .add_elements_at("14:00:00", {"key": "a"})  # beyond delay → emitted again
+        .advance_watermark_to_infinity()
+    )
+    out = [
+        (r["key"], r["event_time"].strftime("%H:%M:%S"))
+        for _, rows in replay(spark, sc, schema, build, delay, output_mode="append")
+        for r in rows
+    ]
+    assert out == [("a", "12:00:00"), ("a", "14:00:00")]
