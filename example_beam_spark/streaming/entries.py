@@ -74,27 +74,51 @@ def _prepare_stream_session(spark: SparkSession) -> None:
     the drain helpers' ``finally`` (:func:`_restore_session`), so batch
     queries running later in the same session keep their own partition
     count."""
-    global _SAVED_SHUFFLE
+    global _SAVED_SHUFFLE, _SAVED_PROVIDER
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if _SAVED_SHUFFLE is None:
         _SAVED_SHUFFLE = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
     )
+    # RocksDB state store: state lives off-heap/on-disk, so executor state
+    # volume is bounded by disk, not memory — the provider production runs
+    # at large state. Binds at checkpoint creation (each entry makes a
+    # fresh checkpoint); measured at-least-as-fast as the in-memory
+    # default on the bounded corpus drains. Saved/restored like the
+    # shuffle knob so it never leaks into the consumer's own queries.
+    if _SAVED_PROVIDER is _UNSET:
+        try:
+            _SAVED_PROVIDER = spark.conf.get(_PROVIDER_KEY)
+        except Exception:
+            _SAVED_PROVIDER = None
+    from example_beam_spark.streaming.tws import ROCKSDB_PROVIDER
+
+    spark.conf.set(_PROVIDER_KEY, ROCKSDB_PROVIDER)
 
 
+_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+_UNSET = object()
 _SAVED_SHUFFLE: str | None = None
+_SAVED_PROVIDER: object = _UNSET
 
 
 def _restore_session(spark: SparkSession) -> None:
-    """Restore ``spark.sql.shuffle.partitions`` to its pre-streaming value
-    (paired with :func:`_prepare_stream_session`; called from the drain
-    helpers' ``finally`` so the override never leaks into later batch
-    work in the same session)."""
-    global _SAVED_SHUFFLE
+    """Restore ``spark.sql.shuffle.partitions`` and the state store
+    provider to their pre-streaming values (paired with
+    :func:`_prepare_stream_session`; called from the drain helpers'
+    ``finally`` so the overrides never leak into later batch work in the
+    same session)."""
+    global _SAVED_SHUFFLE, _SAVED_PROVIDER
     if _SAVED_SHUFFLE is not None:
         spark.conf.set("spark.sql.shuffle.partitions", _SAVED_SHUFFLE)
         _SAVED_SHUFFLE = None
+    if _SAVED_PROVIDER is not _UNSET:
+        if _SAVED_PROVIDER is None:
+            spark.conf.unset(_PROVIDER_KEY)
+        else:
+            spark.conf.set(_PROVIDER_KEY, _SAVED_PROVIDER)
+        _SAVED_PROVIDER = _UNSET
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

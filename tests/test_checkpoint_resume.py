@@ -21,6 +21,35 @@ EVENTS_SCHEMA = T.StructType(
     ]
 )
 
+_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+
+
+@pytest.fixture(params=["hdfs", "rocksdb"])
+def state_provider(request, spark):
+    """Run every recovery scenario under BOTH state store providers: the
+    in-memory HDFS-backed default and RocksDB (the provider production
+    sizes to — state lives off-heap/on-disk, so executor state is bounded
+    by disk not memory at 100-TB state volumes). The provider binds at
+    checkpoint creation; each test uses fresh checkpoints so the setting
+    applies cleanly, and the previous session value is restored after."""
+    if request.param == "hdfs":
+        yield request.param
+        return
+    from example_beam_spark.streaming.tws import ROCKSDB_PROVIDER
+
+    try:
+        prev = spark.conf.get(_PROVIDER_KEY)
+    except Exception:
+        prev = None
+    spark.conf.set(_PROVIDER_KEY, ROCKSDB_PROVIDER)
+    try:
+        yield request.param
+    finally:
+        if prev is None:
+            spark.conf.unset(_PROVIDER_KEY)
+        else:
+            spark.conf.set(_PROVIDER_KEY, prev)
+
 
 def _write_batch(src: str, name: str, rows: list[tuple[int, int]]) -> None:
     # single parquet FILES — the streaming file source skips directories
@@ -54,7 +83,7 @@ def _drain(spark, src: str, ckpt: str, out: str) -> None:
     q.awaitTermination()
 
 
-def test_stateful_agg_resumes_from_checkpoint(spark, tmp_path):
+def test_stateful_agg_resumes_from_checkpoint(spark, tmp_path, state_provider):
     src = str(tmp_path / "src")
     ckpt = str(tmp_path / "ckpt")
     out1 = str(tmp_path / "out1")
@@ -80,7 +109,7 @@ def test_stateful_agg_resumes_from_checkpoint(spark, tmp_path):
     assert second == {2: 12, 3: 1}, second
 
 
-def test_restart_without_new_input_emits_nothing(spark, tmp_path):
+def test_restart_without_new_input_emits_nothing(spark, tmp_path, state_provider):
     src = str(tmp_path / "src")
     ckpt = str(tmp_path / "ckpt")
     out1 = str(tmp_path / "out1")
