@@ -372,7 +372,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ df(g)² over PREFIX tokens — rare-first ordering makes prefix tokens
     precisely the low-df ones. No global rank is materialized (ordering
     uses the (df, g) tuple itself), so there is no single-partition
-    bottleneck; every stage is an ordinary keyed shuffle."""
+    bottleneck; every stage is an ordinary keyed shuffle.
+
+    Applicability condition (measured, round-5 stress lane — NOTES.md):
+    prefix filtering is sub-quadratic only while the shingle-df
+    distribution keeps a long unique tail (natural text). On a
+    vocab-saturated corpus the shingle space fills up, every df grows
+    ~linearly with n, and Σ df_prefix(g)² grows quadratically — measured
+    106× candidate growth for a 10× synthetic corpus (a constant ~17×
+    reduction vs all-pairs, both ≈5.5% of n²). For such corpora route
+    scale through :func:`dedup_minhash_lsh`, whose verify stage computes
+    the same EXACT Jaccard on LSH candidates (probabilistic recall, 4.9k
+    candidate pairs at 50k docs on the same corpus); keep this operator
+    as the exactness oracle."""
     docs = spread_small_input(load_table(spark, sf_dir, "documents"), spark)
     sh = shingles(docs)
     dfreq = sh.groupBy("g").agg(F.count("*").alias("df"))

@@ -1,0 +1,226 @@
+"""sf1-equivalent stress lane for the similarity/dedup path.
+
+The scale claims of the dedup/ANN operators (PPJoin prefix work stays
+sub-quadratic, LSH buckets stay balanced) are plan-tested at bench SF but
+the corpus never exceeds 5k docs / 2k vectors there. This tool generates
+a deterministic 10x corpus (50k documents, 20k embeddings — the sf1
+shape) from the sf0.1 tables and runs the three quadratic-risk queries
+against it, reporting wall time, result rows, and the candidate-pair
+volumes that decide scalability:
+
+- minhash_bucket_pairs:  sum over LSH band-buckets of C(|bucket|, 2)
+- ppjoin_prefix_pairs:   sum over prefix tokens of C(df_prefix(g), 2)
+- embedding_bucket_pairs: sum over 8-bit hyperplane buckets of C(|b|, 2)
+
+Sub-quadratic means these grow ~linearly with corpus size while n**2
+grows 100x for a 10x corpus.
+
+Corpus recipe (seeded, reproducible): every new doc derives from an
+sf0.1 base text — 3% are near-duplicates (5% token dropout, Jaccard of
+3-gram shingles ~0.7 > the 0.5 threshold), the rest are remixes
+(seeded word shuffle + 30% vocabulary swaps, shingle overlap ~0).
+Embeddings: 2% near-duplicates (small Gaussian perturbation), the rest
+fresh Gaussian vectors.
+
+Usage:  python tools/stress_lane.py [--out-dir DIR]
+Writes the corpus under DIR (default /tmp/spark_graft_stress) on first
+run, reuses it after; prints one JSON line with the measurements
+(recorded in NOTES.md per round).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_DOC_COPIES = 10
+N_EMB_COPIES = 10
+NEAR_DUP_DOC_RATE = 0.03
+NEAR_DUP_EMB_RATE = 0.02
+SEED = 20260814
+
+SRC_SF_DIR = "/root/testdata/sf0.1"
+
+
+def generate(out_dir: str) -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    base = pq.read_table(os.path.join(SRC_SF_DIR, "documents.parquet"))
+    texts = base["text"].to_pylist()
+    langs = base["lang"].to_pylist()
+    sources = base["source"].to_pylist()
+    nb = len(texts)
+    vocab = list({w for t in texts[:500] for w in t.split()})
+    vocab.sort()
+
+    doc_ids, out_texts, out_langs, out_sources = [], [], [], []
+    for i in range(nb * N_DOC_COPIES):
+        b = i % nb
+        rng = random.Random(SEED * 1_000_003 + i)
+        if i < nb:
+            txt = texts[b]  # keep the original corpus as-is
+        elif rng.random() < NEAR_DUP_DOC_RATE:
+            # near-duplicate: 5% token dropout of the base text
+            toks = [w for w in texts[b].split() if rng.random() >= 0.05]
+            txt = " ".join(toks)
+        else:
+            # remix: shuffle + 30% vocabulary swaps -> ~zero shared shingles
+            toks = texts[b].split()
+            rng.shuffle(toks)
+            toks = [
+                rng.choice(vocab) if rng.random() < 0.30 else w for w in toks
+            ]
+            txt = " ".join(toks)
+        doc_ids.append(i)
+        out_texts.append(txt)
+        out_langs.append(langs[b])
+        out_sources.append(sources[b])
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "text": pa.array(out_texts, pa.string()),
+                "lang": pa.array(out_langs, pa.string()),
+                "source": pa.array(out_sources, pa.string()),
+                "n_chars": pa.array([len(t) for t in out_texts], pa.int64()),
+            }
+        ),
+        os.path.join(out_dir, "documents.parquet"),
+    )
+
+    emb_t = pq.read_table(os.path.join(SRC_SF_DIR, "embeddings.parquet"))
+    emb = np.array(emb_t["embedding"].to_pylist(), dtype=np.float32)
+    labels = emb_t["label"].to_pylist()
+    ne, dim = emb.shape
+    g = np.random.default_rng(SEED)
+    rows = np.empty((ne * N_EMB_COPIES, dim), dtype=np.float32)
+    rows[:ne] = emb
+    out_labels = list(labels)
+    for i in range(ne, ne * N_EMB_COPIES):
+        b = i % ne
+        if g.random() < NEAR_DUP_EMB_RATE:
+            rows[i] = emb[b] + g.normal(0.0, 0.05 * np.abs(emb[b]).mean(), dim).astype(
+                np.float32
+            )
+        else:
+            rows[i] = g.normal(0.0, 1.0, dim).astype(np.float32)
+        out_labels.append(labels[b])
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(ne * N_EMB_COPIES), pa.int64()),
+                "embedding": pa.array([r.tolist() for r in rows], pa.list_(pa.float32())),
+                "label": pa.array(out_labels, pa.int32()),
+            }
+        ),
+        os.path.join(out_dir, "embeddings.parquet"),
+    )
+
+
+def candidate_volumes(spark, sf_dir: str) -> dict[str, int]:
+    """The three candidate-pair volumes (see module doc) — each is a cheap
+    aggregate over group sizes, NOT a pair materialization."""
+    from pyspark.sql import functions as F
+
+    from example_beam_spark.operators.dedup import (
+        _JACCARD_THRESHOLD,
+        band_keys,
+        minhash_signatures,
+        shingles,
+        shingles_raw,
+    )
+    from example_beam_spark.operators.similarity import _bucket_expr_spark
+    from example_beam_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    sig = minhash_signatures(shingles_raw(docs))
+    mh = (
+        band_keys(sig)
+        .groupBy("band", "bk")
+        .agg(F.count("*").alias("c"))
+        .agg(F.sum(F.expr("c * (c - 1) / 2")).alias("pairs"))
+        .collect()[0]["pairs"]
+    )
+
+    sh = shingles(docs)
+    dfreq = sh.groupBy("g").agg(F.count("*").alias("df"))
+    prefix = (
+        sh.join(dfreq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("df", "g"))).alias("toks"),
+            F.count("*").alias("n"),
+        )
+        .withColumn("p", F.col("n") - F.ceil(F.col("n") * _JACCARD_THRESHOLD) + 1)
+        .select(F.explode(F.expr("slice(toks, 1, CAST(p AS INT))")).alias("tk"))
+        .select(F.col("tk.g").alias("g"))
+    )
+    pp = (
+        prefix.groupBy("g")
+        .agg(F.count("*").alias("c"))
+        .agg(F.sum(F.expr("c * (c - 1) / 2")).alias("pairs"))
+        .collect()[0]["pairs"]
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    eb = (
+        emb.select(_bucket_expr_spark().alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("c"))
+        .agg(F.sum(F.expr("c * (c - 1) / 2")).alias("pairs"))
+        .collect()[0]["pairs"]
+    )
+    return {
+        "minhash_bucket_pairs": int(mh),
+        "ppjoin_prefix_pairs": int(pp),
+        "embedding_bucket_pairs": int(eb),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out-dir", default="/tmp/spark_graft_stress")
+    args = ap.parse_args()
+
+    if not os.path.exists(os.path.join(args.out_dir, "embeddings.parquet")):
+        t0 = time.time()
+        generate(args.out_dir)
+        print(f"# generated 10x corpus in {time.time() - t0:.1f}s -> {args.out_dir}")
+
+    from example_beam_spark.registry import load_registry
+    from example_beam_spark.session import get_spark
+
+    spark = get_spark(app_name="stress_lane")
+    reg = load_registry()
+    result: dict = {"sf_equiv": 1.0, "docs": 50000, "vecs": 20000, "queries": {}}
+    for name in (
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "embedding_neardup_pairs",
+        "dedup_exact",
+        "dedup_simhash",
+    ):
+        t0 = time.time()
+        n = reg[name].fn(spark, args.out_dir).count()
+        result["queries"][name] = {
+            "sec": round(time.time() - t0, 2),
+            "rows": n,
+        }
+        print(f"# {name}: {result['queries'][name]}", flush=True)
+    result["candidate_volumes"] = candidate_volumes(spark, args.out_dir)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
