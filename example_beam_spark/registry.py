@@ -104,4 +104,8 @@ def load_registry() -> dict[str, Query]:
     )
     from example_beam_spark.streaming import entries as streaming_entries  # noqa: F401
 
+    # appended after round 4 — new modules import last so existing registry
+    # positions (and the driver's positional graded window) never shift
+    from example_beam_spark.operators import avro_io  # noqa: F401
+
     return dict(QUERIES)

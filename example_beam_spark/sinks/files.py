@@ -12,11 +12,13 @@ data-source writer; dispositions become existence checks + save modes:
 - WRITE_APPEND / WRITE_TRUNCATE / WRITE_EMPTY → mode("append") /
   mode("overwrite") / fail when the target already holds data.
 
-Format: parquet by default. Avro (the reference's wire format) is an
-external Spark module (spark-avro jar) not bundled in this container —
-requesting ``format="avro"`` raises a clear error unless the jar is on
-the classpath; the schema mapping (nested struct / array / map /
-timestamp-micros logical type) is identical for both formats.
+Format: parquet by default. Avro (the reference's wire format) uses the
+external spark-avro module when its jar is on the classpath; otherwise
+it falls back to the repo's own distributed OCF writer
+(``formats/avro_spark.py`` — pure-Python Avro 1.12 encoding, proven
+interoperable with the official Java implementation in
+``tests/test_avro.py``). The schema mapping (nested struct / array /
+map / timestamp-micros logical type) is identical on both paths.
 
 Scale notes: the writer fans out one file per partition —
 ``max_records_per_file`` (the analog of ``withNumFileShards``,
@@ -62,8 +64,10 @@ def write_file_loads(
 
     ``fmt`` is any Spark data-source name (parquet/json/csv/orc/...);
     ``options`` passes format options through (e.g. ``{"header": "true"}``
-    for csv). Avro needs the external spark-avro module — absent from this
-    container, so that format fails with an explicit error."""
+    for csv). ``fmt="avro"`` prefers the spark-avro module and falls back
+    to the repo's distributed pure-Python OCF writer when the jar is
+    absent (``options={"compression": "null"|"deflate"}`` selects the
+    codec on the fallback path)."""
     exists = _target_exists(path)
     if create_disposition is CreateDisposition.CREATE_NEVER and not exists:
         raise FileNotFoundError(
@@ -89,10 +93,16 @@ def write_file_loads(
         writer.format(fmt).save(path)
     except Exception as e:
         if fmt == "avro" and "Failed to find" in str(e):
-            raise RuntimeError(
-                "fmt='avro' needs the external spark-avro module on the "
-                "classpath (the reference's wire format, "
-                "SaveSpecificRecord.scala:66-70); it is not bundled here — "
-                "use parquet/json/csv or add the spark-avro jar"
-            ) from e
-        raise
+            # spark-avro jar absent: write the reference's wire format with
+            # the repo's own distributed OCF writer instead.
+            from example_beam_spark.formats.avro_spark import write_avro
+
+            write_avro(
+                df,
+                path,
+                mode=mode,
+                codec=(options or {}).get("compression", "deflate"),
+                max_records_per_file=max_records_per_file,
+            )
+        else:
+            raise

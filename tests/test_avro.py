@@ -1,0 +1,234 @@
+"""Avro wire-format tests: pure-Python OCF codec, cross-implementation
+interop with the official Apache Avro Java library (avro-1.12.1.jar on
+Spark's classpath), and the distributed Spark sink/source built on it."""
+
+from __future__ import annotations
+
+import datetime as dt
+import decimal
+import glob
+import io
+import json
+import os
+
+import pytest
+
+from example_beam_spark.formats.avro_ocf import read_ocf, write_ocf
+from example_beam_spark.formats.avro_spark import read_avro, write_avro
+from example_beam_spark.sinks import (
+    CreateDisposition,
+    WriteDisposition,
+    write_file_loads,
+)
+from example_beam_spark.sources import range_records
+
+UTC = dt.timezone.utc
+
+FULL_SCHEMA = {
+    "type": "record",
+    "name": "Rec",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+        {"name": "name", "type": "string"},
+        {"name": "desc", "type": ["null", "string"], "default": None},
+        {
+            "name": "attrs",
+            "type": {
+                "type": "array",
+                "items": {
+                    "type": "record",
+                    "name": "KV",
+                    "fields": [
+                        {"name": "key", "type": "string"},
+                        {"name": "value", "type": "string"},
+                    ],
+                },
+            },
+        },
+        {"name": "m", "type": {"type": "map", "values": "string"}},
+        {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+        {"name": "x", "type": "double"},
+        {"name": "f", "type": "float"},
+        {"name": "b", "type": "bytes"},
+        {
+            "name": "dec",
+            "type": {
+                "type": "bytes",
+                "logicalType": "decimal",
+                "precision": 12,
+                "scale": 2,
+            },
+        },
+        {"name": "flag", "type": "boolean"},
+    ],
+}
+
+
+def _full_rows(n: int) -> list[dict]:
+    return [
+        {
+            "id": i - 3,  # include negative longs (zigzag path)
+            "ts": dt.datetime(2024, 1, 1, tzinfo=UTC) + dt.timedelta(seconds=i, microseconds=i),
+            "name": f"n{i}",
+            "desc": None if i % 3 == 0 else f"d{i}",
+            "attrs": [{"key": "k", "value": f"v{i}"}],
+            "m": {"a": f"x{i}"},
+            "d": dt.date(2024, 1, 1) + dt.timedelta(days=i),
+            "x": i * 1.5,
+            "f": float(i),
+            "b": bytes([i % 256, 0, 255]),
+            "dec": decimal.Decimal(i - 50) + decimal.Decimal("0.25"),
+            "flag": i % 2 == 0,
+        }
+        for i in range(n)
+    ]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_ocf_codec_roundtrip(codec):
+    rows = _full_rows(500)
+    buf = io.BytesIO()
+    n = write_ocf(buf, FULL_SCHEMA, rows, codec=codec, block_records=64)
+    assert n == 500
+    schema, it = read_ocf(buf.getvalue())
+    out = list(it)
+    assert schema == FULL_SCHEMA
+    assert len(out) == 500
+    for i in (0, 1, 7, 499):
+        r, exp = out[i], rows[i]
+        assert r["id"] == exp["id"] and r["ts"] == exp["ts"] and r["d"] == exp["d"]
+        assert r["desc"] == exp["desc"] and r["attrs"] == exp["attrs"]
+        assert r["m"] == [("a", f"x{i}")]
+        assert r["x"] == exp["x"] and r["b"] == exp["b"] and r["flag"] == exp["flag"]
+        assert r["dec"] == exp["dec"].quantize(decimal.Decimal("0.01"))
+
+
+def test_java_reads_python_written_file(spark, tmp_path):
+    """The official Apache Avro Java DataFileReader must accept our files
+    byte-for-byte — the real interop bar for the wire format."""
+    schema = {
+        "type": "record",
+        "name": "Rec",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+            {"name": "name", "type": "string"},
+            {"name": "desc", "type": ["null", "string"], "default": None},
+            {"name": "m", "type": {"type": "map", "values": "string"}},
+        ],
+    }
+    rows = [
+        {
+            "id": i,
+            "ts": 1_700_000_000_000_000 + i,
+            "name": f"n{i}",
+            "desc": None if i % 3 == 0 else f"d{i}",
+            "m": {"a": f"x{i}"},
+        }
+        for i in range(40)
+    ]
+    path = str(tmp_path / "py.avro")
+    with open(path, "wb") as f:
+        write_ocf(f, schema, rows, codec="deflate", block_records=7)
+
+    jvm = spark._jvm
+    jschema = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(schema))
+    reader = jvm.org.apache.avro.generic.GenericDatumReader(jschema)
+    dfr = jvm.org.apache.avro.file.DataFileReader(jvm.java.io.File(path), reader)
+    got = []
+    while dfr.hasNext():
+        got.append(json.loads(dfr.next().toString()))
+    dfr.close()
+    assert len(got) == 40
+    assert got[7] == {
+        "id": 7,
+        "ts": 1_700_000_000_000_007,
+        "name": "n7",
+        "desc": "d7",
+        "m": {"a": "x7"},
+    }
+    assert got[0]["desc"] is None
+
+
+def test_python_reads_java_written_file(spark, tmp_path):
+    schema = {
+        "type": "record",
+        "name": "Rec",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": "string"},
+            {"name": "desc", "type": ["null", "string"], "default": None},
+        ],
+    }
+    jvm = spark._jvm
+    jschema = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(schema))
+    writer = jvm.org.apache.avro.generic.GenericDatumWriter(jschema)
+    dfw = jvm.org.apache.avro.file.DataFileWriter(writer)
+    dfw.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
+    path = str(tmp_path / "java.avro")
+    dfw.create(jschema, jvm.java.io.File(path))
+    for i in range(20):
+        rec = jvm.org.apache.avro.generic.GenericData.Record(jschema)
+        rec.put("id", jvm.java.lang.Long(i))
+        rec.put("name", f"jn{i}")
+        rec.put("desc", None if i % 2 else f"jd{i}")
+        dfw.append(rec)
+    dfw.close()
+
+    with open(path, "rb") as f:
+        _, it = read_ocf(f.read())
+    back = list(it)
+    assert len(back) == 20
+    assert back[3] == {"id": 3, "name": "jn3", "desc": None}
+    assert back[2] == {"id": 2, "name": "jn2", "desc": "jd2"}
+
+
+def test_spark_write_read_roundtrip(spark, tmp_path):
+    df = range_records(spark, 100).repartition(4)
+    path = str(tmp_path / "records")
+    n = write_avro(df, path, mode="overwrite", codec="deflate", max_records_per_file=20)
+    assert n == 100
+    # 4 partitions x 25 rows capped at 20/file -> 8 part files
+    assert len(glob.glob(os.path.join(path, "*.avro"))) == 8
+
+    expected = sorted(df.collect(), key=lambda r: r.id)
+    inferred = sorted(read_avro(spark, path).collect(), key=lambda r: r.id)
+    explicit = sorted(read_avro(spark, path, schema=df.schema).collect(), key=lambda r: r.id)
+    assert inferred == expected
+    assert explicit == expected
+
+    # append mode adds files; overwrite replaces them
+    write_avro(df, path, mode="append")
+    assert read_avro(spark, path).count() == 200
+    write_avro(df, path, mode="overwrite")
+    assert read_avro(spark, path).count() == 100
+
+
+def test_file_loads_avro_fallback_and_dispositions(spark, tmp_path):
+    """write_file_loads(fmt='avro') must transparently use the OCF writer
+    (no spark-avro jar here) while still honoring dispositions."""
+    df = range_records(spark, 30)
+    path = str(tmp_path / "loads")
+
+    with pytest.raises(FileNotFoundError):
+        write_file_loads(
+            df, path, create_disposition=CreateDisposition.CREATE_NEVER, fmt="avro"
+        )
+
+    write_file_loads(df, path, fmt="avro")
+    assert read_avro(spark, path).count() == 30
+
+    with pytest.raises(FileExistsError):
+        write_file_loads(
+            df, path, write_disposition=WriteDisposition.WRITE_EMPTY, fmt="avro"
+        )
+
+    write_file_loads(
+        df, path, write_disposition=WriteDisposition.WRITE_APPEND, fmt="avro"
+    )
+    assert read_avro(spark, path).count() == 60
+    write_file_loads(
+        df, path, write_disposition=WriteDisposition.WRITE_TRUNCATE, fmt="avro"
+    )
+    assert read_avro(spark, path).count() == 30
