@@ -1,0 +1,164 @@
+"""Corpus-quality operators for a training-data pipeline: intra-document
+repetition signals and a global vocabulary build.
+
+Round-5 additions to the LLM-pipeline extension surface (SURVEY §2
+extensions; the text-analysis family in ``operators/textops.py``):
+
+- ``doc_repetition_ngrams`` — the repetition quality filter from the
+  public Gopher corpus-filtering recipe (Rae et al., "Scaling Language
+  Models: ... Gopher", arXiv:2112.11446 §A1.1: documents whose most
+  frequent n-gram or duplicated n-gram mass exceeds a threshold are
+  dropped): per-document fraction of duplicated 3-gram occurrences and
+  the share of the single most frequent 3-gram.
+- ``vocab_top_terms`` — global term/document frequencies + top-100
+  ranking, the vocabulary/IDF-statistics pass every tokenizer or
+  quality-classifier build runs over the corpus.
+
+Scale design (100 TB): both are explode → hash-keyed partial+final
+aggregates — map-side combine shrinks the shuffle to one short row per
+(doc, ngram) / term; no Python, no windows over raw tokens. The
+top-100 cut in ``vocab_top_terms`` is orderBy+limit over the *aggregated
+vocabulary* (Spark's TakeOrdered — per-partition heaps, no global
+sort materialization), and the final rank window runs on 100 rows.
+Tokenization follows the corpus convention (single-space split,
+``textops.py`` module header).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from example_beam_spark.registry import register
+from example_beam_spark.sources import load_table
+
+_NGRAM = 3
+_VOCAB_TOP = 100
+
+# --------------------------------------------------------------------------
+# doc_repetition_ngrams
+# --------------------------------------------------------------------------
+
+_REP_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS s FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, md5(array_to_string(s[i:i+{_NGRAM - 1}], ' ')) AS h
+        FROM toks CROSS JOIN
+             UNNEST(generate_series(1, GREATEST(len(s) - {_NGRAM - 1}, 0))) AS u(i)
+    ),
+    per AS (
+        SELECT doc_id, h, COUNT(*) AS c FROM sh GROUP BY doc_id, h
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_ngrams,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(MAX(c) AS BIGINT) AS top_count
+        FROM per GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.n_ngrams, 0) AS n_ngrams,
+           COALESCE(a.n_distinct, 0) AS n_distinct,
+           CASE WHEN a.n_ngrams > 0
+                THEN 1.0 - CAST(a.n_distinct AS DOUBLE) / CAST(a.n_ngrams AS DOUBLE)
+                ELSE 0.0 END AS dup_ngram_frac,
+           CASE WHEN a.n_ngrams > 0
+                THEN CAST(a.top_count AS DOUBLE) / CAST(a.n_ngrams AS DOUBLE)
+                ELSE 0.0 END AS top_ngram_frac
+    FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+
+@register("doc_repetition_ngrams", oracle=_REP_ORACLE)
+def doc_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram repetition signals (Gopher-style quality
+    filter): duplicated-ngram fraction and most-frequent-ngram share.
+    Explode shingle positions → two partial+final aggregates keyed by
+    (doc, hash) then doc; short docs come back with zeros via the
+    left join against the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = F.split(F.col("text"), " ")
+    sh = docs.select(
+        "doc_id",
+        s.alias("s"),
+        # guard: sequence(1, 0) raises in Spark where DuckDB's
+        # generate_series returns empty — short docs emit no shingles
+        F.explode(
+            F.when(
+                F.size(s) >= _NGRAM,
+                F.sequence(F.lit(1), F.size(s) - (_NGRAM - 1)),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("i"),
+    ).select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice("s", F.col("i"), _NGRAM))).alias("h"),
+    )
+    per = sh.groupBy("doc_id", "h").agg(F.count("*").alias("c"))
+    agg = per.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_ngrams"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.max("c").cast("long").alias("top_count"),
+    )
+    out = docs.select("doc_id").join(agg, "doc_id", "left")
+    nonzero = F.col("n_ngrams") > 0
+    return out.select(
+        "doc_id",
+        F.coalesce("n_ngrams", F.lit(0)).cast("long").alias("n_ngrams"),
+        F.coalesce("n_distinct", F.lit(0)).cast("long").alias("n_distinct"),
+        F.when(
+            nonzero,
+            F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_ngrams").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_ngram_frac"),
+        F.when(
+            nonzero, F.col("top_count").cast("double") / F.col("n_ngrams").cast("double")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_ngram_frac"),
+    )
+
+
+# --------------------------------------------------------------------------
+# vocab_top_terms
+# --------------------------------------------------------------------------
+
+_VOCAB_ORACLE = f"""
+    WITH terms AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    agg AS (
+        SELECT term,
+               CAST(COUNT(*) AS BIGINT) AS tf,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM terms WHERE term <> '' GROUP BY term
+    )
+    SELECT term, tf, df, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, term) AS BIGINT) AS rank
+        FROM agg
+    ) WHERE rank <= {_VOCAB_TOP}
+"""
+
+
+@register("vocab_top_terms", oracle=_VOCAB_ORACLE)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global vocabulary statistics: term frequency + document frequency
+    per token, top-{_VOCAB_TOP} by frequency. Explode → partial+final
+    aggregate keyed by term; the cut is orderBy+limit (TakeOrdered —
+    per-partition heaps) and the rank window touches only the 100
+    survivors."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    agg = terms.groupBy("term").agg(
+        F.count("*").cast("long").alias("tf"),
+        F.countDistinct("doc_id").cast("long").alias("df"),
+    )
+    top = agg.orderBy(F.desc("tf"), "term").limit(_VOCAB_TOP)
+    w = Window.orderBy(F.desc("tf"), "term")
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "term", "tf", "df", "rank"
+    )

@@ -1,0 +1,188 @@
+"""IVF-style cell-probed ANN over the ``embeddings`` table — the
+inverted-file counterpart of ``ann_topk_lsh`` (SURVEY §2 extensions name
+"an IVF or LSH-bucketed variant" as the ANN scale path; this adds the
+IVF side so both canonical bucketing families are covered).
+
+Structure (classic IVF, e.g. Jégou et al., "Product Quantization for
+Nearest Neighbor Search", IEEE TPAMI 2011 — coarse quantizer only, no
+PQ compression):
+
+1. pick ``IVF_K`` seed vectors as cell centers;
+2. assign every corpus vector to its nearest seed (argmax cosine) — the
+   inverted lists;
+3. per query, probe the ``IVF_NPROBE`` nearest cells and run exact
+   cosine top-k over only those cells' members (≈ nprobe/k of the
+   corpus scanned per query instead of all of it).
+
+Determinism / oracle: production IVF trains k-means centroids — a
+stored model the SQL oracle could not reproduce. Here the seeds are the
+``IVF_K`` corpus vectors with the smallest ``md5(vec_id)`` (a
+deterministic hash-rank "sample"; Spark md5 == DuckDB md5), so cell
+assignment, probing, and ranking are bit-reproducible in both engines:
+cosines reuse the quantized-integer dot products from
+``operators/similarity.py``, making every comparison (argmax, top-k)
+operate on bit-identical doubles.
+
+Scale design (100 TB): seed selection sorts only (vec_id, md5) pairs —
+never embeddings; with trained centroids this stage disappears
+entirely. Assignment is a broadcast join (k vectors ≈ MBs even at
+k=√n for billions of rows) + a per-vector argmax window keyed by
+vec_id — the n×k expansion is bounded and map-local per vector. The
+candidate join shuffles by cell id, so each probed cell's exact scan is
+shuffle-local, exactly like the LSH bucket join. Swapping hash-rank
+seeds for pyspark.ml KMeans centroids changes ONE dataframe (``seeds``)
+and nothing downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from example_beam_spark.operators.similarity import (
+    _ELEMS_SQL,
+    _NORMS_SQL,
+    _SCALE,
+    N_QUERIES,
+    TOP_K,
+    dot_dec,
+    norm_dec,
+)
+from example_beam_spark.registry import register
+from example_beam_spark.sources import load_table, spread_small_input
+
+IVF_K = 16  # seed cells (≈√n at this SF; production: trained centroids)
+IVF_NPROBE = 3
+
+_SEED_IDS_SQL = f"""
+    SELECT vec_id FROM (
+        SELECT vec_id, ROW_NUMBER() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+               ) AS srk
+        FROM embeddings
+    ) WHERE srk <= {IVF_K}
+"""
+
+_IVF_ORACLE = f"""
+    WITH elems AS ({_ELEMS_SQL}),
+    norms AS ({_NORMS_SQL}),
+    seed_ids AS ({_SEED_IDS_SQL}),
+    seed_cos AS (
+        SELECT v.vec_id, s.vec_id AS seed_id,
+               (CAST(SUM(CAST(FLOOR(v.x * s.x * {_SCALE}) AS BIGINT)) AS DOUBLE) / {_SCALE})
+                   / (nv.nrm * ns.nrm) AS cos_seed
+        FROM elems v
+        JOIN elems s ON s.i = v.i
+        JOIN seed_ids si ON si.vec_id = s.vec_id
+        JOIN norms nv ON nv.vec_id = v.vec_id
+        JOIN norms ns ON ns.vec_id = s.vec_id
+        GROUP BY v.vec_id, s.vec_id, nv.nrm, ns.nrm
+    ),
+    ranked AS (
+        SELECT vec_id, seed_id, ROW_NUMBER() OVER (
+                   PARTITION BY vec_id ORDER BY cos_seed DESC, seed_id
+               ) AS crk
+        FROM seed_cos
+    ),
+    cells AS (SELECT vec_id, seed_id AS cell FROM ranked WHERE crk = 1),
+    probes AS (
+        SELECT vec_id AS query_id, seed_id AS cell FROM ranked
+        WHERE vec_id < {N_QUERIES} AND crk <= {IVF_NPROBE}
+    ),
+    dots AS (
+        SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id, p.cell,
+               CAST(SUM(CAST(FLOOR(q.x * d.x * {_SCALE}) AS BIGINT)) AS DOUBLE) / {_SCALE} AS dot
+        FROM elems q
+        JOIN probes p ON p.query_id = q.vec_id
+        JOIN cells c ON c.cell = p.cell
+        JOIN elems d ON d.vec_id = c.vec_id AND d.i = q.i AND d.vec_id <> q.vec_id
+        GROUP BY q.vec_id, d.vec_id, p.cell
+    ),
+    scored AS (
+        SELECT t.query_id, t.neighbor_id, t.cell,
+               t.dot / (nq.nrm * nd.nrm) AS cosine
+        FROM dots t
+        JOIN norms nq ON nq.vec_id = t.query_id
+        JOIN norms nd ON nd.vec_id = t.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cell, cosine, rk FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+               ) AS BIGINT) AS rk
+        FROM scored
+    ) WHERE rk <= {TOP_K}
+"""
+
+
+@register("ann_topk_ivf", oracle=_IVF_ORACLE)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-probed ANN: assign every vector to its nearest of IVF_K seed
+    cells, probe the IVF_NPROBE nearest cells per query, exact cosine
+    top-k within the probed cells only."""
+    emb = spread_small_input(load_table(spark, sf_dir, "embeddings"), spark)
+    base = emb.select("vec_id", "embedding", norm_dec("embedding").alias("nrm"))
+
+    # seed selection sorts only (vec_id, md5) — embeddings join in after
+    seed_rank = Window.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+    seed_ids = (
+        emb.select("vec_id")
+        .withColumn("srk", F.row_number().over(seed_rank))
+        .filter(F.col("srk") <= IVF_K)
+        .select("vec_id")
+    )
+    seeds = F.broadcast(
+        base.join(seed_ids, "vec_id").select(
+            F.col("vec_id").alias("seed_id"),
+            F.col("embedding").alias("s_emb"),
+            F.col("nrm").alias("s_nrm"),
+        )
+    )
+
+    # n×k assignment scores, then per-vector argmax / per-query nprobe
+    seed_cos = base.join(seeds).select(
+        "vec_id",
+        "seed_id",
+        (dot_dec("embedding", "s_emb") / (F.col("nrm") * F.col("s_nrm"))).alias("cos_seed"),
+    )
+    crk = F.row_number().over(
+        Window.partitionBy("vec_id").orderBy(F.desc("cos_seed"), "seed_id")
+    )
+    ranked = seed_cos.withColumn("crk", crk)
+    cells = ranked.filter(F.col("crk") == 1).select(
+        "vec_id", F.col("seed_id").alias("cell")
+    )
+    probes = ranked.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("crk") <= IVF_NPROBE)
+    ).select(F.col("vec_id").alias("query_id"), F.col("seed_id").alias("cell"))
+
+    # exact cosine over probed cells only — shuffle keyed by cell
+    members = cells.join(
+        base.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("n_emb"),
+            F.col("nrm").alias("n_nrm"),
+        ),
+        cells.vec_id == F.col("neighbor_id"),
+    ).select("neighbor_id", "cell", "n_emb", "n_nrm")
+    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cands = (
+        members.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(queries), "query_id")
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        "cell",
+        (dot_dec("q_emb", "n_emb") / (F.col("q_nrm") * F.col("n_nrm"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cell", "cosine", "rk")
+    )

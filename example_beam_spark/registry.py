@@ -106,6 +106,6 @@ def load_registry() -> dict[str, Query]:
 
     # appended after round 4 — new modules import last so existing registry
     # positions (and the driver's positional graded window) never shift
-    from example_beam_spark.operators import avro_io  # noqa: F401
+    from example_beam_spark.operators import avro_io, corpusqa, ivf  # noqa: F401
 
     return dict(QUERIES)
