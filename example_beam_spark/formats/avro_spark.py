@@ -105,9 +105,11 @@ def write_avro(
     mode: str = "append",
     codec: str = "deflate",
     max_records_per_file: int | None = None,
+    file_prefix: str = "part",
 ) -> int:
-    """Write ``df`` under ``path`` as ``part-*.avro`` OCF files, one-plus
-    per partition. Returns total rows written (from the task manifest)."""
+    """Write ``df`` under ``path`` as ``{file_prefix}-*.avro`` OCF files,
+    one-plus per partition. Returns total rows written (from the task
+    manifest)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     avro_schema = spark_schema_to_avro(df.schema)
@@ -128,7 +130,9 @@ def write_avro(
         def flush_file() -> None:
             if not rows_buf:
                 return
-            fname = os.path.join(path, f"part-{pid:05d}-{uuid.uuid4().hex}.avro")
+            fname = os.path.join(
+                path, f"{file_prefix}-{pid:05d}-{uuid.uuid4().hex}.avro"
+            )
             with open(fname, "wb") as f:
                 n = write_ocf(f, avro_schema, rows_buf, codec=codec)
             manifest.append({"path": fname, "n_records": n})
@@ -219,3 +223,50 @@ def read_avro(
         .select("content")
     )
     return binary.mapInArrow(decode, schema)
+
+
+def _raise_failed(batch_df: DataFrame, batch_id: int, exc: Exception) -> None:
+    raise exc
+
+
+def avro_stream_sink(
+    path: str,
+    codec: str = "deflate",
+    max_records_per_file: int | None = None,
+    max_retries: int = 3,
+    on_failed=None,
+):
+    """foreachBatch sink writing each micro-batch as Avro OCF part files —
+    the unbounded file-loads variant of the reference's write path
+    (``withTriggeringFrequency`` / ``withNumFileShards``,
+    ``bigquery/SaveSpecificRecord.scala:75-78``; the trigger maps to the
+    query's ``.trigger(...)`` and the shard bound to
+    ``max_records_per_file``).
+
+    Idempotent under micro-batch replay: files carry a ``batch-<id>``
+    prefix and delivery first removes that batch's files, so a batch
+    re-run after recovery replaces its own output instead of
+    duplicating it. Composes with :func:`foreach_batch_with_retry` for
+    transient-error retry + DLQ (``on_failed``; default re-raises,
+    failing the query).
+
+    Use as ``df.writeStream.foreachBatch(avro_stream_sink(path)).start()``.
+    """
+    from example_beam_spark.sinks.streaming import foreach_batch_with_retry
+
+    def deliver(batch_df: DataFrame, batch_id: int) -> None:
+        prefix = f"batch-{batch_id:09d}"
+        for stale in glob.glob(os.path.join(path, f"{prefix}-*.avro")):
+            os.remove(stale)
+        write_avro(
+            batch_df,
+            path,
+            mode="append",
+            codec=codec,
+            max_records_per_file=max_records_per_file,
+            file_prefix=prefix,
+        )
+
+    return foreach_batch_with_retry(
+        deliver, on_failed or _raise_failed, max_retries=max_retries
+    )

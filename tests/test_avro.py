@@ -232,3 +232,37 @@ def test_file_loads_avro_fallback_and_dispositions(spark, tmp_path):
         df, path, write_disposition=WriteDisposition.WRITE_TRUNCATE, fmt="avro"
     )
     assert read_avro(spark, path).count() == 30
+
+
+def test_avro_stream_sink_availablenow_and_idempotent_replay(spark, tmp_path):
+    """Unbounded file-loads variant: stream -> foreachBatch avro sink.
+    Batch-id-prefixed files make micro-batch replay idempotent."""
+    from example_beam_spark.formats.avro_spark import avro_stream_sink
+
+    df = range_records(spark, 100)
+    src = str(tmp_path / "src")
+    df.write.parquet(src)
+    out = str(tmp_path / "out")
+
+    sink = avro_stream_sink(out, max_records_per_file=40)
+    q = (
+        spark.readStream.schema(df.schema)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    back = read_avro(spark, out)
+    assert back.count() == 100
+    assert sorted(back.collect(), key=lambda r: r.id) == sorted(
+        df.collect(), key=lambda r: r.id
+    )
+    files = glob.glob(os.path.join(out, "batch-*.avro"))
+    assert files and all(os.path.basename(f).startswith("batch-") for f in files)
+
+    # replaying the same batch id replaces its own files instead of appending
+    sink(df, 0)
+    sink(df, 0)
+    assert read_avro(spark, out).count() == 100
