@@ -203,3 +203,40 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ivf_joins_are_broadcast(spark):
+    """ann_topk_ivf: seeds / probes / queries are all tiny — every join
+    around the corpus scan must be broadcast, never a fact-side
+    sort-merge shuffle."""
+    from example_beam_spark.plans import explain_formatted
+
+    q = load_registry()["ann_topk_ivf"]
+    df = q.fn(spark, SF)
+    assert has_broadcast_join(df)
+    assert "SortMergeJoin" not in explain_formatted(df)
+
+
+def test_vocab_top_terms_uses_takeordered(spark):
+    """vocab_top_terms: the top-100 cut must compile to TakeOrdered
+    (per-partition heaps), not a global sort of the vocabulary, and the
+    term aggregation must be partial+final (map-side combine)."""
+    from example_beam_spark.plans import explain_formatted
+
+    q = load_registry()["vocab_top_terms"]
+    plan = explain_formatted(q.fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert plan.count("HashAggregate") >= 2, plan[:2000]
+
+
+def test_doc_repetition_partial_final_agg(spark):
+    """doc_repetition_ngrams: both aggregates are hash partial+final;
+    the only exchanges are the two hash-keyed shuffles plus the final
+    doc join."""
+    from example_beam_spark.plans import explain_formatted
+
+    q = load_registry()["doc_repetition_ngrams"]
+    df = q.fn(spark, SF)
+    plan = explain_formatted(df)
+    assert plan.count("HashAggregate") >= 4, plan[:2000]  # 2 aggs x partial+final
+    assert num_exchanges(df) <= 3, num_exchanges(df)
