@@ -114,18 +114,14 @@ _IVF_ORACLE = f"""
 """
 
 
-@register("ann_topk_ivf", oracle=_IVF_ORACLE)
-def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cell-probed ANN: assign every vector to its nearest of IVF_K seed
-    cells, probe the IVF_NPROBE nearest cells per query, exact cosine
-    top-k within the probed cells only."""
-    emb = spread_small_input(load_table(spark, sf_dir, "embeddings"), spark)
-    base = emb.select("vec_id", "embedding", norm_dec("embedding").alias("nrm"))
-
+def seed_scores(base: DataFrame) -> DataFrame:
+    """(vec_id, seed_id, cos_seed, crk) for every corpus vector × seed —
+    crk=1 is the vector's cell; crk<=nprobe are a query's probe cells.
+    ``base`` must carry (vec_id, embedding, nrm)."""
     # seed selection sorts only (vec_id, md5) — embeddings join in after
     seed_rank = Window.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
     seed_ids = (
-        emb.select("vec_id")
+        base.select("vec_id")
         .withColumn("srk", F.row_number().over(seed_rank))
         .filter(F.col("srk") <= IVF_K)
         .select("vec_id")
@@ -137,8 +133,6 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nrm").alias("s_nrm"),
         )
     )
-
-    # n×k assignment scores, then per-vector argmax / per-query nprobe
     seed_cos = base.join(seeds).select(
         "vec_id",
         "seed_id",
@@ -147,7 +141,18 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     crk = F.row_number().over(
         Window.partitionBy("vec_id").orderBy(F.desc("cos_seed"), "seed_id")
     )
-    ranked = seed_cos.withColumn("crk", crk)
+    return seed_cos.withColumn("crk", crk)
+
+
+@register("ann_topk_ivf", oracle=_IVF_ORACLE)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-probed ANN: assign every vector to its nearest of IVF_K seed
+    cells, probe the IVF_NPROBE nearest cells per query, exact cosine
+    top-k within the probed cells only."""
+    emb = spread_small_input(load_table(spark, sf_dir, "embeddings"), spark)
+    base = emb.select("vec_id", "embedding", norm_dec("embedding").alias("nrm"))
+
+    ranked = seed_scores(base)
     cells = ranked.filter(F.col("crk") == 1).select(
         "vec_id", F.col("seed_id").alias("cell")
     )

@@ -181,10 +181,32 @@ def candidate_volumes(spark, sf_dir: str) -> dict[str, int]:
         .agg(F.sum(F.expr("c * (c - 1) / 2")).alias("pairs"))
         .collect()[0]["pairs"]
     )
+
+    # IVF cell balance: per-query candidate work is the probed cells' sizes,
+    # so the max/mean cell ratio is the skew that decides the scale story
+    from example_beam_spark.operators.ivf import seed_scores
+    from example_beam_spark.operators.similarity import norm_dec
+
+    base = emb.select("vec_id", "embedding", norm_dec("embedding").alias("nrm"))
+    cell_sizes = (
+        seed_scores(base)
+        .filter(F.col("crk") == 1)
+        .groupBy("seed_id")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.max("c").alias("mx"),
+            F.avg("c").alias("avg"),
+            F.count("*").alias("n_cells"),
+        )
+        .collect()[0]
+    )
     return {
         "minhash_bucket_pairs": int(mh),
         "ppjoin_prefix_pairs": int(pp),
         "embedding_bucket_pairs": int(eb),
+        "ivf_cells": int(cell_sizes["n_cells"]),
+        "ivf_max_cell": int(cell_sizes["mx"]),
+        "ivf_avg_cell": round(float(cell_sizes["avg"]), 1),
     }
 
 
@@ -210,6 +232,9 @@ def main() -> None:
         "embedding_neardup_pairs",
         "dedup_exact",
         "dedup_simhash",
+        "ann_topk_ivf",
+        "doc_repetition_ngrams",
+        "vocab_top_terms",
     ):
         t0 = time.time()
         n = reg[name].fn(spark, args.out_dir).count()
