@@ -162,3 +162,68 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "term", "tf", "df", "rank"
     )
+
+
+# --------------------------------------------------------------------------
+# docs_quality_filter — the composite keep/drop decision
+# --------------------------------------------------------------------------
+
+_MIN_TOKENS = 24
+_MAX_TOKENS = 80
+_MAX_DUP_FRAC = 0.02
+_MIN_MEAN_TOK = 3.0
+_MAX_MEAN_TOK = 6.0
+
+_FILTER_ORACLE = f"""
+    WITH rep AS ({_REP_ORACLE}),
+    toks AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               (length(text) - (len(string_split(text, ' ')) - 1.0))
+                   / len(string_split(text, ' ')) AS mean_tok_len
+        FROM documents
+    )
+    SELECT t.doc_id, t.n_tokens, t.mean_tok_len, r.dup_ngram_frac,
+           CAST(CASE WHEN t.n_tokens >= {_MIN_TOKENS}
+                      AND t.n_tokens <= {_MAX_TOKENS}
+                      AND r.dup_ngram_frac <= {_MAX_DUP_FRAC}
+                      AND t.mean_tok_len >= {_MIN_MEAN_TOK}
+                      AND t.mean_tok_len <= {_MAX_MEAN_TOK}
+                THEN 1 ELSE 0 END AS BIGINT) AS keep_flag
+    FROM toks t JOIN rep r ON r.doc_id = t.doc_id
+"""
+
+
+@register("docs_quality_filter", oracle=_FILTER_ORACLE)
+def docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite corpus-cleaning decision (C4/Gopher-style rule
+    stack): token-count band + duplicated-3-gram ceiling + mean-token-
+    length band -> one keep/drop flag per document, with the signals
+    kept as columns for threshold audits. Composes the repetition
+    aggregate with scan-shaped token stats (mean token length uses the
+    single-space-corpus identity len(text) = Σ|tok| + n - 1, so no
+    second explode); one broadcast-eligible join on doc_id."""
+    rep = doc_repetition_ngrams(spark, sf_dir).select("doc_id", "dup_ngram_frac")
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    toks = docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        (
+            (F.length("text") - (n_tok - F.lit(1.0))) / n_tok
+        ).alias("mean_tok_len"),
+    )
+    keep = (
+        (F.col("n_tokens") >= _MIN_TOKENS)
+        & (F.col("n_tokens") <= _MAX_TOKENS)
+        & (F.col("dup_ngram_frac") <= _MAX_DUP_FRAC)
+        & (F.col("mean_tok_len") >= _MIN_MEAN_TOK)
+        & (F.col("mean_tok_len") <= _MAX_MEAN_TOK)
+    )
+    return toks.join(rep, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "mean_tok_len",
+        "dup_ngram_frac",
+        F.when(keep, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("keep_flag"),
+    )

@@ -266,3 +266,28 @@ def test_avro_stream_sink_availablenow_and_idempotent_replay(spark, tmp_path):
     sink(df, 0)
     sink(df, 0)
     assert read_avro(spark, out).count() == 100
+
+
+def test_spark_roundtrip_all_logical_types(spark, tmp_path):
+    """Date / decimal / binary / float / int / boolean through the
+    distributed sink+source (the codec-level test covers the encoding;
+    this pins the Spark value conversions both ways)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1, 21).select(
+        F.col("id"),
+        F.col("id").cast("int").alias("i32"),
+        (F.col("id") * 1.5).cast("float").alias("f32"),
+        (F.col("id") * 2.5).alias("f64"),
+        F.to_date(F.lit("2024-01-01")).alias("d"),
+        F.date_add(F.to_date(F.lit("2024-01-01")), F.col("id").cast("int")).alias("d2"),
+        (F.col("id") * 100 + 0.25).cast("decimal(12,2)").alias("dec"),
+        F.encode(F.concat(F.lit("b"), F.col("id")), "utf-8").alias("bin"),
+        (F.col("id") % 2 == 0).alias("flag"),
+        F.when(F.col("id") % 4 == 0, F.col("id")).alias("opt_long"),
+    )
+    path = str(tmp_path / "logical")
+    write_avro(df, path, mode="overwrite")
+    for schema in (None, df.schema):
+        back = sorted(read_avro(spark, path, schema=schema).collect(), key=lambda r: r.id)
+        assert back == sorted(df.collect(), key=lambda r: r.id)
