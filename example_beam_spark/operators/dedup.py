@@ -374,6 +374,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses the (df, g) tuple itself), so there is no single-partition
     bottleneck; every stage is an ordinary keyed shuffle.
 
+    The candidate join also applies PPJoin's size filter (t*na <= nb <=
+    na/t) and positional filter (intersection <= min(na-pa, nb-pb)+1 for
+    the first shared prefix token; J >= t needs >= t/(1+t)*(na+nb)) —
+    both exact. Measured on the 10x stress corpus: the positional filter
+    does NOT move wall time there (232 s vs 209 s, within environment
+    drift) because the bottleneck is the prefix equi-join volume itself
+    (sum df_prefix(g)^2 rows are matched before any residual predicate
+    runs); it pays off on natural corpora by shrinking the
+    distinct+verify stages, and costs nothing here.
+
     Applicability condition (measured, round-5 stress lane — NOTES.md):
     prefix filtering is sub-quadratic only while the shingle-df
     distribution keeps a long unique tail (natural text). On a
@@ -404,16 +414,37 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = docsets.select(
         "doc_id",
         "n",
-        F.explode(F.expr("slice(toks, 1, CAST(p AS INT))")).alias("tk"),
-    ).select("doc_id", "n", F.col("tk.g").alias("g"))
+        F.posexplode(F.expr("slice(toks, 1, CAST(p AS INT))")).alias("pos0", "tk"),
+    ).select(
+        "doc_id",
+        "n",
+        (F.col("pos0") + 1).alias("pos"),  # 1-based position in df-sorted order
+        F.col("tk.g").alias("g"),
+    )
 
     pa_ = prefix.select(
-        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "g"
+        F.col("doc_id").alias("doc_a"),
+        F.col("n").alias("na"),
+        F.col("pos").alias("pa"),
+        "g",
     )
     pb = prefix.select(
-        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), F.col("g").alias("g2")
+        F.col("doc_id").alias("doc_b"),
+        F.col("n").alias("nb"),
+        F.col("pos").alias("pb"),
+        F.col("g").alias("g2"),
     )
     t = F.lit(_JACCARD_THRESHOLD)
+    # positional filter (PPJoin): common tokens all sit at positions
+    # >= (pa, pb) of the FIRST shared prefix token in the global df order,
+    # so the intersection is at most min(na-pa, nb-pb)+1; J >= t needs
+    # intersection >= t/(1+t)*(na+nb). Exact: for a qualifying pair the
+    # first shared token satisfies the bound, and any-token-passes keeps
+    # exactly those pairs (later shared tokens only tighten the bound).
+    overlap_req = F.lit(_JACCARD_THRESHOLD / (1.0 + _JACCARD_THRESHOLD)) * (
+        F.col("na") + F.col("nb")
+    )
+    ubound = F.least(F.col("na") - F.col("pa"), F.col("nb") - F.col("pb")) + 1
     cand = (
         pa_.join(
             pb,
@@ -421,7 +452,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("doc_a") < F.col("doc_b"))
             # size filter: J >= t forces t*na <= nb and t*nb <= na
             & (F.col("nb") >= t * F.col("na"))
-            & (F.col("na") >= t * F.col("nb")),
+            & (F.col("na") >= t * F.col("nb"))
+            & (ubound >= overlap_req),
         )
         .select("doc_a", "doc_b")
         .distinct()
