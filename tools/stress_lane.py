@@ -244,7 +244,27 @@ def main() -> None:
         }
         print(f"# {name}: {result['queries'][name]}", flush=True)
     result["candidate_volumes"] = candidate_volumes(spark, args.out_dir)
+    result["ann_recall_at_10"] = ann_recall(reg, spark, args.out_dir)
     print(json.dumps(result))
+
+
+def ann_recall(reg, spark, sf_dir: str) -> dict[str, float]:
+    """recall@10 of the two approximate ANN paths against the exact
+    brute-force twin (per query, averaged). 50-row collects — the result
+    sets, not the corpus."""
+    truth: dict[int, set[int]] = {}
+    for r in reg["ann_topk_bruteforce"].fn(spark, sf_dir).collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    out = {}
+    for name in ("ann_topk_lsh", "ann_topk_lsh_multiprobe", "ann_topk_ivf"):
+        got: dict[int, set[int]] = {}
+        for r in reg[name].fn(spark, sf_dir).collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        recalls = [
+            len(got.get(q, set()) & t) / len(t) for q, t in truth.items()
+        ]
+        out[name] = round(sum(recalls) / len(recalls), 3)
+    return out
 
 
 if __name__ == "__main__":
