@@ -191,7 +191,15 @@ def test_csv_roundtrip_flat_projection(spark):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
 
 
-def test_avro_raises_clear_error_without_module(spark):
+def test_avro_falls_back_to_ocf_writer_without_module(spark):
+    """No spark-avro jar here: fmt='avro' must transparently write OCF
+    files via the pure-Python path (tests/test_avro.py covers the codec
+    and dispositions in depth)."""
+    from example_beam_spark.formats.avro_spark import read_avro
+
     path = _tmp("t")
-    with pytest.raises(RuntimeError, match="spark-avro"):
-        write_file_loads(range_records(spark, 5), path, fmt="avro")
+    df = range_records(spark, 5)
+    write_file_loads(df, path, fmt="avro")
+    assert sorted(read_avro(spark, path).collect(), key=lambda r: r.id) == sorted(
+        df.collect(), key=lambda r: r.id
+    )
