@@ -240,3 +240,40 @@ def test_doc_repetition_partial_final_agg(spark):
     plan = explain_formatted(df)
     assert plan.count("HashAggregate") >= 4, plan[:2000]  # 2 aggs x partial+final
     assert num_exchanges(df) <= 3, num_exchanges(df)
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """100-TB technique: with a selective dimension filter and a
+    non-broadcast join, Spark injects a runtime bloom filter built from
+    the dimension keys and applies it on the fact scan side. The
+    application-side scan threshold (default 10 GB) is what gates it —
+    trivially exceeded at production scale, lowered here to pin the
+    mechanism at test SF."""
+    from example_beam_spark.plans import explain_formatted
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF, "lineitem")
+        orders = load_table(spark, SF, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "l_quantity", "o_orderpriority"
+        )
+        plan = explain_formatted(j)
+        assert "bloom_filter_agg" in plan or "BloomFilterMightContain" in plan.replace(
+            " ", ""
+        ), plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
