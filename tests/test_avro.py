@@ -291,3 +291,24 @@ def test_spark_roundtrip_all_logical_types(spark, tmp_path):
     for schema in (None, df.schema):
         back = sorted(read_avro(spark, path, schema=schema).collect(), key=lambda r: r.id)
         assert back == sorted(df.collect(), key=lambda r: r.id)
+
+
+def test_empty_write_and_corrupt_block_errors(spark, tmp_path):
+    """Zero-row writes produce no files: inferred read fails with a clear
+    FileNotFoundError, explicit-schema read returns an empty frame.
+    A corrupted block surfaces as a sync-marker mismatch."""
+    df = range_records(spark, 10).filter("id > 100")
+    path = str(tmp_path / "empty")
+    assert write_avro(df, path, mode="overwrite") == 0
+    with pytest.raises(FileNotFoundError, match="no .avro files"):
+        read_avro(spark, path)
+    assert read_avro(spark, path, schema=df.schema).count() == 0
+
+    full = range_records(spark, 10)
+    path2 = str(tmp_path / "full")
+    write_avro(full, path2, mode="overwrite", codec="null")
+    f = glob.glob(os.path.join(path2, "*.avro"))[0]
+    data = bytearray(open(f, "rb").read())
+    data[-8] ^= 0xFF  # flip a byte inside the trailing sync marker
+    with pytest.raises(ValueError, match="sync marker mismatch"):
+        list(read_ocf(bytes(data))[1])
