@@ -59,6 +59,8 @@ def write_file_loads(
     fmt: str = "parquet",
     max_records_per_file: int | None = None,
     options: dict[str, str] | None = None,
+    partition_by: list[str] | None = None,
+    dynamic_partition_overwrite: bool = False,
 ) -> None:
     """Bulk write ``df`` to ``path`` honoring the dispositions above.
 
@@ -67,7 +69,14 @@ def write_file_loads(
     for csv). ``fmt="avro"`` prefers the spark-avro module and falls back
     to the repo's distributed pure-Python OCF writer when the jar is
     absent (``options={"compression": "null"|"deflate"}`` selects the
-    codec on the fallback path)."""
+    codec on the fallback path; ``partition_by`` is not supported there).
+
+    ``partition_by`` lays the table out hive-style (``col=value/``
+    directories) — the 100-TB warehouse layout: partition pruning turns
+    partition-key predicates into directory listing, no data touched.
+    With ``dynamic_partition_overwrite`` a WRITE_TRUNCATE load replaces
+    ONLY the partitions present in ``df`` (the analog of a
+    partition-scoped BigQuery load), never the whole table."""
     exists = _target_exists(path)
     if create_disposition is CreateDisposition.CREATE_NEVER and not exists:
         raise FileNotFoundError(
@@ -87,6 +96,16 @@ def write_file_loads(
     writer = df.write.mode(mode)
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        if fmt == "avro":
+            raise ValueError(
+                "partition_by is not supported for the avro fallback path"
+            )
+        writer = writer.partitionBy(*partition_by)
+        if dynamic_partition_overwrite:
+            # per-write option (Spark >= 3.0) — scopes the overwrite to the
+            # partitions present in df without touching the session conf
+            writer = writer.option("partitionOverwriteMode", "dynamic")
     for k, v in (options or {}).items():
         writer = writer.option(k, v)
     try:

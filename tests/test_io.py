@@ -203,3 +203,42 @@ def test_avro_falls_back_to_ocf_writer_without_module(spark):
     assert sorted(read_avro(spark, path).collect(), key=lambda r: r.id) == sorted(
         df.collect(), key=lambda r: r.id
     )
+
+
+def test_partitioned_layout_and_dynamic_overwrite(spark):
+    """Hive-style partition layout + dynamic partition overwrite: a
+    WRITE_TRUNCATE load carrying only some partitions must replace those
+    partitions and leave the others untouched."""
+    path = _tmp("t")
+    df = range_records(spark, 20).withColumn("bucket", F.col("id") % 2)
+    write_file_loads(df, path, partition_by=["bucket"])
+    assert os.path.isdir(os.path.join(path, "bucket=0"))
+    assert spark.read.parquet(path).count() == 20
+
+    # partition-key predicate prunes to one directory
+    assert spark.read.parquet(path).filter(F.col("bucket") == 1).count() == 10
+
+    # replace ONLY bucket=0 (5 fresh rows); bucket=1 keeps its 10
+    repl = (
+        range_records(spark, 5)
+        .withColumn("bucket", F.lit(0))
+        .withColumn("id", F.col("id") + 1000)
+    )
+    write_file_loads(
+        repl,
+        path,
+        write_disposition=WriteDisposition.WRITE_TRUNCATE,
+        partition_by=["bucket"],
+        dynamic_partition_overwrite=True,
+    )
+    back = spark.read.parquet(path)
+    assert back.filter(F.col("bucket") == 0).count() == 5
+    assert back.filter(F.col("bucket") == 1).count() == 10
+
+    # static overwrite (the default) replaces the WHOLE table
+    write_file_loads(
+        repl, path,
+        write_disposition=WriteDisposition.WRITE_TRUNCATE,
+        partition_by=["bucket"],
+    )
+    assert spark.read.parquet(path).count() == 5
