@@ -184,20 +184,18 @@ def _peek_avro_schema(path: str) -> dict:
     raise ValueError(f"{files[0]!r}: header has no avro.schema entry")
 
 
-def read_avro(
-    spark: SparkSession, path: str, schema: T.StructType | None = None
-) -> DataFrame:
-    """Read ``*.avro`` OCF files under ``path`` into a DataFrame.
+def _resolve_schema(path: str, schema: T.StructType | None) -> T.StructType:
+    if schema is not None:
+        return schema
+    spark_type = avro_schema_to_spark(_peek_avro_schema(path))
+    if not isinstance(spark_type, T.StructType):
+        raise ValueError("top-level avro schema must be a record")
+    return spark_type
 
-    ``binaryFile`` lists and loads the files executor-side (one task per
-    file split group); ``mapInArrow`` decodes them. With ``schema=None``
-    the Avro schema embedded in the first file's header is used."""
-    if schema is None:
-        spark_type = avro_schema_to_spark(_peek_avro_schema(path))
-        if not isinstance(spark_type, T.StructType):
-            raise ValueError("top-level avro schema must be a record")
-        schema = spark_type
 
+def _content_decoder(schema: T.StructType):
+    """mapInArrow closure decoding a `content binary` column of OCF file
+    bytes into rows of ``schema``."""
     from pyspark.sql.pandas.types import to_arrow_schema
 
     arrow_schema = to_arrow_schema(schema)
@@ -216,13 +214,49 @@ def read_avro(
                 if chunk:
                     yield pa.RecordBatch.from_pylist(chunk, schema=arrow_schema)
 
+    return decode
+
+
+_BINARYFILE_SCHEMA = "path string, modificationTime timestamp, length long, content binary"
+
+
+def read_avro(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """Read ``*.avro`` OCF files under ``path`` into a DataFrame.
+
+    ``binaryFile`` lists and loads the files executor-side (one task per
+    file split group); ``mapInArrow`` decodes them. With ``schema=None``
+    the Avro schema embedded in the first file's header is used."""
+    schema = _resolve_schema(path, schema)
     binary = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.avro")
         .load(path)
         .select("content")
     )
-    return binary.mapInArrow(decode, schema)
+    return binary.mapInArrow(_content_decoder(schema), schema)
+
+
+def read_avro_stream(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """Streaming Avro source: ``readStream`` over ``binaryFile`` lists new
+    ``*.avro`` files per micro-batch (exactly-once via the query's file
+    checkpoint) and the same executor-side decoder turns them into rows —
+    the unbounded counterpart of :func:`read_avro`, pairing with
+    :func:`avro_stream_sink` for an end-to-end Avro streaming pipeline.
+    Schema inference needs at least one existing file; pass ``schema``
+    explicitly to start a stream over a not-yet-populated directory."""
+    schema = _resolve_schema(path, schema)
+    binary = (
+        spark.readStream.format("binaryFile")
+        .option("pathGlobFilter", "*.avro")
+        .schema(_BINARYFILE_SCHEMA)
+        .load(path)
+        .select("content")
+    )
+    return binary.mapInArrow(_content_decoder(schema), schema)
 
 
 def _raise_failed(batch_df: DataFrame, batch_id: int, exc: Exception) -> None:

@@ -312,3 +312,39 @@ def test_empty_write_and_corrupt_block_errors(spark, tmp_path):
     data[-8] ^= 0xFF  # flip a byte inside the trailing sync marker
     with pytest.raises(ValueError, match="sync marker mismatch"):
         list(read_ocf(bytes(data))[1])
+
+
+def test_avro_streaming_source_picks_up_new_files(spark, tmp_path):
+    """read_avro_stream: the first availableNow run drains existing
+    files; after new part files land, a resumed run (same checkpoint)
+    processes ONLY the new ones."""
+    from pyspark.sql import functions as F
+
+    from example_beam_spark.formats.avro_spark import read_avro_stream
+
+    df = range_records(spark, 30)
+    src = str(tmp_path / "src")
+    write_avro(df, src, mode="overwrite")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            read_avro_stream(spark, src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert spark.read.parquet(out).count() == 30
+
+    more = range_records(spark, 40).filter(F.col("id") > 30)  # ids 31..40
+    write_avro(more, src, mode="append")
+    drain()
+    back = spark.read.parquet(out)
+    assert back.count() == 40
+    assert back.select(F.max("id")).collect()[0][0] == 40
