@@ -227,3 +227,71 @@ def docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_ngram_frac",
         F.when(keep, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("keep_flag"),
     )
+
+
+# --------------------------------------------------------------------------
+# eval_contamination — train/eval overlap detection (decontamination)
+# --------------------------------------------------------------------------
+
+_EVAL_MAX_ID = 20  # docs below this id act as the held-out eval set
+_CONTAM_SPAN = 8  # token span length (overlapping windows)
+
+_CONTAM_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS s FROM documents
+    ),
+    spans AS (
+        SELECT doc_id, md5(array_to_string(s[i:i+{_CONTAM_SPAN - 1}], ' ')) AS h
+        FROM toks CROSS JOIN
+             UNNEST(generate_series(1, GREATEST(len(s) - {_CONTAM_SPAN - 1}, 0))) AS u(i)
+    ),
+    eval_spans AS (
+        SELECT DISTINCT h FROM spans WHERE doc_id < {_EVAL_MAX_ID}
+    ),
+    train_spans AS (
+        SELECT doc_id, h FROM spans WHERE doc_id >= {_EVAL_MAX_ID}
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(DISTINCT t.h) AS BIGINT) AS n_shared_spans
+    FROM train_spans t JOIN eval_spans e ON e.h = t.h
+    GROUP BY t.doc_id
+"""
+
+
+@register("eval_contamination", oracle=_CONTAM_ORACLE)
+def eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination pass: training documents (doc_id >= eval split)
+    that share any overlapping {span}-token span with the held-out eval
+    set, with the distinct shared-span count — the filter every LLM
+    pipeline runs before training (see e.g. the GPT-3/Gopher published
+    decontamination methodology: n-gram overlap against benchmarks).
+
+    Scale (100 TB): eval benchmarks are tiny (MBs of spans) — the
+    distinct eval-span set broadcasts, so the check is a broadcast
+    semi-join applied at scan speed over the training corpus's exploded
+    spans, then one partial+final count per contaminated doc. No
+    all-pairs anything."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = F.split(F.col("text"), " ")
+    spans = docs.select(
+        "doc_id",
+        s.alias("s"),
+        F.explode(
+            F.when(
+                F.size(s) >= _CONTAM_SPAN,
+                F.sequence(F.lit(1), F.size(s) - (_CONTAM_SPAN - 1)),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("i"),
+    ).select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice("s", F.col("i"), _CONTAM_SPAN))).alias("h"),
+    )
+    eval_spans = (
+        spans.filter(F.col("doc_id") < _EVAL_MAX_ID).select("h").distinct()
+    )
+    train_spans = spans.filter(F.col("doc_id") >= _EVAL_MAX_ID)
+    return (
+        train_spans.join(F.broadcast(eval_spans), "h")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("h").cast("long").alias("n_shared_spans"))
+    )
