@@ -277,3 +277,10 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_eval_contamination_broadcasts_eval_spans(spark):
+    """eval_contamination: the distinct eval-span set must broadcast so
+    the training-side span scan never shuffles for the join."""
+    q = load_registry()["eval_contamination"]
+    assert has_broadcast_join(q.fn(spark, SF))
