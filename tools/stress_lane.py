@@ -233,8 +233,11 @@ def main() -> None:
         "dedup_exact",
         "dedup_simhash",
         "ann_topk_ivf",
+        "ann_topk_lsh_multiprobe",
         "doc_repetition_ngrams",
         "vocab_top_terms",
+        "docs_quality_filter",
+        "eval_contamination",
     ):
         t0 = time.time()
         n = reg[name].fn(spark, args.out_dir).count()
