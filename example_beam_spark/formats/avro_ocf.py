@@ -168,9 +168,14 @@ def compile_encoder(schema: object) -> Encoder:
     if logical == "decimal" and t == "bytes":
         scale = schema.get("scale", 0)
         q = _decimal.Decimal(1).scaleb(-scale)
+        # default context caps at 28 significant digits — decimal(38, s)
+        # values would raise InvalidOperation on quantize without this
+        ctx = _decimal.Context(prec=schema.get("precision", 38) + scale + 2)
 
         def enc_decimal(out: bytearray, v: object) -> None:
-            unscaled = int(_decimal.Decimal(v).quantize(q).scaleb(scale))
+            unscaled = int(
+                _decimal.Decimal(v).quantize(q, context=ctx).scaleb(scale, context=ctx)
+            )
             length = max(1, (unscaled.bit_length() + 8) // 8)
             _enc_bytes(out, unscaled.to_bytes(length, "big", signed=True))
 
@@ -271,13 +276,13 @@ def compile_decoder(schema: object, named: dict[str, object] | None = None) -> D
         return dec_date
     if logical == "decimal" and t == "bytes":
         scale = schema.get("scale", 0)
+        # widen past the 28-digit default context (see enc_decimal)
+        ctx = _decimal.Context(prec=schema.get("precision", 38) + scale + 2)
 
         def dec_decimal(data: bytes, pos: int) -> tuple[object, int]:
             b, pos = _dec_bytes(data, pos)
-            return (
-                _decimal.Decimal(int.from_bytes(b, "big", signed=True)).scaleb(-scale),
-                pos,
-            )
+            unscaled = _decimal.Decimal(int.from_bytes(b, "big", signed=True))
+            return unscaled.scaleb(-scale, context=ctx), pos
 
         return dec_decimal
     if t == "record":

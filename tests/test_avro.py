@@ -348,3 +348,24 @@ def test_avro_streaming_source_picks_up_new_files(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 40
     assert back.select(F.max("id")).collect()[0][0] == 40
+
+
+def test_decimal_38_precision_roundtrip(spark, tmp_path):
+    """decimal(38,6) at full precision survives the wire (the default
+    Python decimal context caps at 28 significant digits — the encoder
+    must widen it)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1, 4).select(
+        "id",
+        (
+            F.lit("12345678901234567890123456789012.3456")
+            .cast("decimal(38,6)")
+            + F.col("id").cast("decimal(38,6)")
+        ).alias("big"),
+    )
+    path = str(tmp_path / "dec38")
+    write_avro(df, path, mode="overwrite")
+    back = sorted(read_avro(spark, path).collect(), key=lambda r: r.id)
+    assert back == sorted(df.collect(), key=lambda r: r.id)
+    assert str(back[0].big) == "12345678901234567890123456789013.345600"
