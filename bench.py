@@ -55,10 +55,13 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         # second run: JIT/codegen warmed — the steady-state cost a
         # long-running cluster sees (cold-vs-warm gap = compile overhead,
-        # not plan cost)
+        # not plan cost). Its row count feeds the same taint guard below:
+        # a warm timing of a wrong result must not be reported either.
         t0 = time.perf_counter()
-        q.fn(spark, sf_dir).count()
+        warm_count = q.fn(spark, sf_dir).count()
         warm[name] = round(time.perf_counter() - t0, 3)
+        if warm_count != counts[name]:
+            counts[name] = -1  # cold/warm disagree — force the taint below
         print(
             f"# {name}: {timings[name]:.3f}s (warm {warm[name]:.3f}s) "
             f"rows={counts[name]}",

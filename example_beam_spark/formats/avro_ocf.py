@@ -37,6 +37,7 @@ import decimal as _decimal
 import io
 import json
 import os
+import re
 import struct
 import zlib
 from collections.abc import Callable, Iterable, Iterator
@@ -350,6 +351,20 @@ def spark_schema_to_avro(schema, name: str = "topLevelRecord", namespace: str = 
     # local import so the codec stays usable without pyspark on the path
     from pyspark.sql import types as T
 
+    name_re = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+    def check_name(n: str) -> str:
+        # Avro names are restricted; an invalid name would produce files
+        # the official Java implementation rejects at parse time — fail
+        # here with a clear message instead (rename the column upstream)
+        if not name_re.match(n):
+            raise ValueError(
+                f"column/record name {n!r} is not a valid Avro name "
+                "([A-Za-z_][A-Za-z0-9_]*) — rename the column before an "
+                "Avro write (the official Java parser would reject the file)"
+            )
+        return n
+
     counter = [0]
 
     def conv(dt, field_name: str) -> object:
@@ -358,10 +373,10 @@ def spark_schema_to_avro(schema, name: str = "topLevelRecord", namespace: str = 
             rec_name = field_name if counter[0] == 1 else f"{field_name}_{counter[0]}"
             return {
                 "type": "record",
-                "name": rec_name,
+                "name": check_name(rec_name),
                 "fields": [
                     {
-                        "name": f.name,
+                        "name": check_name(f.name),
                         "type": (["null", conv(f.dataType, f.name)] if f.nullable else conv(f.dataType, f.name)),
                         **({"default": None} if f.nullable else {}),
                     }

@@ -31,6 +31,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import shutil
 import uuid
 from collections.abc import Iterator
 
@@ -45,14 +46,20 @@ from example_beam_spark.formats.avro_ocf import (
 )
 
 
-def avro_schema_to_spark(schema: object) -> T.DataType:
+def avro_schema_to_spark(
+    schema: object, named: dict[str, object] | None = None
+) -> T.DataType:
     """Inverse mapping (Avro parsed-JSON schema → Spark type) so the
-    source is self-describing like ``spark.read.format("avro")``."""
+    source is self-describing like ``spark.read.format("avro")``.
+    ``named`` resolves record-name references (a spec-compliant writer
+    emits the bare name when a record type is reused, mirroring
+    ``compile_decoder``)."""
+    named = named if named is not None else {}
     if isinstance(schema, list):
         branches = [s for s in schema if s != "null"]
         if len(branches) != 1:
             raise ValueError("only [null, T] unions are supported")
-        return avro_schema_to_spark(branches[0])
+        return avro_schema_to_spark(branches[0], named)
     if isinstance(schema, str):
         prim = {
             "boolean": T.BooleanType(),
@@ -65,6 +72,8 @@ def avro_schema_to_spark(schema: object) -> T.DataType:
         }
         if schema in prim:
             return prim[schema]
+        if schema in named:
+            return avro_schema_to_spark(named[schema], named)
         raise ValueError(f"unsupported avro type {schema!r}")
     assert isinstance(schema, dict)
     t = schema["type"]
@@ -78,11 +87,12 @@ def avro_schema_to_spark(schema: object) -> T.DataType:
     if logical == "decimal":
         return T.DecimalType(schema["precision"], schema["scale"])
     if t == "record":
+        named[schema["name"]] = schema
         return T.StructType(
             [
                 T.StructField(
                     f["name"],
-                    avro_schema_to_spark(f["type"]),
+                    avro_schema_to_spark(f["type"], named),
                     nullable=isinstance(f["type"], list) and "null" in f["type"],
                 )
                 for f in schema["fields"]
@@ -91,12 +101,14 @@ def avro_schema_to_spark(schema: object) -> T.DataType:
     if t == "array":
         items = schema["items"]
         nullable = isinstance(items, list) and "null" in items
-        return T.ArrayType(avro_schema_to_spark(items), containsNull=nullable)
+        return T.ArrayType(avro_schema_to_spark(items, named), containsNull=nullable)
     if t == "map":
         values = schema["values"]
         nullable = isinstance(values, list) and "null" in values
-        return T.MapType(T.StringType(), avro_schema_to_spark(values), valueContainsNull=nullable)
-    return avro_schema_to_spark(t)
+        return T.MapType(
+            T.StringType(), avro_schema_to_spark(values, named), valueContainsNull=nullable
+        )
+    return avro_schema_to_spark(t, named)
 
 
 def write_avro(
@@ -109,47 +121,66 @@ def write_avro(
 ) -> int:
     """Write ``df`` under ``path`` as ``{file_prefix}-*.avro`` OCF files,
     one-plus per partition. Returns total rows written (from the task
-    manifest)."""
+    manifest).
+
+    Commit protocol (FileOutputCommitter-v1 shape): tasks write into a
+    hidden per-job staging dir and the DRIVER moves only manifest-listed
+    files into place after the job succeeds, then deletes the staging
+    dir. So (a) files from failed/speculative task attempts are orphaned
+    in staging and swept, never read back; (b) ``mode="overwrite"``
+    deletes the old files only AFTER the job has fully materialized the
+    new ones — overwriting a path the input DataFrame is read from is
+    safe (the native writer forbids that shape outright).
+
+    Memory: rows stream from Arrow batches through the block encoder —
+    resident state per task is one OCF block, not the partition."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     avro_schema = spark_schema_to_avro(df.schema)
     os.makedirs(path, exist_ok=True)
-    if mode == "overwrite":
-        for old in glob.glob(os.path.join(path, "*.avro")):
-            os.remove(old)
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+    os.makedirs(staging)
 
     cap = max_records_per_file or (1 << 62)
 
     def write_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import itertools
+
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId() if TaskContext.get() else 0
         manifest: list[dict] = []
-        rows_buf: list[dict] = []
 
-        def flush_file() -> None:
-            if not rows_buf:
-                return
-            fname = os.path.join(
-                path, f"{file_prefix}-{pid:05d}-{uuid.uuid4().hex}.avro"
-            )
-            with open(fname, "wb") as f:
-                n = write_ocf(f, avro_schema, rows_buf, codec=codec)
+        def rows() -> Iterator[dict]:
+            for batch in batches:
+                yield from batch.to_pylist()
+
+        it = rows()
+        while True:
+            head = list(itertools.islice(it, 1))
+            if not head:
+                break
+            fname = f"{file_prefix}-{pid:05d}-{uuid.uuid4().hex}.avro"
+            bounded = itertools.chain(head, itertools.islice(it, cap - 1))
+            with open(os.path.join(staging, fname), "wb") as f:
+                n = write_ocf(f, avro_schema, bounded, codec=codec)
             manifest.append({"path": fname, "n_records": n})
-            rows_buf.clear()
-
-        for batch in batches:
-            for row in batch.to_pylist():
-                rows_buf.append(row)
-                if len(rows_buf) >= cap:
-                    flush_file()
-        flush_file()
         yield pa.RecordBatch.from_pylist(
             manifest,
             schema=pa.schema([("path", pa.string()), ("n_records", pa.int64())]),
         )
 
-    manifest = df.mapInArrow(write_partition, "path string, n_records long").collect()
+    try:
+        manifest = df.mapInArrow(
+            write_partition, "path string, n_records long"
+        ).collect()
+        if mode == "overwrite":
+            for old in glob.glob(os.path.join(path, "*.avro")):
+                os.remove(old)
+        for r in manifest:
+            os.replace(os.path.join(staging, r.path), os.path.join(path, r.path))
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
     return sum(r.n_records for r in manifest)
 
 

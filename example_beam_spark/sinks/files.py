@@ -93,14 +93,18 @@ def write_file_loads(
         if write_disposition is WriteDisposition.WRITE_TRUNCATE
         else "append"
     )
+    if dynamic_partition_overwrite and not partition_by:
+        raise ValueError(
+            "dynamic_partition_overwrite requires partition_by — without a "
+            "partitioned layout there are no partitions to scope the "
+            "overwrite to (a static overwrite would silently replace the "
+            "whole table)"
+        )
+
     writer = df.write.mode(mode)
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     if partition_by:
-        if fmt == "avro":
-            raise ValueError(
-                "partition_by is not supported for the avro fallback path"
-            )
         writer = writer.partitionBy(*partition_by)
         if dynamic_partition_overwrite:
             # per-write option (Spark >= 3.0) — scopes the overwrite to the
@@ -113,9 +117,32 @@ def write_file_loads(
     except Exception as e:
         if fmt == "avro" and "Failed to find" in str(e):
             # spark-avro jar absent: write the reference's wire format with
-            # the repo's own distributed OCF writer instead.
+            # the repo's own distributed OCF writer instead. The fallback
+            # supports a subset of the native surface — fail loudly on
+            # requests it cannot honor rather than dropping them.
+            if partition_by:
+                raise ValueError(
+                    "fmt='avro' with partition_by needs the spark-avro jar "
+                    "(the pure-Python OCF fallback writes a flat layout)"
+                ) from e
+            unsupported = set(options or {}) - {"compression"}
+            if unsupported:
+                raise ValueError(
+                    f"options {sorted(unsupported)} are not supported by the "
+                    "pure-Python avro fallback (only 'compression': "
+                    "null|deflate)"
+                ) from e
             from example_beam_spark.formats.avro_spark import write_avro
 
+            pre_existing = (
+                [
+                    os.path.join(path, n)
+                    for n in os.listdir(path)
+                    if not n.startswith(("_", ".")) and not n.endswith(".avro")
+                ]
+                if mode == "overwrite" and os.path.isdir(path)
+                else []
+            )
             write_avro(
                 df,
                 path,
@@ -123,5 +150,12 @@ def write_file_loads(
                 codec=(options or {}).get("compression", "deflate"),
                 max_records_per_file=max_records_per_file,
             )
+            # disposition contract: WRITE_TRUNCATE replaces the TABLE — also
+            # drop pre-existing data files of OTHER formats (write_avro's
+            # overwrite manages only *.avro). Removed after the staged write
+            # lands so a same-path read-then-overwrite never loses input.
+            for full in pre_existing:
+                if os.path.isfile(full):
+                    os.remove(full)
         else:
             raise

@@ -369,3 +369,85 @@ def test_decimal_38_precision_roundtrip(spark, tmp_path):
     back = sorted(read_avro(spark, path).collect(), key=lambda r: r.id)
     assert back == sorted(df.collect(), key=lambda r: r.id)
     assert str(back[0].big) == "12345678901234567890123456789013.345600"
+
+
+def test_schema_inference_resolves_named_record_references(spark):
+    """Spec-compliant writers emit a bare name when a record type is
+    reused; inference must resolve it like the decoder does."""
+    from pyspark.sql import types as T
+
+    from example_beam_spark.formats.avro_spark import avro_schema_to_spark
+
+    schema = {
+        "type": "record",
+        "name": "Rec",
+        "fields": [
+            {
+                "name": "a",
+                "type": {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": "KV",
+                        "fields": [
+                            {"name": "key", "type": "string"},
+                            {"name": "value", "type": "string"},
+                        ],
+                    },
+                },
+            },
+            {"name": "b", "type": {"type": "array", "items": "KV"}},
+        ],
+    }
+    st = avro_schema_to_spark(schema)
+    assert isinstance(st, T.StructType)
+    assert st["a"].dataType == st["b"].dataType
+
+
+def test_overwrite_same_path_read_is_safe(spark, tmp_path):
+    """Staged commit: overwriting a path the input is read from must not
+    destroy the input mid-job (native writers forbid this shape)."""
+    path = str(tmp_path / "self")
+    write_avro(range_records(spark, 20), path, mode="overwrite")
+    filtered = read_avro(spark, path).filter("id <= 5")
+    write_avro(filtered, path, mode="overwrite")
+    assert read_avro(spark, path).count() == 5
+    assert not glob.glob(os.path.join(path, ".staging-*"))
+
+
+def test_invalid_avro_column_name_raises(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    df = spark.range(3).select(F.col("id").alias("user-id"))
+    with pytest.raises(ValueError, match="valid Avro name"):
+        write_avro(df, str(tmp_path / "bad"), mode="overwrite")
+
+
+def test_truncate_clears_foreign_format_files(spark, tmp_path):
+    """WRITE_TRUNCATE through the avro fallback replaces the TABLE: data
+    files previously written in another format must not survive."""
+    path = str(tmp_path / "mixed")
+    df = range_records(spark, 10)
+    write_file_loads(df, path, fmt="parquet")
+    assert glob.glob(os.path.join(path, "*.parquet"))
+    write_file_loads(
+        df, path, write_disposition=WriteDisposition.WRITE_TRUNCATE, fmt="avro"
+    )
+    assert not glob.glob(os.path.join(path, "*.parquet"))
+    assert read_avro(spark, path).count() == 10
+
+
+def test_fallback_rejects_unsupported_requests(spark, tmp_path):
+    df = range_records(spark, 5)
+    with pytest.raises(ValueError, match="partition_by"):
+        write_file_loads(
+            df, str(tmp_path / "p"), fmt="avro", partition_by=["name"]
+        )
+    with pytest.raises(ValueError, match="not supported by the pure-Python"):
+        write_file_loads(
+            df, str(tmp_path / "o"), fmt="avro", options={"recordName": "X"}
+        )
+    with pytest.raises(ValueError, match="requires partition_by"):
+        write_file_loads(
+            df, str(tmp_path / "d"), dynamic_partition_overwrite=True
+        )
