@@ -219,15 +219,50 @@ def compile_encoder(schema: object) -> Encoder:
     raise ValueError(f"unsupported avro schema {schema!r}")
 
 
-def compile_decoder(schema: object, named: dict[str, object] | None = None) -> Decoder:
+def record_names(schema: dict, enclosing_ns: str | None = None) -> list[str]:
+    """The names under which a named schema may be referenced: bare name
+    and (when a namespace applies — own or inherited from the enclosing
+    record, per the spec) the dotted fullname. Java writers reference
+    reused types by fullname."""
+    name = schema["name"]
+    if "." in name:  # fullname given inline
+        return [name.rsplit(".", 1)[1], name]
+    ns = schema.get("namespace", enclosing_ns)
+    return [name, f"{ns}.{name}"] if ns else [name]
+
+
+def _effective_ns(schema: dict, enclosing_ns: str | None) -> str | None:
+    name = schema.get("name", "")
+    if "." in name:
+        return name.rsplit(".", 1)[0]
+    return schema.get("namespace", enclosing_ns)
+
+
+def compile_decoder(
+    schema: object,
+    named: dict[str, object] | None = None,
+    enclosing_ns: str | None = None,
+) -> Decoder:
     """Compile an Avro schema into ``(data, pos) -> (value, pos)``. Logical
     types decode to datetime/date/Decimal. ``named`` resolves record-name
-    references (Java writers emit them for repeated types)."""
+    references (Java writers emit them for repeated types, by fullname
+    when a namespace — own or inherited — applies); resolution is lazy,
+    so recursive (self-referencing) schemas compile and decode."""
     named = named if named is not None else {}
     if isinstance(schema, str):
         t = schema
         if t in named:
-            return compile_decoder(named[t], named)
+            target = named[t]
+            compiled: list[Decoder] = []
+
+            def dec_ref(data: bytes, pos: int) -> tuple[object, int]:
+                # resolved on first use — a self-referencing record would
+                # otherwise recurse forever at compile time
+                if not compiled:
+                    compiled.append(compile_decoder(target, named))
+                return compiled[0](data, pos)
+
+            return dec_ref
         if t == "null":
             return lambda data, pos: (None, pos)
         if t == "boolean":
@@ -250,7 +285,7 @@ def compile_decoder(schema: object, named: dict[str, object] | None = None) -> D
         raise ValueError(f"unsupported avro type {t!r}")
 
     if isinstance(schema, list):
-        branches = [compile_decoder(s, named) for s in schema]
+        branches = [compile_decoder(s, named, enclosing_ns) for s in schema]
 
         def dec_union(data: bytes, pos: int) -> tuple[object, int]:
             idx, pos = _dec_long(data, pos)
@@ -287,8 +322,13 @@ def compile_decoder(schema: object, named: dict[str, object] | None = None) -> D
 
         return dec_decimal
     if t == "record":
-        named[schema["name"]] = schema
-        field_decs = [(f["name"], compile_decoder(f["type"], named)) for f in schema["fields"]]
+        ns = _effective_ns(schema, enclosing_ns)
+        for ref in record_names(schema, enclosing_ns):
+            named[ref] = schema
+        field_decs = [
+            (f["name"], compile_decoder(f["type"], named, ns))
+            for f in schema["fields"]
+        ]
 
         def dec_record(data: bytes, pos: int) -> tuple[object, int]:
             rec = {}
@@ -298,7 +338,7 @@ def compile_decoder(schema: object, named: dict[str, object] | None = None) -> D
 
         return dec_record
     if t == "array":
-        item_dec = compile_decoder(schema["items"], named)
+        item_dec = compile_decoder(schema["items"], named, enclosing_ns)
 
         def dec_array(data: bytes, pos: int) -> tuple[object, int]:
             items: list[object] = []
@@ -315,7 +355,7 @@ def compile_decoder(schema: object, named: dict[str, object] | None = None) -> D
 
         return dec_array
     if t == "map":
-        val_dec = compile_decoder(schema["values"], named)
+        val_dec = compile_decoder(schema["values"], named, enclosing_ns)
 
         def dec_map(data: bytes, pos: int) -> tuple[object, int]:
             pairs: list[tuple[str, object]] = []
@@ -333,7 +373,7 @@ def compile_decoder(schema: object, named: dict[str, object] | None = None) -> D
 
         return dec_map
     if t in ("int", "long", "float", "double", "string", "bytes", "boolean", "null"):
-        return compile_decoder(t, named)
+        return compile_decoder(t, named, enclosing_ns)
     raise ValueError(f"unsupported avro schema {schema!r}")
 
 

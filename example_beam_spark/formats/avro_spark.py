@@ -29,7 +29,6 @@ parallelism is one task per file group from binaryFile.
 from __future__ import annotations
 
 import glob
-import json
 import os
 import shutil
 import uuid
@@ -47,19 +46,22 @@ from example_beam_spark.formats.avro_ocf import (
 
 
 def avro_schema_to_spark(
-    schema: object, named: dict[str, object] | None = None
+    schema: object,
+    named: dict[str, object] | None = None,
+    enclosing_ns: str | None = None,
 ) -> T.DataType:
     """Inverse mapping (Avro parsed-JSON schema → Spark type) so the
     source is self-describing like ``spark.read.format("avro")``.
-    ``named`` resolves record-name references (a spec-compliant writer
-    emits the bare name when a record type is reused, mirroring
-    ``compile_decoder``)."""
+    ``named`` resolves record-name references — bare or dotted fullname,
+    with namespace inheritance — mirroring ``compile_decoder``."""
+    from example_beam_spark.formats.avro_ocf import _effective_ns, record_names
+
     named = named if named is not None else {}
     if isinstance(schema, list):
         branches = [s for s in schema if s != "null"]
         if len(branches) != 1:
             raise ValueError("only [null, T] unions are supported")
-        return avro_schema_to_spark(branches[0], named)
+        return avro_schema_to_spark(branches[0], named, enclosing_ns)
     if isinstance(schema, str):
         prim = {
             "boolean": T.BooleanType(),
@@ -73,7 +75,7 @@ def avro_schema_to_spark(
         if schema in prim:
             return prim[schema]
         if schema in named:
-            return avro_schema_to_spark(named[schema], named)
+            return avro_schema_to_spark(named[schema], named, enclosing_ns)
         raise ValueError(f"unsupported avro type {schema!r}")
     assert isinstance(schema, dict)
     t = schema["type"]
@@ -87,12 +89,14 @@ def avro_schema_to_spark(
     if logical == "decimal":
         return T.DecimalType(schema["precision"], schema["scale"])
     if t == "record":
-        named[schema["name"]] = schema
+        ns = _effective_ns(schema, enclosing_ns)
+        for ref in record_names(schema, enclosing_ns):
+            named[ref] = schema
         return T.StructType(
             [
                 T.StructField(
                     f["name"],
-                    avro_schema_to_spark(f["type"], named),
+                    avro_schema_to_spark(f["type"], named, ns),
                     nullable=isinstance(f["type"], list) and "null" in f["type"],
                 )
                 for f in schema["fields"]
@@ -101,14 +105,18 @@ def avro_schema_to_spark(
     if t == "array":
         items = schema["items"]
         nullable = isinstance(items, list) and "null" in items
-        return T.ArrayType(avro_schema_to_spark(items, named), containsNull=nullable)
+        return T.ArrayType(
+            avro_schema_to_spark(items, named, enclosing_ns), containsNull=nullable
+        )
     if t == "map":
         values = schema["values"]
         nullable = isinstance(values, list) and "null" in values
         return T.MapType(
-            T.StringType(), avro_schema_to_spark(values, named), valueContainsNull=nullable
+            T.StringType(),
+            avro_schema_to_spark(values, named, enclosing_ns),
+            valueContainsNull=nullable,
         )
-    return avro_schema_to_spark(t, named)
+    return avro_schema_to_spark(t, named, enclosing_ns)
 
 
 def write_avro(
@@ -141,6 +149,10 @@ def write_avro(
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
     os.makedirs(staging)
 
+    if max_records_per_file is not None and max_records_per_file < 1:
+        raise ValueError(
+            f"max_records_per_file must be >= 1, got {max_records_per_file}"
+        )
     cap = max_records_per_file or (1 << 62)
 
     def write_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -175,7 +187,7 @@ def write_avro(
             write_partition, "path string, n_records long"
         ).collect()
         if mode == "overwrite":
-            for old in glob.glob(os.path.join(path, "*.avro")):
+            for old in glob.glob(os.path.join(glob.escape(path), "*.avro")):
                 os.remove(old)
         for r in manifest:
             os.replace(os.path.join(staging, r.path), os.path.join(path, r.path))
@@ -186,33 +198,17 @@ def write_avro(
 
 def _peek_avro_schema(path: str) -> dict:
     """Read one file's header driver-side to infer the schema (metadata
-    map sits at the front of the file; 1 MiB is far beyond any header)."""
-    files = sorted(glob.glob(os.path.join(path, "*.avro"))) or (
+    map sits at the front of the file; 1 MiB is far beyond any header —
+    read_ocf's row iterator is lazy, so only the header is parsed)."""
+    files = sorted(glob.glob(os.path.join(glob.escape(path), "*.avro"))) or (
         [path] if os.path.isfile(path) else []
     )
     if not files:
         raise FileNotFoundError(f"no .avro files under {path!r}")
     with open(files[0], "rb") as f:
         head = f.read(1 << 20)
-    # reuse the OCF parser for just the metadata map
-    from example_beam_spark.formats import avro_ocf as m
-
-    if head[:4] != m.MAGIC:
-        raise ValueError(f"{files[0]!r} is not an Avro OCF")
-    pos = 4
-    while True:
-        n, pos = m._dec_long(head, pos)
-        if n == 0:
-            break
-        if n < 0:
-            n = -n
-            _, pos = m._dec_long(head, pos)
-        for _ in range(n):
-            kb, pos = m._dec_bytes(head, pos)
-            vb, pos = m._dec_bytes(head, pos)
-            if kb == b"avro.schema":
-                return json.loads(vb.decode("utf-8"))
-    raise ValueError(f"{files[0]!r}: header has no avro.schema entry")
+    schema, _rows = read_ocf(head)
+    return schema
 
 
 def _resolve_schema(path: str, schema: T.StructType | None) -> T.StructType:
@@ -321,7 +317,7 @@ def avro_stream_sink(
 
     def deliver(batch_df: DataFrame, batch_id: int) -> None:
         prefix = f"batch-{batch_id:09d}"
-        for stale in glob.glob(os.path.join(path, f"{prefix}-*.avro")):
+        for stale in glob.glob(os.path.join(glob.escape(path), f"{prefix}-*.avro")):
             os.remove(stale)
         write_avro(
             batch_df,

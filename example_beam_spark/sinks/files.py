@@ -132,6 +132,16 @@ def write_file_loads(
                     "pure-Python avro fallback (only 'compression': "
                     "null|deflate)"
                 ) from e
+            # native spark-avro accepts uncompressed/deflate/snappy/...;
+            # translate the aliases the fallback can honor, reject the
+            # rest at the driver instead of deep in executor tasks
+            codec = (options or {}).get("compression", "deflate")
+            codec = {"uncompressed": "null"}.get(codec, codec)
+            if codec not in ("null", "deflate"):
+                raise ValueError(
+                    f"compression {codec!r} is not supported by the "
+                    "pure-Python avro fallback (null/uncompressed/deflate)"
+                ) from e
             from example_beam_spark.formats.avro_spark import write_avro
 
             pre_existing = (
@@ -147,15 +157,20 @@ def write_file_loads(
                 df,
                 path,
                 mode=mode,
-                codec=(options or {}).get("compression", "deflate"),
+                codec=codec,
                 max_records_per_file=max_records_per_file,
             )
             # disposition contract: WRITE_TRUNCATE replaces the TABLE — also
-            # drop pre-existing data files of OTHER formats (write_avro's
-            # overwrite manages only *.avro). Removed after the staged write
+            # drop pre-existing data of OTHER formats (write_avro's
+            # overwrite manages only *.avro), including hive-partitioned
+            # col=value/ subdirectories. Removed after the staged write
             # lands so a same-path read-then-overwrite never loses input.
+            import shutil
+
             for full in pre_existing:
-                if os.path.isfile(full):
+                if os.path.isdir(full):
+                    shutil.rmtree(full)
+                elif os.path.isfile(full):
                     os.remove(full)
         else:
             raise

@@ -249,11 +249,19 @@ def dedup_stream_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     The dedup key carries an hour bucket of the event time, so every
     duplicate of a key lies within 1 hour of the first occurrence — well
     inside the 2-hour watermark delay — and the bounded-state result is
-    EXACTLY the global distinct the oracle computes. That is the design
-    contract at 100 TB too: pick the delay to cover the real duplicate
-    arrival skew and state stays O(keys live in the last delay window)
-    instead of O(all keys ever). Eviction behavior is pinned by a replay
-    test (tests/test_streaming.py::test_drop_duplicates_within_watermark_evicts_state).
+    EXACTLY the global distinct the oracle computes. Exactness condition,
+    stated precisely: the event-time bound above AND arrival order — a
+    duplicate must be PROCESSED before the watermark passes its key's
+    eviction point. The harness stages the table as one availableNow
+    drain (the watermark only advances between micro-batches, so both
+    hold); in a live deployment a duplicate arriving after its key was
+    evicted (> delay late in processing time) would re-emit — the same
+    guarantee Spark documents for dropDuplicatesWithinWatermark, and the
+    deliberate state-for-recall trade at 100 TB: pick the delay to cover
+    the real duplicate arrival skew and state stays O(keys live in the
+    last delay window) instead of O(all keys ever). Eviction behavior is
+    pinned by a replay test
+    (tests/test_streaming.py::test_drop_duplicates_within_watermark_evicts_state).
     """
     ev = read_events_stream(spark, sf_dir).select(
         "user_id",

@@ -451,3 +451,83 @@ def test_fallback_rejects_unsupported_requests(spark, tmp_path):
         write_file_loads(
             df, str(tmp_path / "d"), dynamic_partition_overwrite=True
         )
+
+
+def test_namespace_fullname_refs_and_recursion():
+    """Java writers reference reused record types by dotted fullname with
+    namespace inheritance; recursive schemas must compile (lazy refs)."""
+    from pyspark.sql import types as T
+
+    from example_beam_spark.formats.avro_ocf import _enc_long, compile_decoder
+    from example_beam_spark.formats.avro_spark import avro_schema_to_spark
+
+    ns_schema = {
+        "type": "record",
+        "name": "Rec",
+        "namespace": "com.x",
+        "fields": [
+            {
+                "name": "a",
+                "type": {
+                    "type": "record",
+                    "name": "KV",
+                    "fields": [{"name": "k", "type": "string"}],
+                },
+            },
+            {"name": "b", "type": "com.x.KV"},  # fullname (inherited ns)
+            {"name": "c", "type": "KV"},  # bare name
+        ],
+    }
+    st = avro_schema_to_spark(ns_schema)
+    assert isinstance(st, T.StructType)
+    assert st["a"].dataType == st["b"].dataType == st["c"].dataType
+
+    rec = {
+        "type": "record",
+        "name": "Node",
+        "fields": [
+            {"name": "v", "type": "long"},
+            {"name": "next", "type": ["null", "Node"]},
+        ],
+    }
+    dec = compile_decoder(rec)  # must not RecursionError
+    buf = bytearray()
+    _enc_long(buf, 1)  # v=1
+    _enc_long(buf, 1)  # union branch: Node
+    _enc_long(buf, 2)  # v=2
+    _enc_long(buf, 0)  # union branch: null
+    out, _ = dec(bytes(buf), 0)
+    assert out == {"v": 1, "next": {"v": 2, "next": None}}
+
+
+def test_fallback_codec_aliases_and_cap_validation(spark, tmp_path):
+    df = range_records(spark, 5)
+    path = str(tmp_path / "unc")
+    # native spark-avro's 'uncompressed' maps to the fallback's null codec
+    write_file_loads(df, path, fmt="avro", options={"compression": "uncompressed"})
+    assert read_avro(spark, path).count() == 5
+    with pytest.raises(ValueError, match="compression 'snappy'"):
+        write_file_loads(
+            df, str(tmp_path / "sn"), fmt="avro", options={"compression": "snappy"}
+        )
+    with pytest.raises(ValueError, match="max_records_per_file"):
+        write_avro(df, str(tmp_path / "z"), max_records_per_file=0)
+
+
+def test_truncate_clears_partitioned_subdirectories(spark, tmp_path):
+    """A pre-existing hive-partitioned table must not survive a
+    WRITE_TRUNCATE through the avro fallback."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "hive")
+    df = range_records(spark, 10).withColumn("bucket", F.col("id") % 2)
+    write_file_loads(df, path, partition_by=["bucket"])
+    assert os.path.isdir(os.path.join(path, "bucket=0"))
+    write_file_loads(
+        range_records(spark, 4),
+        path,
+        write_disposition=WriteDisposition.WRITE_TRUNCATE,
+        fmt="avro",
+    )
+    assert not os.path.isdir(os.path.join(path, "bucket=0"))
+    assert read_avro(spark, path).count() == 4
