@@ -48,6 +48,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
     counts: dict[str, int] = {}
+    unstable: list[tuple[str, int, int]] = []
     for name, q in sorted(headline.items()):
         t0 = time.perf_counter()
         df = q.fn(spark, sf_dir)
@@ -61,7 +62,9 @@ def main() -> None:
         warm_count = q.fn(spark, sf_dir).count()
         warm[name] = round(time.perf_counter() - t0, 3)
         if warm_count != counts[name]:
-            counts[name] = -1  # cold/warm disagree — force the taint below
+            # unconditionally tainted (even for oracle-less queries the
+            # disagreement alone invalidates the timing)
+            unstable.append((name, counts[name], warm_count))
         print(
             f"# {name}: {timings[name]:.3f}s (warm {warm[name]:.3f}s) "
             f"rows={counts[name]}",
@@ -72,6 +75,13 @@ def main() -> None:
     # query computed the right thing — check each row count against DuckDB
     # running the same oracle SQL on the same parquet.
     tainted: list[str] = []
+    for name, cold_n, warm_n in unstable:
+        tainted.append(name)
+        print(
+            f"# TAINTED {name}: cold rows={cold_n} warm rows={warm_n} "
+            "(nondeterministic result)",
+            file=sys.stderr,
+        )
     import duckdb
 
     con = duckdb.connect()
@@ -86,7 +96,7 @@ def main() -> None:
         expected = con.execute(
             f"SELECT COUNT(*) FROM ({q.oracle})"
         ).fetchone()[0]
-        if counts[name] != expected:
+        if counts[name] != expected and name not in tainted:
             tainted.append(name)
             print(
                 f"# TAINTED {name}: spark rows={counts[name]} oracle rows={expected}",

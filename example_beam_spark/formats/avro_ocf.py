@@ -231,6 +231,22 @@ def record_names(schema: dict, enclosing_ns: str | None = None) -> list[str]:
     return [name, f"{ns}.{name}"] if ns else [name]
 
 
+def resolve_named(
+    ref: str, named: dict[str, object], enclosing_ns: str | None
+) -> tuple[str, object | None]:
+    """Resolve a name reference per the spec's scoping: a bare name is
+    looked up in the enclosing namespace first, then unqualified (so two
+    same-named records in different namespaces don't alias). Returns
+    (resolved_key, schema_or_None)."""
+    if "." not in ref and enclosing_ns:
+        qualified = f"{enclosing_ns}.{ref}"
+        if qualified in named:
+            return qualified, named[qualified]
+    if ref in named:
+        return ref, named[ref]
+    return ref, None
+
+
 def _effective_ns(schema: dict, enclosing_ns: str | None) -> str | None:
     name = schema.get("name", "")
     if "." in name:
@@ -251,15 +267,16 @@ def compile_decoder(
     named = named if named is not None else {}
     if isinstance(schema, str):
         t = schema
-        if t in named:
-            target = named[t]
+        _, target = resolve_named(t, named, enclosing_ns)
+        if target is not None:
             compiled: list[Decoder] = []
+            ref_ns = enclosing_ns
 
             def dec_ref(data: bytes, pos: int) -> tuple[object, int]:
                 # resolved on first use — a self-referencing record would
                 # otherwise recurse forever at compile time
                 if not compiled:
-                    compiled.append(compile_decoder(target, named))
+                    compiled.append(compile_decoder(target, named, ref_ns))
                 return compiled[0](data, pos)
 
             return dec_ref
@@ -465,8 +482,10 @@ def spark_schema_to_avro(schema, name: str = "topLevelRecord", namespace: str = 
         raise ValueError(f"no avro mapping for spark type {dt}")
 
     top = conv(schema, name)
-    top["name"] = name
+    top["name"] = check_name(name)
     if namespace:
+        for part in namespace.split("."):
+            check_name(part)
         top["namespace"] = namespace
     return top
 

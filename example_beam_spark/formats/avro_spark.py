@@ -49,19 +49,28 @@ def avro_schema_to_spark(
     schema: object,
     named: dict[str, object] | None = None,
     enclosing_ns: str | None = None,
+    _in_progress: set[str] | None = None,
 ) -> T.DataType:
     """Inverse mapping (Avro parsed-JSON schema → Spark type) so the
     source is self-describing like ``spark.read.format("avro")``.
     ``named`` resolves record-name references — bare or dotted fullname,
-    with namespace inheritance — mirroring ``compile_decoder``."""
-    from example_beam_spark.formats.avro_ocf import _effective_ns, record_names
+    with namespace inheritance, preferring the enclosing namespace for
+    bare names — mirroring ``compile_decoder``. Recursive schemas (legal
+    Avro, decodable by ``compile_decoder``) are NOT representable as a
+    Spark type and raise a clear error here."""
+    from example_beam_spark.formats.avro_ocf import (
+        _effective_ns,
+        record_names,
+        resolve_named,
+    )
 
     named = named if named is not None else {}
+    _in_progress = _in_progress if _in_progress is not None else set()
     if isinstance(schema, list):
         branches = [s for s in schema if s != "null"]
         if len(branches) != 1:
             raise ValueError("only [null, T] unions are supported")
-        return avro_schema_to_spark(branches[0], named, enclosing_ns)
+        return avro_schema_to_spark(branches[0], named, enclosing_ns, _in_progress)
     if isinstance(schema, str):
         prim = {
             "boolean": T.BooleanType(),
@@ -74,8 +83,14 @@ def avro_schema_to_spark(
         }
         if schema in prim:
             return prim[schema]
-        if schema in named:
-            return avro_schema_to_spark(named[schema], named, enclosing_ns)
+        key, target = resolve_named(schema, named, enclosing_ns)
+        if target is not None:
+            if key in _in_progress:
+                raise ValueError(
+                    f"recursive Avro schema (self-referencing record "
+                    f"{key!r}) is not representable as a Spark type"
+                )
+            return avro_schema_to_spark(target, named, enclosing_ns, _in_progress)
         raise ValueError(f"unsupported avro type {schema!r}")
     assert isinstance(schema, dict)
     t = schema["type"]
@@ -90,33 +105,57 @@ def avro_schema_to_spark(
         return T.DecimalType(schema["precision"], schema["scale"])
     if t == "record":
         ns = _effective_ns(schema, enclosing_ns)
-        for ref in record_names(schema, enclosing_ns):
+        refs = record_names(schema, enclosing_ns)
+        for ref in refs:
             named[ref] = schema
-        return T.StructType(
-            [
-                T.StructField(
-                    f["name"],
-                    avro_schema_to_spark(f["type"], named, ns),
-                    nullable=isinstance(f["type"], list) and "null" in f["type"],
-                )
-                for f in schema["fields"]
-            ]
-        )
+        _in_progress.update(refs)
+        try:
+            return T.StructType(
+                [
+                    T.StructField(
+                        f["name"],
+                        avro_schema_to_spark(f["type"], named, ns, _in_progress),
+                        nullable=isinstance(f["type"], list) and "null" in f["type"],
+                    )
+                    for f in schema["fields"]
+                ]
+            )
+        finally:
+            _in_progress.difference_update(refs)
     if t == "array":
         items = schema["items"]
         nullable = isinstance(items, list) and "null" in items
         return T.ArrayType(
-            avro_schema_to_spark(items, named, enclosing_ns), containsNull=nullable
+            avro_schema_to_spark(items, named, enclosing_ns, _in_progress),
+            containsNull=nullable,
         )
     if t == "map":
         values = schema["values"]
         nullable = isinstance(values, list) and "null" in values
         return T.MapType(
             T.StringType(),
-            avro_schema_to_spark(values, named, enclosing_ns),
+            avro_schema_to_spark(values, named, enclosing_ns, _in_progress),
             valueContainsNull=nullable,
         )
-    return avro_schema_to_spark(t, named, enclosing_ns)
+    return avro_schema_to_spark(t, named, enclosing_ns, _in_progress)
+
+
+_STAGING_TTL_SECONDS = 3600
+
+
+def _sweep_stale_staging(path: str) -> None:
+    """Remove `.staging-*` dirs left by hard-killed drivers (the janitor
+    FileOutputCommitter runs at job setup). Only dirs idle past the TTL
+    are swept so a concurrent writer's live staging survives."""
+    import time
+
+    cutoff = time.time() - _STAGING_TTL_SECONDS
+    for d in glob.glob(os.path.join(glob.escape(path), ".staging-*")):
+        try:
+            if os.path.isdir(d) and os.path.getmtime(d) < cutoff:
+                shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            pass
 
 
 def write_avro(
@@ -146,6 +185,7 @@ def write_avro(
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     avro_schema = spark_schema_to_avro(df.schema)
     os.makedirs(path, exist_ok=True)
+    _sweep_stale_staging(path)
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
     os.makedirs(staging)
 
@@ -186,13 +226,28 @@ def write_avro(
         manifest = df.mapInArrow(
             write_partition, "path string, n_records long"
         ).collect()
+    except Exception:
+        # job failed: nothing committed, sweep our staging
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    try:
         if mode == "overwrite":
             for old in glob.glob(os.path.join(glob.escape(path), "*.avro")):
-                os.remove(old)
+                try:
+                    if os.path.isfile(old):
+                        os.remove(old)
+                except FileNotFoundError:
+                    pass  # concurrent cleanup (e.g. stream-sink replay) won
         for r in manifest:
             os.replace(os.path.join(staging, r.path), os.path.join(path, r.path))
-    finally:
-        shutil.rmtree(staging, ignore_errors=True)
+    except Exception as e:
+        # job output is fully materialized in staging — PRESERVE it for
+        # manual recovery instead of sweeping; name it in the error
+        raise RuntimeError(
+            f"avro commit failed after a successful job; staged output "
+            f"preserved at {staging!r}"
+        ) from e
+    shutil.rmtree(staging, ignore_errors=True)
     return sum(r.n_records for r in manifest)
 
 
@@ -207,7 +262,12 @@ def _peek_avro_schema(path: str) -> dict:
         raise FileNotFoundError(f"no .avro files under {path!r}")
     with open(files[0], "rb") as f:
         head = f.read(1 << 20)
-    schema, _rows = read_ocf(head)
+    try:
+        schema, _rows = read_ocf(head)
+    except KeyError as e:
+        raise ValueError(
+            f"{files[0]!r}: OCF header has no avro.schema entry"
+        ) from e
     return schema
 
 

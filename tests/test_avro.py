@@ -531,3 +531,98 @@ def test_truncate_clears_partitioned_subdirectories(spark, tmp_path):
     )
     assert not os.path.isdir(os.path.join(path, "bucket=0"))
     assert read_avro(spark, path).count() == 4
+
+
+def test_cross_namespace_aliasing_and_inference_recursion_error():
+    """Two same-named records in different namespaces must not alias
+    (bare refs resolve in the enclosing namespace first); recursive
+    schemas decode via the codec but raise a CLEAR error from Spark
+    schema inference (Spark types cannot represent recursion)."""
+    from example_beam_spark.formats.avro_ocf import (
+        _enc_bytes,
+        _enc_long,
+        compile_decoder,
+    )
+    from example_beam_spark.formats.avro_spark import avro_schema_to_spark
+
+    alias = {
+        "type": "record",
+        "name": "Top",
+        "fields": [
+            {
+                "name": "x",
+                "type": {
+                    "type": "record",
+                    "name": "P",
+                    "namespace": "a",
+                    "fields": [{"name": "v", "type": "long"}],
+                },
+            },
+            {
+                "name": "y",
+                "type": {
+                    "type": "record",
+                    "name": "Q",
+                    "namespace": "b",
+                    "fields": [
+                        {
+                            "name": "p",
+                            "type": {
+                                "type": "record",
+                                "name": "P",
+                                "fields": [{"name": "s", "type": "string"}],
+                            },
+                        },
+                        {"name": "p2", "type": "P"},  # must be b.P, not a.P
+                    ],
+                },
+            },
+        ],
+    }
+    buf = bytearray()
+    _enc_long(buf, 7)
+    _enc_bytes(buf, b"hi")
+    _enc_bytes(buf, b"yo")
+    out, _ = compile_decoder(alias)(bytes(buf), 0)
+    assert out == {"x": {"v": 7}, "y": {"p": {"s": "hi"}, "p2": {"s": "yo"}}}
+
+    rec = {
+        "type": "record",
+        "name": "Node",
+        "fields": [
+            {"name": "v", "type": "long"},
+            {"name": "next", "type": ["null", "Node"]},
+        ],
+    }
+    with pytest.raises(ValueError, match="recursive Avro schema"):
+        avro_schema_to_spark(rec)
+
+
+def test_top_level_name_validation_and_commit_preserves_staging(
+    spark, tmp_path, monkeypatch
+):
+    from example_beam_spark.formats import avro_spark
+    from example_beam_spark.formats.avro_ocf import spark_schema_to_avro
+
+    with pytest.raises(ValueError, match="valid Avro name"):
+        spark_schema_to_avro(spark.range(1).schema, name="bad-name")
+
+    # a directory that matches *.avro must NOT abort the overwrite cleanup
+    path = str(tmp_path / "t")
+    df = range_records(spark, 5)
+    write_avro(df, path, mode="overwrite")
+    os.makedirs(os.path.join(path, "decoy.avro", "sub"))
+    write_avro(df, path, mode="overwrite")
+    assert read_avro(spark, path, schema=df.schema).count() == 5
+
+    # a commit-stage failure (simulated) must PRESERVE the staged output
+    # for recovery and name it in the error
+    def boom(src, dst):
+        raise OSError("disk went away")
+
+    monkeypatch.setattr(avro_spark.os, "replace", boom)
+    with pytest.raises(RuntimeError, match="staged output preserved") as ei:
+        write_avro(df, path, mode="append")
+    monkeypatch.undo()
+    staged = str(ei.value).split("preserved at ")[1].split("'")[1]
+    assert glob.glob(os.path.join(staged, "*.avro"))
