@@ -108,4 +108,7 @@ def load_registry() -> dict[str, Query]:
     # positions (and the driver's positional graded window) never shift
     from example_beam_spark.operators import avro_io, corpusqa, ivf  # noqa: F401
 
+    # appended in round 5 session 3
+    from example_beam_spark.operators import curation  # noqa: F401
+
     return dict(QUERIES)

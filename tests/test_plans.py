@@ -284,3 +284,40 @@ def test_eval_contamination_broadcasts_eval_spans(spark):
     the training-side span scan never shuffles for the join."""
     q = load_registry()["eval_contamination"]
     assert has_broadcast_join(q.fn(spark, SF))
+
+
+def test_pii_and_normalize_are_scan_shaped(spark):
+    """pii_redact / text_normalize are pure map-side regex column
+    expressions — zero exchanges; at 100 TB the cleaning pass runs at
+    scan speed."""
+    reg = load_registry()
+    assert num_exchanges(reg["pii_redact"].fn(spark, SF)) == 0
+    assert num_exchanges(reg["text_normalize"].fn(spark, SF)) == 0
+
+
+def test_semantic_dedup_no_cartesian(spark):
+    """semantic_dedup: seeds broadcast for cell assignment and the
+    pairwise pass is an equi-join keyed by cell — the |corpus|² cartesian
+    must never appear in the plan."""
+    from example_beam_spark.plans import explain_formatted
+
+    q = load_registry()["semantic_dedup"]
+    plan = explain_formatted(q.fn(spark, SF))
+    # BroadcastNestedLoopJoin IS expected: seed_scores' n×k cell-scoring
+    # expansion broadcasts the 16-seed set (bounded fan-out by design);
+    # what must never appear is an unkeyed corpus×corpus product.
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # seed-id and drop joins stay broadcast
+
+
+def test_source_overlap_scans_two_columns_and_caches(spark):
+    """source_overlap: the documents scan is pruned to (source, text) and
+    the shingle→sources table is persisted so both consumers (sizes,
+    pair counts) reuse one corpus scan."""
+    from example_beam_spark.plans import explain_formatted
+
+    q = load_registry()["source_overlap"]
+    df = q.fn(spark, SF)
+    cols = read_schema_columns(df, "documents.parquet")
+    assert cols == {"source", "text"}, cols
+    assert "InMemoryTableScan" in explain_formatted(df)
