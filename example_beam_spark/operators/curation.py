@@ -418,3 +418,382 @@ def record_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("attributes")[0]["value"].alias("attr_value"),
         F.col("attributes_map")["someKey"].alias("map_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# knn_label_predict — kNN majority-vote classification over embeddings
+# --------------------------------------------------------------------------
+
+KNN_K = 10  # vote among the exact cosine top-10 (same K as ann_topk_*)
+
+_KNN_ORACLE = f"""
+    WITH elems AS ({_ELEMS_SQL}),
+    norms AS ({_NORMS_SQL}),
+    dots AS (
+        SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+               CAST(SUM(CAST(FLOOR(q.x * d.x * {_SCALE}) AS BIGINT)) AS DOUBLE) / {_SCALE} AS dot
+        FROM elems q JOIN elems d ON q.i = d.i AND q.vec_id <> d.vec_id
+        WHERE q.vec_id < {{nq}}
+        GROUP BY q.vec_id, d.vec_id
+    ),
+    topk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT t.query_id, t.neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY t.query_id
+                       ORDER BY t.dot / (nq.nrm * nd.nrm) DESC, t.neighbor_id
+                   ) AS rk
+            FROM dots t
+            JOIN norms nq ON nq.vec_id = t.query_id
+            JOIN norms nd ON nd.vec_id = t.neighbor_id
+        ) WHERE rk <= {{k}}
+    ),
+    votes AS (
+        SELECT t.query_id, e.label, COUNT(*) AS n_votes
+        FROM topk t JOIN embeddings e ON e.vec_id = t.neighbor_id
+        GROUP BY t.query_id, e.label
+    )
+    SELECT v.query_id,
+           CAST(q.label AS BIGINT) AS true_label,
+           CAST(v.label AS BIGINT) AS pred_label,
+           CAST(v.n_votes AS BIGINT) AS n_votes
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY n_votes DESC, label
+               ) AS vrk
+        FROM votes
+    ) v
+    JOIN embeddings q ON q.vec_id = v.query_id
+    WHERE v.vrk = 1
+"""
+
+
+def _knn_oracle() -> str:
+    from example_beam_spark.operators.similarity import N_QUERIES
+
+    return _KNN_ORACLE.format(nq=N_QUERIES, k=KNN_K)
+
+
+@register("knn_label_predict", oracle=_knn_oracle())
+def knn_label_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-vote label prediction: for each query vector, the
+    modal label among its exact cosine top-10 neighbors (tie → smaller
+    label) — similarity search applied to auto-labeling / weak
+    supervision of corpus documents.
+
+    100-TB design: identical cost shape to ann_topk_bruteforce (broadcast
+    query set × corpus scan; swap in the IVF/LSH candidate generation for
+    sublinear scans) plus two tiny aggregations keyed by query."""
+    from example_beam_spark.operators.similarity import N_QUERIES
+    from pyspark.sql import Window
+
+    emb = spread_small_input(load_table(spark, sf_dir, "embeddings"), spark)
+    base = emb.select(
+        "vec_id", "embedding", "label", norm_dec("embedding").alias("nrm")
+    )
+    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("label").alias("true_label"),
+    )
+    pairs = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("nrm").alias("n_nrm"),
+        F.col("label").alias("n_label"),
+    ).join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        "true_label",
+        "n_label",
+        "neighbor_id",
+        (dot_dec("q_emb", "n_emb") / (F.col("q_nrm") * F.col("n_nrm"))).alias("cosine"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    topk = scored.withColumn("rk", F.row_number().over(wk)).filter(F.col("rk") <= KNN_K)
+    votes = topk.groupBy("query_id", "true_label", "n_label").agg(
+        F.count("*").alias("n_votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("n_votes"), "n_label")
+    return (
+        votes.withColumn("vrk", F.row_number().over(wv))
+        .filter(F.col("vrk") == 1)
+        .select(
+            "query_id",
+            F.col("true_label").cast("long").alias("true_label"),
+            F.col("n_label").cast("long").alias("pred_label"),
+            F.col("n_votes").cast("long").alias("n_votes"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# docs_mixture_sample — temperature-flattened per-language sampling
+# --------------------------------------------------------------------------
+# The multilingual data-mixing pass (Conneau & Lample, "Cross-lingual
+# Language Model Pretraining", NeurIPS 2019 §3.1): sample languages with
+# probability q_l ∝ n_l^alpha (alpha = 0.5 here, i.e. sqrt — chosen
+# because IEEE sqrt is correctly-rounded in BOTH engines, unlike pow/ln)
+# so low-resource languages are upsampled relative to their share.
+# Membership stays a pure hash function of doc_id (no RNG) with a
+# per-language threshold derived from the counts; the sqrt weights pass
+# through DECIMAL(38,6) so their SUM is order-independent.
+
+MIX_TARGET_FRACTION = 4  # sample ~1/4 of the corpus overall
+_MIX_BITS = 268435456.0  # 2^28 — the slot space of the 7-hex-digit hash
+
+_MIX_ORACLE = f"""
+    WITH counts AS (
+        SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang
+    ),
+    weights AS (
+        SELECT lang, n_l,
+               CAST(SQRT(CAST(n_l AS DOUBLE)) AS DECIMAL(38,6)) AS w_dec
+        FROM counts
+    ),
+    totals AS (
+        SELECT SUM(w_dec) AS sum_w, SUM(n_l) AS n_total FROM weights
+    ),
+    rates AS (
+        SELECT w.lang, w.n_l,
+               LEAST(1.0, (CAST(w.w_dec AS DOUBLE) / CAST(t.sum_w AS DOUBLE))
+                          * (CAST(t.n_total AS DOUBLE) / {MIX_TARGET_FRACTION}.0)
+                          / CAST(w.n_l AS DOUBLE)) AS rate
+        FROM weights w CROSS JOIN totals t
+    )
+    SELECT d.doc_id, d.lang,
+           CAST(r.n_l AS BIGINT) AS n_lang,
+           r.rate AS sample_rate
+    FROM documents d
+    JOIN rates r ON r.lang = d.lang
+    WHERE CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 7))
+               AS BIGINT) < CAST(FLOOR(r.rate * {_MIX_BITS}) AS BIGINT)
+"""
+
+
+@register("docs_mixture_sample", oracle=_MIX_ORACLE)
+def docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened language mixture sample: keep each document
+    with per-language probability ∝ n_l^0.5 scaled to a 1/4 corpus
+    budget (capped at 1), membership decided by 28 md5 bits of the doc
+    id against the language's threshold.
+
+    100-TB design: one tiny counts aggregate (|languages| rows) broadcast
+    back onto the scan — the sample predicate is then map-side, composes
+    with pushdown, and needs no RNG state or shuffle of the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_l"))
+    weights = counts.withColumn(
+        "w_dec", F.sqrt(F.col("n_l").cast("double")).cast("decimal(38,6)")
+    )
+    totals = weights.agg(
+        F.sum("w_dec").alias("sum_w"), F.sum("n_l").alias("n_total")
+    )
+    rates = weights.crossJoin(F.broadcast(totals)).select(
+        "lang",
+        "n_l",
+        F.least(
+            F.lit(1.0),
+            (F.col("w_dec").cast("double") / F.col("sum_w").cast("double"))
+            * (F.col("n_total").cast("double") / MIX_TARGET_FRACTION)
+            / F.col("n_l").cast("double"),
+        ).alias("rate"),
+    )
+    slot = F.conv(
+        F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 7),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(slot < F.floor(F.col("rate") * _MIX_BITS).cast("long"))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_l").cast("long").alias("n_lang"),
+            F.col("rate").alias("sample_rate"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# doc_salient_terms — per-document top terms by tf·(N/df)
+# --------------------------------------------------------------------------
+# Log-free tf-idf variant: score = tf * (N / df). Monotone in the
+# standard tf·idf ranking for fixed tf, and avoids ln/pow whose rounding
+# is not guaranteed identical across engines — every op here is exact
+# integer counting plus two correctly-rounded IEEE double ops in a fixed
+# evaluation order, so scores hash bit-identically.
+
+SALIENT_TOP = 5
+
+_SALIENT_ORACLE = f"""
+    WITH tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) t
+        GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    total AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               CAST(tf.tf AS DOUBLE)
+                   * (CAST(t.n AS DOUBLE) / CAST(df.df AS DOUBLE)) AS score
+        FROM tf JOIN df ON df.term = tf.term CROSS JOIN total t
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           score, CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, term
+               ) AS rk
+        FROM scored
+    ) WHERE rk <= {SALIENT_TOP}
+"""
+
+
+@register("doc_salient_terms", oracle=_SALIENT_ORACLE)
+def doc_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-{k} salient terms by tf·(N/df) — the keyword /
+    topic-signature extraction pass (tf-idf family) used for corpus
+    bucketing and retrieval indexing.
+
+    100-TB design: tf is one partial+final count keyed by (doc, term);
+    df aggregates the tf stream keyed by term (vocabulary-sized output);
+    the tf×df join is keyed by term — skewed stopword terms are exactly
+    the AQE skew-join case pinned in tests/test_plans.py. The final
+    top-{k} is a window keyed by doc.""".format(k=SALIENT_TOP)
+    from pyspark.sql import Window
+
+    docs = spread_small_input(load_table(spark, sf_dir, "documents"), spark)
+    tf = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    total = docs.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (
+                F.col("tf").cast("double")
+                * (F.col("n").cast("double") / F.col("df").cast("double"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= SALIENT_TOP)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            "score",
+            "rk",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# winnowing_fingerprint — MOSS winnowing document fingerprints
+# --------------------------------------------------------------------------
+# Schleimer, Wilkerson & Aiken, "Winnowing: Local Algorithms for Document
+# Fingerprinting" (SIGMOD 2003): hash every k-gram, slide a window of w
+# consecutive hashes, select the RIGHTMOST minimal hash in each window,
+# dedup the selections. Guarantees every match of length >= w+k-1 shares
+# a fingerprint, with expected density 2/(w+1) — the standard
+# plagiarism / contamination fingerprint (sparser and position-aware,
+# vs doc_fingerprint's single global min-hash).
+
+WINNOW_W = 4  # window of consecutive k-gram hashes
+
+_WINNOW_ORACLE = f"""
+    WITH pos AS (
+        SELECT doc_id, i AS p,
+               CAST(('0x' || substr(md5(array_to_string(s[i:i+{SHINGLE_N - 1}], ' ')), 1, 7))
+                    AS BIGINT) AS h,
+               GREATEST(len(s) - {SHINGLE_N - 1}, 0) AS n_pos
+        FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents) t
+        CROSS JOIN UNNEST(generate_series(1, GREATEST(len(s) - {SHINGLE_N - 1}, 0))) AS u(i)
+    ),
+    win AS (
+        SELECT a.doc_id, a.p AS wstart, b.p, b.h,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.doc_id, a.p ORDER BY b.h, b.p DESC
+               ) AS mrk
+        FROM pos a
+        JOIN pos b ON b.doc_id = a.doc_id AND b.p >= a.p AND b.p < a.p + {WINNOW_W}
+        WHERE a.p <= a.n_pos - {WINNOW_W} + 1
+    )
+    SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS pos, h AS fp
+    FROM win WHERE mrk = 1
+"""
+
+
+@register("winnowing_fingerprint", oracle=_WINNOW_ORACLE)
+def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints: per document, the deduped set of
+    (position, 28-bit k-gram hash) pairs selected as the rightmost
+    minimum of each w-hash sliding window. Documents shorter than
+    w+k-1 tokens yield no windows and are excluded (as in the paper —
+    no guarantee below the noise threshold).
+
+    100-TB design: hashing is map-side (explode + md5); the
+    window-membership fan-out is a fixed ×w explode joined back on
+    (doc, position) — one shuffle keyed by (doc, position), partial
+    aggregation throughout; selection + dedup are windows keyed by doc.
+    No corpus×corpus structure anywhere."""
+    from pyspark.sql import Window
+
+    docs = spread_small_input(load_table(spark, sf_dir, "documents"), spark)
+    s = F.split(F.col("text"), " ")
+    base = docs.select("doc_id", s.alias("s")).select(
+        "doc_id",
+        "s",
+        F.greatest(F.size("s") - (SHINGLE_N - 1), F.lit(0)).alias("n_pos"),
+    )
+    pos = base.select(
+        "doc_id",
+        "n_pos",
+        F.explode(
+            F.when(
+                F.col("n_pos") >= 1, F.sequence(F.lit(1), F.col("n_pos"))
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("p"),
+        "s",
+    ).select(
+        "doc_id",
+        "n_pos",
+        "p",
+        F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.slice("s", F.col("p"), SHINGLE_N))), 1, 7),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    starts = pos.filter(F.col("p") <= F.col("n_pos") - WINNOW_W + 1).select(
+        "doc_id", F.col("p").alias("wstart")
+    )
+    members = starts.withColumn(
+        "p", F.explode(F.sequence(F.col("wstart"), F.col("wstart") + WINNOW_W - 1))
+    ).join(pos.select("doc_id", "p", "h"), ["doc_id", "p"])
+    mrk = F.row_number().over(
+        Window.partitionBy("doc_id", "wstart").orderBy(F.col("h"), F.desc("p"))
+    )
+    return (
+        members.withColumn("mrk", mrk)
+        .filter(F.col("mrk") == 1)
+        .select("doc_id", F.col("p").cast("long").alias("pos"), F.col("h").alias("fp"))
+        .distinct()
+    )

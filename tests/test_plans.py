@@ -321,3 +321,22 @@ def test_source_overlap_scans_two_columns_and_caches(spark):
     cols = read_schema_columns(df, "documents.parquet")
     assert cols == {"source", "text"}, cols
     assert "InMemoryTableScan" in explain_formatted(df)
+
+
+def test_mixture_sample_is_broadcast_filter(spark):
+    """docs_mixture_sample: the per-language rate table broadcasts onto
+    the corpus scan — the sample predicate must not shuffle the corpus."""
+    q = load_registry()["docs_mixture_sample"]
+    df = q.fn(spark, SF)
+    assert has_broadcast_join(df)
+
+
+def test_winnowing_no_cartesian(spark):
+    """winnowing_fingerprint: window membership is a fixed ×w explode
+    joined back on (doc, position) — never a positions×positions product."""
+    from example_beam_spark.plans import explain_formatted
+
+    q = load_registry()["winnowing_fingerprint"]
+    plan = explain_formatted(q.fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
