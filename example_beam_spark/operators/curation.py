@@ -797,3 +797,139 @@ def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("p").cast("long").alias("pos"), F.col("h").alias("fp"))
         .distinct()
     )
+
+
+# --------------------------------------------------------------------------
+# pipeline_clean_corpus — the end-to-end curation pipeline in ONE plan
+# --------------------------------------------------------------------------
+# Composes the session's curation passes the way a production corpus
+# build chains them (C4/RefinedWeb order): canonical normalization →
+# exact dedup on the normalized hash (keep lowest doc_id) → token-band
+# quality gate → temperature-flattened language sampling. Emits every
+# document with its per-stage provenance flags and the final keep
+# decision, so downstream audits can attribute every drop to a stage.
+# One declarative plan end-to-end: Catalyst fuses the map-side stages
+# (normalize, hash, quality, sample predicate) into the scan projection;
+# the only shuffles are the dedup window (keyed by content hash) and
+# the tiny language-counts aggregate that broadcasts back.
+
+_PIPE_Q_MIN_TOKENS = 20  # quality band on normalized token count
+_PIPE_Q_MAX_TOKENS = 1000
+
+_PIPELINE_ORACLE = f"""
+    WITH normed AS (
+        SELECT doc_id, lang, {_NORM_SQL} AS norm FROM documents
+    ),
+    flagged AS (
+        SELECT doc_id, lang, norm,
+               md5(norm) AS norm_hash,
+               ROW_NUMBER() OVER (PARTITION BY md5(norm) ORDER BY doc_id) = 1
+                   AS is_canonical,
+               CASE WHEN norm = '' THEN 0
+                    ELSE len(string_split(norm, ' ')) END AS n_tok
+        FROM normed
+    ),
+    counts AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
+    weights AS (
+        SELECT lang, n_l,
+               CAST(SQRT(CAST(n_l AS DOUBLE)) AS DECIMAL(38,6)) AS w_dec
+        FROM counts
+    ),
+    totals AS (SELECT SUM(w_dec) AS sum_w, SUM(n_l) AS n_total FROM weights),
+    rates AS (
+        SELECT w.lang,
+               LEAST(1.0, (CAST(w.w_dec AS DOUBLE) / CAST(t.sum_w AS DOUBLE))
+                          * (CAST(t.n_total AS DOUBLE) / {MIX_TARGET_FRACTION}.0)
+                          / CAST(w.n_l AS DOUBLE)) AS rate
+        FROM weights w CROSS JOIN totals t
+    )
+    SELECT f.doc_id, f.lang, f.norm_hash,
+           f.is_canonical,
+           f.n_tok BETWEEN {_PIPE_Q_MIN_TOKENS} AND {_PIPE_Q_MAX_TOKENS}
+               AS passes_quality,
+           CAST(('0x' || substr(md5('mix:' || CAST(f.doc_id AS VARCHAR)), 1, 7))
+                AS BIGINT) < CAST(FLOOR(r.rate * {_MIX_BITS}) AS BIGINT)
+               AS sampled,
+           (f.is_canonical
+            AND f.n_tok BETWEEN {_PIPE_Q_MIN_TOKENS} AND {_PIPE_Q_MAX_TOKENS}
+            AND CAST(('0x' || substr(md5('mix:' || CAST(f.doc_id AS VARCHAR)), 1, 7))
+                     AS BIGINT) < CAST(FLOOR(r.rate * {_MIX_BITS}) AS BIGINT))
+               AS final_keep
+    FROM flagged f JOIN rates r ON r.lang = f.lang
+"""
+
+
+@register("pipeline_clean_corpus", oracle=_PIPELINE_ORACLE)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning as one composed plan: normalize →
+    hash-dedup (canonical = lowest doc_id per normalized hash) →
+    token-band quality gate → temperature-flattened language sample.
+    Every document is emitted with per-stage flags plus the conjunction
+    (`final_keep`) so each drop is attributable to its stage.
+
+    100-TB design: the map-side stages fuse into the scan projection
+    (whole-stage codegen); shuffles are exactly (1) the dedup window
+    keyed by content hash and (2) a |languages|-row aggregate broadcast
+    back onto the stream. No stage materializes an intermediate corpus —
+    the audit-friendliness of staged pipelines WITHOUT paying a write
+    per stage."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    n_tok = (
+        F.when(F.col("norm") == "", F.lit(0))
+        .otherwise(F.size(F.split(F.col("norm"), " ")))
+        .cast("long")
+    )
+    flagged = (
+        docs.select("doc_id", "lang", norm.alias("norm"))
+        .withColumn("norm_hash", F.md5(F.col("norm")))
+        .withColumn(
+            "is_canonical",
+            F.row_number().over(
+                Window.partitionBy("norm_hash").orderBy("doc_id")
+            )
+            == 1,
+        )
+        .withColumn("n_tok", n_tok)
+    )
+
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_l"))
+    weights = counts.withColumn(
+        "w_dec", F.sqrt(F.col("n_l").cast("double")).cast("decimal(38,6)")
+    )
+    totals = weights.agg(F.sum("w_dec").alias("sum_w"), F.sum("n_l").alias("n_total"))
+    rates = weights.crossJoin(F.broadcast(totals)).select(
+        "lang",
+        F.least(
+            F.lit(1.0),
+            (F.col("w_dec").cast("double") / F.col("sum_w").cast("double"))
+            * (F.col("n_total").cast("double") / MIX_TARGET_FRACTION)
+            / F.col("n_l").cast("double"),
+        ).alias("rate"),
+    )
+
+    slot = F.conv(
+        F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 7),
+        16,
+        10,
+    ).cast("long")
+    passes_quality = F.col("n_tok").between(_PIPE_Q_MIN_TOKENS, _PIPE_Q_MAX_TOKENS)
+    sampled = slot < F.floor(F.col("rate") * _MIX_BITS).cast("long")
+    return (
+        flagged.join(F.broadcast(rates), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "norm_hash",
+            "is_canonical",
+            passes_quality.alias("passes_quality"),
+            sampled.alias("sampled"),
+            (F.col("is_canonical") & passes_quality & sampled).alias("final_keep"),
+        )
+    )

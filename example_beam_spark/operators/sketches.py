@@ -1,0 +1,287 @@
+"""Distributed sketch operators — the approximate-cardinality /
+approximate-frequency machinery a 100-TB pipeline uses when exact
+aggregation is too expensive to keep per key, implemented from the
+published algorithms with deterministic md5 hash families so a DuckDB
+oracle reproduces every estimate BIT-FOR-BIT (the built-in
+``approx_count_distinct`` sketches differ between engines and cannot be
+oracle-checked; these can):
+
+- ``hll_distinct_users`` — HyperLogLog raw estimator (Flajolet, Fusy,
+  Gandouet & Meunier, AofA 2007): m=32 first-bits buckets over a 60-bit
+  md5 hash, register = max leading-zero rank, harmonic mean. The
+  register sum is kept as exact INTEGERS (Σ 2^(56-M_j) via bit shifts)
+  so no floating-point summation order can perturb the estimate; the
+  final alpha·m²/Z division is a fixed-order IEEE expression. The
+  small-range linear-counting correction is intentionally omitted: it
+  needs ln(), whose rounding is not guaranteed identical across engines
+  (documented delta — production would apply it driver-side on the
+  32-register summary).
+- ``kmv_distinct_users`` — K-Minimum-Values / bottom-k estimator
+  (Bar-Yossef et al., RANDOM 2002): the k=64 smallest distinct hash
+  values; estimate = (k-1)·2^60 / kth_min. TakeOrdered top-k — no
+  global sort materializes.
+- ``cms_token_counts`` — Count-Min Sketch (Cormode & Muthukrishnan,
+  J.Algorithms 2005): d=4 salted-md5 rows × w=256 counters over corpus
+  tokens; point estimate = min over rows. Probes the exact top-10 terms
+  so the overestimate bias is visible next to ground truth.
+
+All three are one-pass, partial+final aggregations over hash columns —
+the mergeable-summary shape that makes sketches the right tool at scale
+(registers/counters merge associatively across partitions; Spark's
+partial aggregation IS the merge).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from example_beam_spark.registry import register
+from example_beam_spark.sources import load_table, spread_small_input
+
+# --------------------------------------------------------------------------
+# shared 60-bit md5 hash (15 hex digits — stays positive in a signed long)
+# --------------------------------------------------------------------------
+
+_H_BITS = 60
+_H_SPACE = float(1 << _H_BITS)  # 2^60 as an exact double
+
+
+def _h60(col_sql: str) -> str:
+    """DuckDB: 60-bit integer hash of a string expression."""
+    return f"CAST(('0x' || substr(md5({col_sql}), 1, 15)) AS BIGINT)"
+
+
+def _h60_spark(c) -> F.Column:
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+# --------------------------------------------------------------------------
+# hll_distinct_users
+# --------------------------------------------------------------------------
+
+HLL_B = 5  # 2^5 = 32 buckets
+HLL_M = 1 << HLL_B
+_REM_BITS = _H_BITS - HLL_B  # 55-bit rank field
+_REM_SPACE = 1 << _REM_BITS
+_HLL_ALPHA = "0.697"  # published alpha_32
+
+# Z_int scales the harmonic sum by 2^(REM_BITS+1): term_j = 2^(REM_BITS+1-M_j),
+# with the empty-bucket term (M_j = 0) = 2^(REM_BITS+1) — all exact integers.
+# E = alpha * m^2 * 2^(REM_BITS+1) / Z_int, fixed evaluation order both sides
+_HLL_EST = (
+    f"{_HLL_ALPHA} * {float(HLL_M * HLL_M)} * {float(_REM_SPACE * 2)}"
+    " / CAST(z AS DOUBLE)"
+)
+
+_HLL_ORACLE = f"""
+    WITH hashes AS (
+        SELECT DISTINCT {_h60("CAST(user_id AS VARCHAR)")} AS h FROM events
+    ),
+    regs AS (
+        SELECT h // {_REM_SPACE} AS bucket,
+               MAX(CASE WHEN h % {_REM_SPACE} = 0 THEN {_REM_BITS + 1}
+                        ELSE {_REM_BITS + 1} - length(bin(h % {_REM_SPACE}))
+                   END) AS m_j
+        FROM hashes GROUP BY 1
+    ),
+    z AS (
+        SELECT CAST(SUM(1::BIGINT << ({_REM_BITS + 1} - m_j)) AS BIGINT)
+                   + ({HLL_M} - COUNT(*)) * {_REM_SPACE * 2} AS z,
+               COUNT(*) AS used
+        FROM regs
+    )
+    SELECT CAST({HLL_M} AS BIGINT) AS n_buckets,
+           CAST(used AS BIGINT) AS buckets_used,
+           (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events) AS n_exact,
+           {_HLL_EST} AS hll_estimate
+    FROM z
+"""
+
+
+@register("hll_distinct_users", oracle=_HLL_ORACLE)
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog raw cardinality estimate of distinct event users,
+    emitted next to the exact count. Registers are exact integers end to
+    end (bit shifts, no float sums) so the estimate is bit-reproducible.
+
+    100-TB design: one partial+final MAX aggregation keyed by bucket (32
+    groups) — the register array IS the mergeable summary; the exact
+    twin column is the expensive thing the sketch replaces and rides
+    along here only for audit."""
+    events = load_table(spark, sf_dir, "events")
+    hashes = events.select(_h60_spark(F.col("user_id").cast("string")).alias("h")).distinct()
+    rem = F.col("h") % _REM_SPACE
+    # integer shift, NOT double division — h has 60 bits, beyond double's
+    # 53-bit mantissa, so h/2^55 rounds and could mis-bucket
+    regs = hashes.select(
+        F.shiftright(F.col("h"), _REM_BITS).alias("bucket"),
+        F.when(rem == 0, F.lit(_REM_BITS + 1))
+        .otherwise(F.lit(_REM_BITS + 1) - F.length(F.bin(rem)))
+        .alias("rho"),
+    ).groupBy("bucket").agg(F.max("rho").alias("m_j"))
+    # F.shiftleft takes a literal bit count; the per-register shift needs
+    # a column-valued count, so it goes through the SQL form
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({_REM_BITS + 1} - m_j AS INT))")
+    z = regs.agg(
+        (F.sum(term) + (HLL_M - F.count("*")) * F.lit(_REM_SPACE * 2))
+        .cast("long")
+        .alias("z"),
+        F.count("*").alias("used"),
+    )
+    exact = events.agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return z.crossJoin(F.broadcast(exact)).select(
+        F.lit(HLL_M).cast("long").alias("n_buckets"),
+        F.col("used").cast("long").alias("buckets_used"),
+        "n_exact",
+        F.expr(_HLL_EST).alias("hll_estimate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# kmv_distinct_users
+# --------------------------------------------------------------------------
+
+KMV_K = 64
+
+_KMV_EST = f"({KMV_K}.0 - 1.0) * {_H_SPACE} / CAST(kth AS DOUBLE)"
+
+_KMV_ORACLE = f"""
+    WITH hashes AS (
+        SELECT DISTINCT {_h60("CAST(user_id AS VARCHAR)")} AS h FROM events
+    ),
+    bottomk AS (
+        SELECT h FROM hashes ORDER BY h LIMIT {KMV_K}
+    ),
+    agg AS (SELECT MAX(h) AS kth, COUNT(*) AS got FROM bottomk)
+    SELECT CAST({KMV_K} AS BIGINT) AS k,
+           CAST(got AS BIGINT) AS k_found,
+           CAST(kth AS BIGINT) AS kth_hash,
+           (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events) AS n_exact,
+           CASE WHEN got < {KMV_K} THEN CAST(got AS DOUBLE)
+                ELSE {_KMV_EST} END AS kmv_estimate
+    FROM agg
+"""
+
+
+@register("kmv_distinct_users", oracle=_KMV_ORACLE)
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-Minimum-Values cardinality estimate: the k=64 smallest distinct
+    user hashes; estimate (k-1)·2^60/kth_min, or the exact count when
+    fewer than k distinct values exist (the sketch IS exact below k).
+
+    100-TB design: ORDER BY h LIMIT k plans as TakeOrdered — per
+    partition a bounded heap, one k-row merge at the driver; nothing
+    resembling a global sort runs."""
+    events = load_table(spark, sf_dir, "events")
+    hashes = events.select(_h60_spark(F.col("user_id").cast("string")).alias("h")).distinct()
+    bottomk = hashes.orderBy("h").limit(KMV_K)
+    agg = bottomk.agg(F.max("h").alias("kth"), F.count("*").alias("got"))
+    exact = events.agg(F.countDistinct("user_id").cast("long").alias("n_exact"))
+    return agg.crossJoin(F.broadcast(exact)).select(
+        F.lit(KMV_K).cast("long").alias("k"),
+        F.col("got").cast("long").alias("k_found"),
+        F.col("kth").cast("long").alias("kth_hash"),
+        "n_exact",
+        F.when(F.col("got") < KMV_K, F.col("got").cast("double"))
+        .otherwise(F.expr(_KMV_EST))
+        .alias("kmv_estimate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# cms_token_counts
+# --------------------------------------------------------------------------
+
+CMS_D = 4  # hash rows
+CMS_W = 256  # counters per row
+CMS_PROBES = 10  # probe the exact top-10 terms
+
+_CMS_COL = "CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || term), 1, 7)) AS BIGINT) % " + str(CMS_W)
+
+_CMS_ORACLE = f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    cells AS (
+        SELECT r, {_CMS_COL} AS c, COUNT(*) AS cnt
+        FROM toks CROSS JOIN (VALUES (0), (1), (2), (3)) AS rows(r)
+        GROUP BY 1, 2
+    ),
+    probes AS (
+        SELECT term, n_exact FROM (
+            SELECT term, COUNT(*) AS n_exact,
+                   ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term) AS rk
+            FROM toks GROUP BY term
+        ) WHERE rk <= {CMS_PROBES}
+    )
+    SELECT p.term,
+           CAST(p.n_exact AS BIGINT) AS n_exact,
+           CAST(MIN(ce.cnt) AS BIGINT) AS cms_estimate,
+           CAST(MIN(ce.cnt) - p.n_exact AS BIGINT) AS overestimate
+    FROM probes p
+    CROSS JOIN (VALUES (0), (1), (2), (3)) AS rows(r)
+    JOIN cells ce ON ce.r = rows.r AND ce.c = (
+        CAST(('0x' || substr(md5(CAST(rows.r AS VARCHAR) || ':' || p.term), 1, 7)) AS BIGINT) % {CMS_W}
+    )
+    GROUP BY p.term, p.n_exact
+"""
+
+
+@register("cms_token_counts", oracle=_CMS_ORACLE)
+def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch over corpus tokens (d=4 × w=256), probed at the
+    exact top-10 terms so the one-sided overestimate is visible next to
+    ground truth.
+
+    100-TB design: the sketch build is one partial+final COUNT keyed by
+    (row, counter) — at most d·w = 1024 groups regardless of corpus
+    size, the textbook mergeable summary. The probe side touches only
+    the 10×4 relevant cells via an equi-join on the counter key."""
+    docs = spread_small_input(load_table(spark, sf_dir, "documents"), spark)
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+    rows = F.array(*[F.lit(i) for i in range(CMS_D)])
+
+    def col_of(r, term):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(r.cast("string"), F.lit(":"), term)), 1, 7
+                ),
+                16,
+                10,
+            ).cast("long")
+            % CMS_W
+        )
+
+    cells = (
+        toks.select("term", F.explode(rows).alias("r"))
+        .select("r", col_of(F.col("r"), F.col("term")).alias("c"))
+        .groupBy("r", "c")
+        .agg(F.count("*").alias("cnt"))
+    )
+    probes = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), "term")
+        .limit(CMS_PROBES)
+    )
+    probe_cells = probes.select(
+        "term", "n_exact", F.explode(rows).alias("r")
+    ).select(
+        "term", "n_exact", "r", col_of(F.col("r"), F.col("term")).alias("c")
+    )
+    return (
+        F.broadcast(probe_cells)
+        .join(cells, ["r", "c"])
+        .groupBy("term", "n_exact")
+        .agg(F.min("cnt").alias("mn"))
+        .select(
+            "term",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.col("mn").cast("long").alias("cms_estimate"),
+            (F.col("mn") - F.col("n_exact")).cast("long").alias("overestimate"),
+        )
+    )

@@ -109,6 +109,6 @@ def load_registry() -> dict[str, Query]:
     from example_beam_spark.operators import avro_io, corpusqa, ivf  # noqa: F401
 
     # appended in round 5 session 3
-    from example_beam_spark.operators import curation  # noqa: F401
+    from example_beam_spark.operators import curation, sketches  # noqa: F401
 
     return dict(QUERIES)

@@ -340,3 +340,14 @@ def test_winnowing_no_cartesian(spark):
     plan = explain_formatted(q.fn(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmv_bottomk_uses_takeordered(spark):
+    """kmv_distinct_users: the bottom-k hash cut must compile to
+    TakeOrdered (per-partition heaps + k-row driver merge), never a
+    global sort of the distinct-hash table."""
+    from example_beam_spark.plans import explain_formatted
+
+    q = load_registry()["kmv_distinct_users"]
+    plan = explain_formatted(q.fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]

@@ -238,6 +238,15 @@ def main() -> None:
         "vocab_top_terms",
         "docs_quality_filter",
         "eval_contamination",
+        # round-5 session-3 additions — quadratic-risk and fan-out ops
+        "semantic_dedup",
+        "source_overlap",
+        "winnowing_fingerprint",
+        "doc_salient_terms",
+        "knn_label_predict",
+        "docs_mixture_sample",
+        "pii_redact",
+        "text_normalize",
     ):
         t0 = time.time()
         n = reg[name].fn(spark, args.out_dir).count()
