@@ -37,9 +37,6 @@ ops on exact integer counts — bit-identical in both engines.
 
 from __future__ import annotations
 
-import os
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -48,7 +45,10 @@ from example_beam_spark.operators.ivf import _SEED_IDS_SQL, seed_scores
 from example_beam_spark.operators.similarity import (
     _ELEMS_SQL,
     _NORMS_SQL,
+    _QUERY_DOTS_SQL,
     _SCALE,
+    N_QUERIES,
+    TOP_K,
     dot_dec,
     norm_dec,
 )
@@ -242,6 +242,16 @@ _NORMALIZE_ORACLE = f"""
 """
 
 
+def _norm_expr():
+    """Spark twin of _NORM_SQL — shared by text_normalize and
+    pipeline_clean_corpus so the normalization can never diverge."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+
+
 @register("text_normalize", oracle=_NORMALIZE_ORACLE)
 def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical text form: lowercase, non-alphanumerics to spaces,
@@ -252,11 +262,7 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     100-TB design: three regexp_replace column expressions, map-side
     only, whole-stage codegen — scan-speed, no shuffle."""
     docs = load_table(spark, sf_dir, "documents")
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
-        )
-    )
+    norm = _norm_expr()
     return docs.select(
         "doc_id",
         F.md5(norm).alias("norm_hash"),
@@ -330,7 +336,10 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both consumers (sizes, shared) read it without re-scanning the
     # corpus — static ReuseExchange does not fire here because column
     # pruning differs between the branches; same idiom as the cached
-    # signature table in dedup.py's candidate-verify join.
+    # signature table in dedup.py's candidate-verify join. The cache is
+    # released by Spark's LRU (MEMORY_AND_DISK evicts under pressure),
+    # not an explicit unpersist — the returned DataFrame is lazy, so any
+    # eager unpersist here would drop the cache before the caller runs.
     from pyspark import StorageLevel
 
     by_shingle = (
@@ -374,68 +383,32 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register(
-    "record_roundtrip_orc",
-    oracle="""
-    SELECT i AS id,
-           CAST(to_timestamp(i) AS TIMESTAMP) AS timestamp,
-           'some name ' || i AS name,
-           CASE WHEN i % 10 <> 0 THEN 'some description ' || i END AS description,
-           'someKey' AS attr_key,
-           'someValue ' || i AS attr_value,
-           'someValue ' || i AS map_value
-    FROM range(1, 101) t(i)
-""",
+from example_beam_spark.operators.io_roundtrip import (  # noqa: E402
+    _ROUNDTRIP_ORACLE,
+    roundtrip_frame,
 )
+
+
+@register("record_roundtrip_orc", oracle=_ROUNDTRIP_ORACLE)
 def record_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6/S8 through the ORC wire format: the same 100 nested records as
-    ``record_roundtrip`` written via ``write_file_loads(fmt='orc')`` and
+    ``record_roundtrip``, written via ``write_file_loads(fmt='orc')`` and
     read back typed — covering Spark's third columnar on-disk format
-    (struct/array/map/timestamp all round-trip natively in ORC)."""
-    from example_beam_spark.sinks import (
-        CreateDisposition,
-        WriteDisposition,
-        write_file_loads,
-    )
-    from example_beam_spark.sources import range_records
-
-    records = range_records(spark, 100)
-    path = os.path.join(tempfile.mkdtemp(prefix="roundtrip_orc_"), "records")
-    write_file_loads(
-        records,
-        path,
-        create_disposition=CreateDisposition.CREATE_IF_NEEDED,
-        write_disposition=WriteDisposition.WRITE_TRUNCATE,
-        fmt="orc",
-    )
-    back = spark.read.schema(records.schema).orc(path)
-    return back.select(
-        "id",
-        "timestamp",
-        "name",
-        "description",
-        F.col("attributes")[0]["key"].alias("attr_key"),
-        F.col("attributes")[0]["value"].alias("attr_value"),
-        F.col("attributes_map")["someKey"].alias("map_value"),
-    )
+    (struct/array/map/timestamp all round-trip natively in ORC). Body and
+    oracle are shared with the parquet entry (io_roundtrip.py)."""
+    return roundtrip_frame(spark, "orc")
 
 
 # --------------------------------------------------------------------------
 # knn_label_predict — kNN majority-vote classification over embeddings
 # --------------------------------------------------------------------------
 
-KNN_K = 10  # vote among the exact cosine top-10 (same K as ann_topk_*)
+KNN_K = TOP_K  # vote among the exact cosine top-k (same K as ann_topk_*)
 
 _KNN_ORACLE = f"""
     WITH elems AS ({_ELEMS_SQL}),
     norms AS ({_NORMS_SQL}),
-    dots AS (
-        SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
-               CAST(SUM(CAST(FLOOR(q.x * d.x * {_SCALE}) AS BIGINT)) AS DOUBLE) / {_SCALE} AS dot
-        FROM elems q JOIN elems d ON q.i = d.i AND q.vec_id <> d.vec_id
-        WHERE q.vec_id < {{nq}}
-        GROUP BY q.vec_id, d.vec_id
-    ),
+    dots AS ({_QUERY_DOTS_SQL}),
     topk AS (
         SELECT query_id, neighbor_id FROM (
             SELECT t.query_id, t.neighbor_id,
@@ -446,7 +419,7 @@ _KNN_ORACLE = f"""
             FROM dots t
             JOIN norms nq ON nq.vec_id = t.query_id
             JOIN norms nd ON nd.vec_id = t.neighbor_id
-        ) WHERE rk <= {{k}}
+        ) WHERE rk <= {KNN_K}
     ),
     votes AS (
         SELECT t.query_id, e.label, COUNT(*) AS n_votes
@@ -468,13 +441,7 @@ _KNN_ORACLE = f"""
 """
 
 
-def _knn_oracle() -> str:
-    from example_beam_spark.operators.similarity import N_QUERIES
-
-    return _KNN_ORACLE.format(nq=N_QUERIES, k=KNN_K)
-
-
-@register("knn_label_predict", oracle=_knn_oracle())
+@register("knn_label_predict", oracle=_KNN_ORACLE)
 def knn_label_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN majority-vote label prediction: for each query vector, the
     modal label among its exact cosine top-10 neighbors (tie → smaller
@@ -484,7 +451,6 @@ def knn_label_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     100-TB design: identical cost shape to ann_topk_bruteforce (broadcast
     query set × corpus scan; swap in the IVF/LSH candidate generation for
     sublinear scans) plus two tiny aggregations keyed by query."""
-    from example_beam_spark.operators.similarity import N_QUERIES
     from pyspark.sql import Window
 
     emb = spread_small_input(load_table(spark, sf_dir, "embeddings"), spark)
@@ -543,8 +509,10 @@ def knn_label_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIX_TARGET_FRACTION = 4  # sample ~1/4 of the corpus overall
 _MIX_BITS = 268435456.0  # 2^28 — the slot space of the 7-hex-digit hash
 
-_MIX_ORACLE = f"""
-    WITH counts AS (
+# CTE chain producing rates(lang, n_l, rate) — shared verbatim by
+# docs_mixture_sample and pipeline_clean_corpus so the sampling formula
+# can never diverge between the standalone pass and the composed pipeline
+_RATES_SQL = f"""counts AS (
         SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang
     ),
     weights AS (
@@ -561,15 +529,54 @@ _MIX_ORACLE = f"""
                           * (CAST(t.n_total AS DOUBLE) / {MIX_TARGET_FRACTION}.0)
                           / CAST(w.n_l AS DOUBLE)) AS rate
         FROM weights w CROSS JOIN totals t
+    )"""
+
+
+def _mix_pred_sql(doc_id_sql: str) -> str:
+    """SQL predicate: 28 md5 bits of the salted doc id vs r.rate."""
+    return (
+        f"CAST(('0x' || substr(md5('mix:' || CAST({doc_id_sql} AS VARCHAR)), 1, 7))"
+        f" AS BIGINT) < CAST(FLOOR(r.rate * {_MIX_BITS}) AS BIGINT)"
     )
+
+
+_MIX_ORACLE = f"""
+    WITH {_RATES_SQL}
     SELECT d.doc_id, d.lang,
            CAST(r.n_l AS BIGINT) AS n_lang,
            r.rate AS sample_rate
     FROM documents d
     JOIN rates r ON r.lang = d.lang
-    WHERE CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 7))
-               AS BIGINT) < CAST(FLOOR(r.rate * {_MIX_BITS}) AS BIGINT)
+    WHERE {_mix_pred_sql("d.doc_id")}
 """
+
+
+def _mixture_rates(docs: DataFrame) -> DataFrame:
+    """Spark twin of _RATES_SQL: (lang, n_l, rate)."""
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_l"))
+    weights = counts.withColumn(
+        "w_dec", F.sqrt(F.col("n_l").cast("double")).cast("decimal(38,6)")
+    )
+    totals = weights.agg(F.sum("w_dec").alias("sum_w"), F.sum("n_l").alias("n_total"))
+    return weights.crossJoin(F.broadcast(totals)).select(
+        "lang",
+        "n_l",
+        F.least(
+            F.lit(1.0),
+            (F.col("w_dec").cast("double") / F.col("sum_w").cast("double"))
+            * (F.col("n_total").cast("double") / MIX_TARGET_FRACTION)
+            / F.col("n_l").cast("double"),
+        ).alias("rate"),
+    )
+
+
+def _mix_slot():
+    """Spark twin of the 28-bit salted hash in _mix_pred_sql."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 7),
+        16,
+        10,
+    ).cast("long")
 
 
 @register("docs_mixture_sample", oracle=_MIX_ORACLE)
@@ -583,31 +590,10 @@ def docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     back onto the scan — the sample predicate is then map-side, composes
     with pushdown, and needs no RNG state or shuffle of the corpus."""
     docs = load_table(spark, sf_dir, "documents")
-    counts = docs.groupBy("lang").agg(F.count("*").alias("n_l"))
-    weights = counts.withColumn(
-        "w_dec", F.sqrt(F.col("n_l").cast("double")).cast("decimal(38,6)")
-    )
-    totals = weights.agg(
-        F.sum("w_dec").alias("sum_w"), F.sum("n_l").alias("n_total")
-    )
-    rates = weights.crossJoin(F.broadcast(totals)).select(
-        "lang",
-        "n_l",
-        F.least(
-            F.lit(1.0),
-            (F.col("w_dec").cast("double") / F.col("sum_w").cast("double"))
-            * (F.col("n_total").cast("double") / MIX_TARGET_FRACTION)
-            / F.col("n_l").cast("double"),
-        ).alias("rate"),
-    )
-    slot = F.conv(
-        F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 7),
-        16,
-        10,
-    ).cast("long")
+    rates = _mixture_rates(docs)
     return (
         docs.join(F.broadcast(rates), "lang")
-        .filter(slot < F.floor(F.col("rate") * _MIX_BITS).cast("long"))
+        .filter(_mix_slot() < F.floor(F.col("rate") * _MIX_BITS).cast("long"))
         .select(
             "doc_id",
             "lang",
@@ -655,15 +641,15 @@ _SALIENT_ORACLE = f"""
 
 @register("doc_salient_terms", oracle=_SALIENT_ORACLE)
 def doc_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document top-{k} salient terms by tf·(N/df) — the keyword /
-    topic-signature extraction pass (tf-idf family) used for corpus
-    bucketing and retrieval indexing.
+    """Per-document top-5 (SALIENT_TOP) salient terms by tf·(N/df) — the
+    keyword / topic-signature extraction pass (tf-idf family) used for
+    corpus bucketing and retrieval indexing.
 
     100-TB design: tf is one partial+final count keyed by (doc, term);
     df aggregates the tf stream keyed by term (vocabulary-sized output);
     the tf×df join is keyed by term — skewed stopword terms are exactly
     the AQE skew-join case pinned in tests/test_plans.py. The final
-    top-{k} is a window keyed by doc.""".format(k=SALIENT_TOP)
+    top-k cut is a window keyed by doc."""
     from pyspark.sql import Window
 
     docs = spread_small_input(load_table(spark, sf_dir, "documents"), spark)
@@ -829,32 +815,15 @@ _PIPELINE_ORACLE = f"""
                     ELSE len(string_split(norm, ' ')) END AS n_tok
         FROM normed
     ),
-    counts AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
-    weights AS (
-        SELECT lang, n_l,
-               CAST(SQRT(CAST(n_l AS DOUBLE)) AS DECIMAL(38,6)) AS w_dec
-        FROM counts
-    ),
-    totals AS (SELECT SUM(w_dec) AS sum_w, SUM(n_l) AS n_total FROM weights),
-    rates AS (
-        SELECT w.lang,
-               LEAST(1.0, (CAST(w.w_dec AS DOUBLE) / CAST(t.sum_w AS DOUBLE))
-                          * (CAST(t.n_total AS DOUBLE) / {MIX_TARGET_FRACTION}.0)
-                          / CAST(w.n_l AS DOUBLE)) AS rate
-        FROM weights w CROSS JOIN totals t
-    )
+    {_RATES_SQL}
     SELECT f.doc_id, f.lang, f.norm_hash,
            f.is_canonical,
            f.n_tok BETWEEN {_PIPE_Q_MIN_TOKENS} AND {_PIPE_Q_MAX_TOKENS}
                AS passes_quality,
-           CAST(('0x' || substr(md5('mix:' || CAST(f.doc_id AS VARCHAR)), 1, 7))
-                AS BIGINT) < CAST(FLOOR(r.rate * {_MIX_BITS}) AS BIGINT)
-               AS sampled,
+           {_mix_pred_sql("f.doc_id")} AS sampled,
            (f.is_canonical
             AND f.n_tok BETWEEN {_PIPE_Q_MIN_TOKENS} AND {_PIPE_Q_MAX_TOKENS}
-            AND CAST(('0x' || substr(md5('mix:' || CAST(f.doc_id AS VARCHAR)), 1, 7))
-                     AS BIGINT) < CAST(FLOOR(r.rate * {_MIX_BITS}) AS BIGINT))
-               AS final_keep
+            AND {_mix_pred_sql("f.doc_id")}) AS final_keep
     FROM flagged f JOIN rates r ON r.lang = f.lang
 """
 
@@ -876,11 +845,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
-        )
-    )
+    norm = _norm_expr()
     n_tok = (
         F.when(F.col("norm") == "", F.lit(0))
         .otherwise(F.size(F.split(F.col("norm"), " ")))
@@ -899,28 +864,9 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_tok", n_tok)
     )
 
-    counts = docs.groupBy("lang").agg(F.count("*").alias("n_l"))
-    weights = counts.withColumn(
-        "w_dec", F.sqrt(F.col("n_l").cast("double")).cast("decimal(38,6)")
-    )
-    totals = weights.agg(F.sum("w_dec").alias("sum_w"), F.sum("n_l").alias("n_total"))
-    rates = weights.crossJoin(F.broadcast(totals)).select(
-        "lang",
-        F.least(
-            F.lit(1.0),
-            (F.col("w_dec").cast("double") / F.col("sum_w").cast("double"))
-            * (F.col("n_total").cast("double") / MIX_TARGET_FRACTION)
-            / F.col("n_l").cast("double"),
-        ).alias("rate"),
-    )
-
-    slot = F.conv(
-        F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 7),
-        16,
-        10,
-    ).cast("long")
+    rates = _mixture_rates(docs).select("lang", "rate")
     passes_quality = F.col("n_tok").between(_PIPE_Q_MIN_TOKENS, _PIPE_Q_MAX_TOKENS)
-    sampled = slot < F.floor(F.col("rate") * _MIX_BITS).cast("long")
+    sampled = _mix_slot() < F.floor(F.col("rate") * _MIX_BITS).cast("long")
     return (
         flagged.join(F.broadcast(rates), "lang")
         .select(

@@ -47,19 +47,22 @@ _ROUNDTRIP_ORACLE = """
 """
 
 
-@register("record_roundtrip", oracle=_ROUNDTRIP_ORACLE)
-def record_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Write 100 nested records through the file-load sink, read them back
-    typed, flatten nested fields to scalars for the value-hash compare."""
+def roundtrip_frame(spark: SparkSession, fmt: str) -> DataFrame:
+    """Shared S6/S8 round-trip body, parameterized by wire format: write
+    100 nested records through the file-load sink, read them back typed,
+    flatten nested fields to scalars for the value-hash compare. Every
+    fmt variant shares _ROUNDTRIP_ORACLE — the on-disk format is the only
+    thing that differs."""
     records = range_records(spark, 100)
-    path = os.path.join(tempfile.mkdtemp(prefix="roundtrip_"), "records")
+    path = os.path.join(tempfile.mkdtemp(prefix=f"roundtrip_{fmt}_"), "records")
     write_file_loads(
         records,
         path,
         create_disposition=CreateDisposition.CREATE_IF_NEEDED,
         write_disposition=WriteDisposition.WRITE_TRUNCATE,
+        fmt=fmt,
     )
-    back = spark.read.schema(records.schema).parquet(path)
+    back = spark.read.schema(records.schema).format(fmt).load(path)
     return back.select(
         "id",
         "timestamp",
@@ -69,3 +72,10 @@ def record_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("attributes")[0]["value"].alias("attr_value"),
         F.col("attributes_map")["someKey"].alias("map_value"),
     )
+
+
+@register("record_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def record_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write 100 nested records through the file-load sink, read them back
+    typed, flatten nested fields to scalars for the value-hash compare."""
+    return roundtrip_frame(spark, "parquet")

@@ -100,16 +100,20 @@ _NORMS_SQL = f"""
 # ann_topk_bruteforce
 # --------------------------------------------------------------------------
 
-_BRUTE_ORACLE = f"""
-    WITH elems AS ({_ELEMS_SQL}),
-    norms AS ({_NORMS_SQL}),
-    dots AS (
+# exact query×corpus quantized dot products — shared with the kNN
+# label-prediction oracle in operators/curation.py
+_QUERY_DOTS_SQL = f"""
         SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
                CAST(SUM(CAST(FLOOR(q.x * d.x * {_SCALE}) AS BIGINT)) AS DOUBLE) / {_SCALE} AS dot
         FROM elems q JOIN elems d ON q.i = d.i AND q.vec_id <> d.vec_id
         WHERE q.vec_id < {N_QUERIES}
         GROUP BY q.vec_id, d.vec_id
-    ),
+"""
+
+_BRUTE_ORACLE = f"""
+    WITH elems AS ({_ELEMS_SQL}),
+    norms AS ({_NORMS_SQL}),
+    dots AS ({_QUERY_DOTS_SQL}),
     scored AS (
         SELECT t.query_id, t.neighbor_id,
                t.dot / (nq.nrm * nd.nrm) AS cosine

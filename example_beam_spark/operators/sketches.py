@@ -15,7 +15,10 @@ oracle-checked; these can):
   small-range linear-counting correction is intentionally omitted: it
   needs ln(), whose rounding is not guaranteed identical across engines
   (documented delta — production would apply it driver-side on the
-  32-register summary).
+  32-register summary). ``hll_distinct_users_stream`` runs the SAME
+  register build as a real Structured Streaming job — 32 rows of
+  state ever, the sketch-as-state replacement for unbounded streaming
+  COUNT(DISTINCT) — gated by the same oracle.
 - ``kmv_distinct_users`` — K-Minimum-Values / bottom-k estimator
   (Bar-Yossef et al., RANDOM 2002): the k=64 smallest distinct hash
   values; estimate = (k-1)·2^60 / kth_min. TakeOrdered top-k — no
@@ -99,6 +102,43 @@ _HLL_ORACLE = f"""
 """
 
 
+def _hll_projection(user_col) -> list:
+    """(bucket, rho) projection of a user-id column — duplicate-tolerant
+    (MAX absorbs repeats), so it works on raw event streams with no
+    distinct pre-pass. Integer shift, NOT double division: h has 60
+    bits, beyond double's 53-bit mantissa, so h/2^55 would round and
+    could mis-bucket."""
+    h = _h60_spark(user_col.cast("string"))
+    rem = h % _REM_SPACE
+    return [
+        F.shiftright(h, _REM_BITS).alias("bucket"),
+        F.when(rem == 0, F.lit(_REM_BITS + 1))
+        .otherwise(F.lit(_REM_BITS + 1) - F.length(F.bin(rem)))
+        .alias("rho"),
+    ]
+
+
+def _hll_finish(regs: DataFrame, events: DataFrame) -> DataFrame:
+    """Registers (bucket, m_j) → the one-row estimate frame shared by the
+    batch and streaming variants (and by _HLL_ORACLE)."""
+    # F.shiftleft takes a literal bit count; the per-register shift needs
+    # a column-valued count, so it goes through the SQL form
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({_REM_BITS + 1} - m_j AS INT))")
+    z = regs.agg(
+        (F.sum(term) + (HLL_M - F.count("*")) * F.lit(_REM_SPACE * 2))
+        .cast("long")
+        .alias("z"),
+        F.count("*").alias("used"),
+    )
+    exact = events.agg(F.countDistinct("user_id").cast("long").alias("n_exact"))
+    return z.crossJoin(F.broadcast(exact)).select(
+        F.lit(HLL_M).cast("long").alias("n_buckets"),
+        F.col("used").cast("long").alias("buckets_used"),
+        "n_exact",
+        F.expr(_HLL_EST).alias("hll_estimate"),
+    )
+
+
 @register("hll_distinct_users", oracle=_HLL_ORACLE)
 def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog raw cardinality estimate of distinct event users,
@@ -110,34 +150,32 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin column is the expensive thing the sketch replaces and rides
     along here only for audit."""
     events = load_table(spark, sf_dir, "events")
-    hashes = events.select(_h60_spark(F.col("user_id").cast("string")).alias("h")).distinct()
-    rem = F.col("h") % _REM_SPACE
-    # integer shift, NOT double division — h has 60 bits, beyond double's
-    # 53-bit mantissa, so h/2^55 rounds and could mis-bucket
-    regs = hashes.select(
-        F.shiftright(F.col("h"), _REM_BITS).alias("bucket"),
-        F.when(rem == 0, F.lit(_REM_BITS + 1))
-        .otherwise(F.lit(_REM_BITS + 1) - F.length(F.bin(rem)))
-        .alias("rho"),
-    ).groupBy("bucket").agg(F.max("rho").alias("m_j"))
-    # F.shiftleft takes a literal bit count; the per-register shift needs
-    # a column-valued count, so it goes through the SQL form
-    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({_REM_BITS + 1} - m_j AS INT))")
-    z = regs.agg(
-        (F.sum(term) + (HLL_M - F.count("*")) * F.lit(_REM_SPACE * 2))
-        .cast("long")
-        .alias("z"),
-        F.count("*").alias("used"),
+    regs = events.select(*_hll_projection(F.col("user_id"))).groupBy("bucket").agg(
+        F.max("rho").alias("m_j")
     )
-    exact = events.agg(
-        F.countDistinct("user_id").cast("long").alias("n_exact")
+    return _hll_finish(regs, events)
+
+
+@register("hll_distinct_users_stream", oracle=_HLL_ORACLE)
+def hll_distinct_users_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL register build as a REAL Structured Streaming job: MAX(rho)
+    per bucket is the canonical bounded streaming state (exactly
+    HLL_M = 32 rows, ever) — the sketch-as-state pattern that replaces
+    unbounded streaming COUNT(DISTINCT). Update-mode drain; the final
+    registers are provably the batch registers (MAX is order- and
+    duplicate-insensitive), so the SAME oracle gates both variants.
+
+    100-TB design: state volume is m registers regardless of stream
+    cardinality or retention — no watermark needed, nothing evicted,
+    no distinct state to grow."""
+    from example_beam_spark.streaming.entries import read_events_stream, run_to_final
+
+    ev = read_events_stream(spark, sf_dir)
+    agg = ev.select(*_hll_projection(F.col("user_id"))).groupBy("bucket").agg(
+        F.max("rho").alias("m_j")
     )
-    return z.crossJoin(F.broadcast(exact)).select(
-        F.lit(HLL_M).cast("long").alias("n_buckets"),
-        F.col("used").cast("long").alias("buckets_used"),
-        "n_exact",
-        F.expr(_HLL_EST).alias("hll_estimate"),
-    )
+    regs = run_to_final(agg, ["bucket"], spark)
+    return _hll_finish(regs, load_table(spark, sf_dir, "events"))
 
 
 # --------------------------------------------------------------------------
