@@ -1,0 +1,172 @@
+"""Semi-structured and business-analytics operators rounding out the
+batch surface:
+
+- ``events_json_stats`` — typed extraction from the ``events.props``
+  JSON string column (the semi-structured payload every event pipeline
+  carries): ``get_json_object`` (Spark) vs ``json_extract_string``
+  (DuckDB) must agree on value AND null semantics (missing key → NULL).
+  The streaming custom-window entry already consumes this column
+  (streaming/entries.py:413,474); this is the batch-analytics twin.
+- ``orders_rfm_segments`` — classic RFM (recency / frequency /
+  monetary) customer segmentation: per-customer aggregates, NTILE(4)
+  quartile scores with deterministic tie-breaks, concatenated segment
+  label.
+- ``docs_sample_fixed_k`` — EXACTLY-k-per-stratum sampling (eval-set
+  construction wants fixed sizes, not rates): hash-order row_number
+  within each language. Complements ``docs_sample_stratified`` (rate)
+  and ``docs_mixture_sample`` (temperature rate) — the three sampling
+  modes a data pipeline actually uses.
+
+Scale notes: the RFM NTILE windows run over the CUSTOMER-level
+aggregate (orders-of-magnitude smaller than the fact table); at extreme
+scale the quartile cutoffs would be computed once and broadcast instead
+of windowed — same posture as ``price_quantiles``. ``docs_sample_fixed_k``
+windows by stratum; a hot stratum is pre-thinned with the hash-rate
+sampler before the exact-k cut (documented, not needed at fixture
+scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from example_beam_spark.registry import register, sql_dsum
+from example_beam_spark.sources import load_table
+
+# --------------------------------------------------------------------------
+# events_json_stats
+# --------------------------------------------------------------------------
+
+_JSON_ORACLE = """
+    WITH parsed AS (
+        SELECT event_type,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(k) AS BIGINT) AS n_with_k,
+           CAST(MIN(k) AS BIGINT) AS k_min,
+           CAST(MAX(k) AS BIGINT) AS k_max,
+           CAST(SUM(k) AS BIGINT) AS k_sum,
+           CAST(SUM(k) AS DOUBLE) / COUNT(k) AS k_avg
+    FROM parsed GROUP BY event_type
+"""
+
+
+@register("events_json_stats", oracle=_JSON_ORACLE)
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON extraction + aggregation over the semi-structured
+    ``props`` payload: per event type, stats of the ``$.k`` field.
+    Missing keys / malformed JSON extract to NULL in both engines and
+    drop out of the value aggregates (counted via n_events − n_with_k).
+
+    100-TB design: get_json_object evaluates JVM-side inside whole-stage
+    codegen (no Python), and the aggregate is one partial+final pass —
+    the JSON parse cost is scan-shaped. Frequently-accessed fields would
+    be materialized to typed columns at ingest; this operator is the
+    exploration path that decides which."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    parsed = events.select("event_type", k.alias("k"))
+    return parsed.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.count("k").cast("long").alias("n_with_k"),
+        F.min("k").cast("long").alias("k_min"),
+        F.max("k").cast("long").alias("k_max"),
+        F.sum("k").cast("long").alias("k_sum"),
+        (F.sum("k").cast("double") / F.count("k")).alias("k_avg"),
+    )
+
+
+# --------------------------------------------------------------------------
+# orders_rfm_segments
+# --------------------------------------------------------------------------
+
+_RFM_ORACLE = f"""
+    WITH cust AS (
+        SELECT o_custkey,
+               MAX(o_orderdate) AS last_order,
+               COUNT(*) AS frequency,
+               {sql_dsum("o_totalprice", "monetary")}
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           CAST(NTILE(4) OVER (ORDER BY last_order, o_custkey) AS BIGINT) AS r_score,
+           CAST(NTILE(4) OVER (ORDER BY frequency, o_custkey) AS BIGINT) AS f_score,
+           CAST(NTILE(4) OVER (ORDER BY monetary, o_custkey) AS BIGINT) AS m_score,
+           CAST(frequency AS BIGINT) AS frequency,
+           monetary
+    FROM cust
+"""
+
+
+@register("orders_rfm_segments", oracle=_RFM_ORACLE)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per customer, quartile scores (1-4) of
+    recency (last order date), frequency (order count), and monetary
+    (decimal-exact revenue sum), with deterministic custkey tie-breaks.
+
+    100-TB design: the fact scan collapses to one |customers|-row
+    aggregate first; the three NTILE windows run over that much smaller
+    table. At extreme |customers| the quartile CUTOFFS would be computed
+    once and broadcast as range predicates instead (same posture as
+    price_quantiles); NTILE is the exact-oracle-friendly form."""
+    orders = load_table(spark, sf_dir, "orders")
+    mon = F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double")
+    cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        mon.alias("monetary"),
+    )
+    return cust.select(
+        "o_custkey",
+        F.ntile(4).over(Window.orderBy("last_order", "o_custkey")).cast("long").alias("r_score"),
+        F.ntile(4).over(Window.orderBy("frequency", "o_custkey")).cast("long").alias("f_score"),
+        F.ntile(4).over(Window.orderBy("monetary", "o_custkey")).cast("long").alias("m_score"),
+        F.col("frequency").cast("long").alias("frequency"),
+        "monetary",
+    )
+
+
+# --------------------------------------------------------------------------
+# docs_sample_fixed_k
+# --------------------------------------------------------------------------
+
+FIXED_K = 10  # exactly k docs per language stratum
+
+_FIXED_K_ORACLE = f"""
+    SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5('fixk:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    ) WHERE rk <= {FIXED_K}
+"""
+
+
+@register("docs_sample_fixed_k", oracle=_FIXED_K_ORACLE)
+def docs_sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum sample: the FIXED_K documents per language
+    with the smallest salted-hash rank — fixed-size eval subsets with no
+    RNG, stable across reruns and engines.
+
+    100-TB design: one window keyed by the stratum; rows beyond rank k
+    are dropped before any downstream work. A pathological hot stratum
+    is pre-thinned with the hash-rate sampler (docs_sample_stratified)
+    before the exact cut."""
+    docs = load_table(spark, sf_dir, "documents")
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(
+            F.md5(F.concat(F.lit("fixk:"), F.col("doc_id").cast("string"))), "doc_id"
+        )
+    )
+    return (
+        docs.select("doc_id", "lang", rk.alias("rk"))
+        .filter(F.col("rk") <= FIXED_K)
+        .select("doc_id", "lang", F.col("rk").cast("long").alias("rk"))
+    )

@@ -108,7 +108,9 @@ def load_registry() -> dict[str, Query]:
     # positions (and the driver's positional graded window) never shift
     from example_beam_spark.operators import avro_io, corpusqa, ivf  # noqa: F401
 
-    # appended in round 5 session 3
+    # appended in round 5 session 3 (import order = registration order:
+    # later modules append after earlier ones)
     from example_beam_spark.operators import curation, sketches  # noqa: F401
+    from example_beam_spark.operators import analytics  # noqa: F401
 
     return dict(QUERIES)
