@@ -31,17 +31,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from example_beam_spark.registry import register, sql_dsum
+from example_beam_spark.registry import dsum, register, sql_dsum
 from example_beam_spark.sources import load_table
 
 # --------------------------------------------------------------------------
 # events_json_stats
 # --------------------------------------------------------------------------
 
+# TRY_CAST + json_valid guard: Spark's get_json_object returns NULL for
+# malformed JSON and try_cast NULLs non-numeric values; the oracle must
+# not ERROR where Spark returns NULL (DuckDB json_extract_string raises
+# on invalid JSON and plain CAST raises on non-numeric text)
 _JSON_ORACLE = """
     WITH parsed AS (
         SELECT event_type,
-               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+               TRY_CAST(CASE WHEN json_valid(props)
+                             THEN json_extract_string(props, '$.k') END
+                        AS BIGINT) AS k
         FROM events
     )
     SELECT event_type,
@@ -59,8 +65,12 @@ _JSON_ORACLE = """
 def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed JSON extraction + aggregation over the semi-structured
     ``props`` payload: per event type, stats of the ``$.k`` field.
-    Missing keys / malformed JSON extract to NULL in both engines and
-    drop out of the value aggregates (counted via n_events − n_with_k).
+    Missing keys, malformed JSON, and non-numeric values extract to NULL
+    in both engines (Spark: get_json_object + try_cast; oracle:
+    json_valid guard + TRY_CAST) and drop out of the value aggregates
+    (countable via n_events − n_with_k). The fixture's props are all
+    valid numeric JSON, so the NULL paths are pinned by
+    tests/test_json_null_paths.py rather than the fixture.
 
     100-TB design: get_json_object evaluates JVM-side inside whole-stage
     codegen (no Python), and the aggregate is one partial+final pass —
@@ -68,7 +78,7 @@ def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     be materialized to typed columns at ingest; this operator is the
     exploration path that decides which."""
     events = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
+    k = F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)")
     parsed = events.select("event_type", k.alias("k"))
     return parsed.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n_events"),
@@ -92,13 +102,19 @@ _RFM_ORACLE = f"""
                {sql_dsum("o_totalprice", "monetary")}
         FROM orders GROUP BY o_custkey
     )
-    SELECT o_custkey,
-           CAST(NTILE(4) OVER (ORDER BY last_order, o_custkey) AS BIGINT) AS r_score,
-           CAST(NTILE(4) OVER (ORDER BY frequency, o_custkey) AS BIGINT) AS f_score,
-           CAST(NTILE(4) OVER (ORDER BY monetary, o_custkey) AS BIGINT) AS m_score,
-           CAST(frequency AS BIGINT) AS frequency,
-           monetary
-    FROM cust
+    SELECT o_custkey, r_score, f_score, m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+               || CAST(m_score AS VARCHAR) AS segment,
+           frequency, monetary
+    FROM (
+        SELECT o_custkey,
+               CAST(NTILE(4) OVER (ORDER BY last_order, o_custkey) AS BIGINT) AS r_score,
+               CAST(NTILE(4) OVER (ORDER BY frequency, o_custkey) AS BIGINT) AS f_score,
+               CAST(NTILE(4) OVER (ORDER BY monetary, o_custkey) AS BIGINT) AS m_score,
+               CAST(frequency AS BIGINT) AS frequency,
+               monetary
+        FROM cust
+    )
 """
 
 
@@ -114,19 +130,27 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     once and broadcast as range predicates instead (same posture as
     price_quantiles); NTILE is the exact-oracle-friendly form."""
     orders = load_table(spark, sf_dir, "orders")
-    mon = F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double")
     cust = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count("*").alias("frequency"),
-        mon.alias("monetary"),
+        dsum("o_totalprice", "monetary"),
     )
-    return cust.select(
+    scored = cust.select(
         "o_custkey",
         F.ntile(4).over(Window.orderBy("last_order", "o_custkey")).cast("long").alias("r_score"),
         F.ntile(4).over(Window.orderBy("frequency", "o_custkey")).cast("long").alias("f_score"),
         F.ntile(4).over(Window.orderBy("monetary", "o_custkey")).cast("long").alias("m_score"),
         F.col("frequency").cast("long").alias("frequency"),
         "monetary",
+    )
+    segment = F.concat(
+        F.col("r_score").cast("string"),
+        F.col("f_score").cast("string"),
+        F.col("m_score").cast("string"),
+    )
+    return scored.select(
+        "o_custkey", "r_score", "f_score", "m_score",
+        segment.alias("segment"), "frequency", "monetary",
     )
 
 

@@ -41,6 +41,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from example_beam_spark.operators.dedup import SHINGLE_N, _shingle_array
+from example_beam_spark.operators.io_roundtrip import (
+    _ROUNDTRIP_ORACLE,
+    roundtrip_frame,
+)
 from example_beam_spark.operators.ivf import _SEED_IDS_SQL, seed_scores
 from example_beam_spark.operators.similarity import (
     _ELEMS_SQL,
@@ -381,12 +385,6 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # record_roundtrip_orc — ORC wire format through the file-load sink
 # --------------------------------------------------------------------------
-
-
-from example_beam_spark.operators.io_roundtrip import (  # noqa: E402
-    _ROUNDTRIP_ORACLE,
-    roundtrip_frame,
-)
 
 
 @register("record_roundtrip_orc", oracle=_ROUNDTRIP_ORACLE)

@@ -47,12 +47,14 @@ _ROUNDTRIP_ORACLE = """
 """
 
 
-def roundtrip_frame(spark: SparkSession, fmt: str) -> DataFrame:
+def roundtrip_frame(spark: SparkSession, fmt: str, reader=None) -> DataFrame:
     """Shared S6/S8 round-trip body, parameterized by wire format: write
     100 nested records through the file-load sink, read them back typed,
     flatten nested fields to scalars for the value-hash compare. Every
     fmt variant shares _ROUNDTRIP_ORACLE — the on-disk format is the only
-    thing that differs."""
+    thing that differs. ``reader(spark, schema, path)`` overrides the
+    read-back for formats Spark's built-in reader cannot load (the
+    repo's pure-Python Avro OCF source)."""
     records = range_records(spark, 100)
     path = os.path.join(tempfile.mkdtemp(prefix=f"roundtrip_{fmt}_"), "records")
     write_file_loads(
@@ -62,7 +64,10 @@ def roundtrip_frame(spark: SparkSession, fmt: str) -> DataFrame:
         write_disposition=WriteDisposition.WRITE_TRUNCATE,
         fmt=fmt,
     )
-    back = spark.read.schema(records.schema).format(fmt).load(path)
+    if reader is not None:
+        back = reader(spark, records.schema, path)
+    else:
+        back = spark.read.schema(records.schema).format(fmt).load(path)
     return back.select(
         "id",
         "timestamp",

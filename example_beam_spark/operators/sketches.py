@@ -156,28 +156,6 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hll_finish(regs, events)
 
 
-@register("hll_distinct_users_stream", oracle=_HLL_ORACLE)
-def hll_distinct_users_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The HLL register build as a REAL Structured Streaming job: MAX(rho)
-    per bucket is the canonical bounded streaming state (exactly
-    HLL_M = 32 rows, ever) — the sketch-as-state pattern that replaces
-    unbounded streaming COUNT(DISTINCT). Update-mode drain; the final
-    registers are provably the batch registers (MAX is order- and
-    duplicate-insensitive), so the SAME oracle gates both variants.
-
-    100-TB design: state volume is m registers regardless of stream
-    cardinality or retention — no watermark needed, nothing evicted,
-    no distinct state to grow."""
-    from example_beam_spark.streaming.entries import read_events_stream, run_to_final
-
-    ev = read_events_stream(spark, sf_dir)
-    agg = ev.select(*_hll_projection(F.col("user_id"))).groupBy("bucket").agg(
-        F.max("rho").alias("m_j")
-    )
-    regs = run_to_final(agg, ["bucket"], spark)
-    return _hll_finish(regs, load_table(spark, sf_dir, "events"))
-
-
 # --------------------------------------------------------------------------
 # kmv_distinct_users
 # --------------------------------------------------------------------------
@@ -323,3 +301,30 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("mn") - F.col("n_exact")).cast("long").alias("overestimate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# hll_distinct_users_stream — registered LAST so the registry tail only
+# ever appends (the documented position invariant)
+# --------------------------------------------------------------------------
+
+@register("hll_distinct_users_stream", oracle=_HLL_ORACLE)
+def hll_distinct_users_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL register build as a REAL Structured Streaming job: MAX(rho)
+    per bucket is the canonical bounded streaming state (exactly
+    HLL_M = 32 rows, ever) — the sketch-as-state pattern that replaces
+    unbounded streaming COUNT(DISTINCT). Update-mode drain; the final
+    registers are provably the batch registers (MAX is order- and
+    duplicate-insensitive), so the SAME oracle gates both variants.
+
+    100-TB design: state volume is m registers regardless of stream
+    cardinality or retention — no watermark needed, nothing evicted,
+    no distinct state to grow."""
+    from example_beam_spark.streaming.entries import read_events_stream, run_to_final
+
+    ev = read_events_stream(spark, sf_dir)
+    agg = ev.select(*_hll_projection(F.col("user_id"))).groupBy("bucket").agg(
+        F.max("rho").alias("m_j")
+    )
+    regs = run_to_final(agg, ["bucket"], spark)
+    return _hll_finish(regs, load_table(spark, sf_dir, "events"))
