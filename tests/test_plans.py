@@ -351,3 +351,17 @@ def test_kmv_bottomk_uses_takeordered(spark):
     q = load_registry()["kmv_distinct_users"]
     plan = explain_formatted(q.fn(spark, SF))
     assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_events_json_stats_single_shuffle(spark):
+    """events_json_stats: the JSON parse is scan-side and the aggregate
+    is one partial+final pass — exactly one exchange."""
+    q = load_registry()["events_json_stats"]
+    assert num_exchanges(q.fn(spark, SF)) == 1
+
+
+def test_fixed_k_sample_is_one_window_shuffle(spark):
+    """docs_sample_fixed_k: one window shuffle keyed by the stratum,
+    nothing global."""
+    q = load_registry()["docs_sample_fixed_k"]
+    assert num_exchanges(q.fn(spark, SF)) == 1
