@@ -113,4 +113,7 @@ def load_registry() -> dict[str, Query]:
     from example_beam_spark.operators import curation, sketches  # noqa: F401
     from example_beam_spark.operators import analytics  # noqa: F401
 
+    # round 5, session 4
+    from example_beam_spark.operators import behavior  # noqa: F401
+
     return dict(QUERIES)

@@ -365,3 +365,32 @@ def test_fixed_k_sample_is_one_window_shuffle(spark):
     nothing global."""
     q = load_registry()["docs_sample_fixed_k"]
     assert num_exchanges(q.fn(spark, SF)) == 1
+
+
+def test_funnel_single_user_shuffle(spark):
+    """events_funnel: all four chained MIN-CASE windows share ONE
+    user_id exchange; the only other exchange is the final single-row
+    rollup."""
+    from example_beam_spark.plans import explain_formatted
+
+    q = load_registry()["events_funnel"]
+    df = q.fn(spark, SF)
+    assert num_exchanges(df) == 2, explain_formatted(df)[:2000]
+
+
+def test_interarrival_single_shuffle(spark):
+    """events_interarrival: the LAG sort and the per-user aggregate run
+    inside one user_id exchange."""
+    q = load_registry()["events_interarrival"]
+    assert num_exchanges(q.fn(spark, SF)) == 1
+
+
+def test_retention_has_no_self_join(spark):
+    """user_retention_cohorts: cohort_size comes from a MAX-CASE window,
+    not an offset-0 self-join — the count subtree must appear once (no
+    Join operator, no re-planned scan)."""
+    from example_beam_spark.plans import explain_formatted
+
+    q = load_registry()["user_retention_cohorts"]
+    plan = explain_formatted(q.fn(spark, SF))
+    assert "Join" not in plan, plan[:2000]
