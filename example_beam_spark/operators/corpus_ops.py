@@ -1,0 +1,219 @@
+"""Corpus lifecycle operators: deterministic dataset splits, overlapping
+context-window chunk planning, and incremental (new-batch-vs-seen)
+dedup — the three steps that turn a cleaned corpus into training input
+and keep it deduplicated as new crawls arrive.
+
+These complete the sampling/packing family in ``textops.py``
+(rate → ``docs_sample_stratified``, temperature → ``docs_mixture_sample``,
+exact-k → ``docs_sample_fixed_k``, packing → ``docs_pack_sequences``)
+with the remaining lifecycle moves: hold-out splitting, striding, and
+delta dedup.
+
+100-TB design notes
+-------------------
+- ``docs_train_split``: membership is a pure function of the salted
+  doc_id hash (same 28-bit md5-prefix machinery as
+  ``docs_sample_stratified``) — zero shuffle, composes with predicate
+  pushdown, and the three-way partition is exhaustive and disjoint BY
+  CONSTRUCTION (one slot, three exclusive ranges), so train/valid/test
+  can be materialized as three filtered scans of the same table with no
+  coordination.
+- ``docs_chunk_overlap``: chunk geometry (start/end token offsets for a
+  W-token window at stride S) is computed with ``sequence`` + explode —
+  the fan-out is planned BEFORE any per-chunk work, so downstream
+  tokenization parallelizes over chunks, not documents (same posture as
+  ``multimodal_frame_sample``). Narrow map, no shuffle.
+- ``dedup_incremental``: the delta pattern — hash-collapse the new
+  batch internally (partial+final agg), then LEFT ANTI join against the
+  seen-corpus hash set. At scale the seen side is a compact
+  hash-per-doc index, orders of magnitude smaller than the corpus;
+  Spark's runtime bloom-filter pruning (pinned by
+  tests/test_plans.py's bloom test) discards most non-matching batch
+  rows before the shuffle, and a broadcast anti-join applies when the
+  delta window's seen set fits. Matches-found semantics are pinned by a
+  constructed-duplicate unit test (the driver fixture has no exact
+  duplicates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from example_beam_spark.operators.textops import _BPE_PATTERN
+from example_beam_spark.registry import register
+from example_beam_spark.sources import load_table
+
+# --------------------------------------------------------------------------
+# docs_train_split — deterministic 98/1/1 train/valid/test hash split
+# --------------------------------------------------------------------------
+
+_SPLIT_MOD = 100
+_TRAIN_LT = 98  # slots [0,98) → train
+_VALID_LT = 99  # slot 98 → valid, slot 99 → test
+
+_SPLIT_ORACLE = f"""
+    WITH tagged AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 7))
+                    AS BIGINT) % {_SPLIT_MOD} AS slot
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN slot < {_TRAIN_LT} THEN 'train'
+                WHEN slot < {_VALID_LT} THEN 'valid'
+                ELSE 'test' END AS split
+    FROM tagged
+"""
+
+
+@register("docs_train_split", oracle=_SPLIT_ORACLE)
+def docs_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 98/1/1 train/valid/test assignment: 28 salted md5
+    bits of the doc_id, one slot in [0,100), three exclusive ranges —
+    exhaustive and disjoint by construction, stable across reruns,
+    engines, and cluster topologies (no RNG, no seed coordination).
+
+    The assignment is a pure scan expression: materializing a split is
+    a filtered scan (`WHERE split = 'train'`), so hold-out membership
+    survives repartitioning and composes with every downstream
+    operator. Salting the hash ('split:' prefix) keeps this split
+    independent of the sampling operators' hashes."""
+    docs = load_table(spark, sf_dir, "documents")
+    slot = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 7
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _SPLIT_MOD
+    )
+    split = (
+        F.when(slot < _TRAIN_LT, "train")
+        .when(slot < _VALID_LT, "valid")
+        .otherwise("test")
+    )
+    return docs.select("doc_id", "lang", split.alias("split"))
+
+
+# --------------------------------------------------------------------------
+# docs_chunk_overlap — overlapping W-token context windows at stride S
+# --------------------------------------------------------------------------
+
+_CHUNK_W = 32  # window: tokens per chunk
+_CHUNK_S = 24  # stride: 8-token overlap between consecutive chunks
+
+_CHUNK_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{{bpe}}')) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(s // {_CHUNK_S} AS BIGINT) AS chunk_id,
+           CAST(s AS BIGINT) AS start_tok,
+           CAST(LEAST(s + {_CHUNK_W}, n_tokens) AS BIGINT) AS end_tok,
+           CAST(LEAST(s + {_CHUNK_W}, n_tokens) - s AS BIGINT) AS n_chunk_tokens,
+           s + {_CHUNK_S} >= n_tokens AS is_last
+    FROM toks
+    CROSS JOIN UNNEST(generate_series(0, n_tokens - 1, {_CHUNK_S})) AS u(s)
+"""
+
+
+@register("docs_chunk_overlap", oracle=_CHUNK_ORACLE.format(bpe=_BPE_PATTERN))
+def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunk plan: one row per (doc, chunk)
+    with token-offset geometry — a 32-token window every 24 tokens
+    (8-token overlap so no boundary context is lost), the striding step
+    between cleaning and tokenization in an LLM pipeline.
+
+    Token counts reuse the BPE pre-tokenizer regex from
+    ``token_count_bpe`` so budgets agree across the engine. The
+    ``sequence`` fan-out is guarded for the degenerate empty-text case
+    (n_tokens = 0 → no chunks) the same way as
+    ``multimodal_audio_segments``; chunk_id = start // S, and the
+    geometry is pure per-row arithmetic — narrow map, zero shuffles,
+    fan-out planned before any per-chunk work."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 0)
+    ).cast("long")
+    starts = F.when(
+        n_tokens >= 1, F.sequence(F.lit(0).cast("long"), n_tokens - 1, F.lit(_CHUNK_S))
+    ).otherwise(F.array().cast("array<bigint>"))
+    exploded = docs.select(
+        "doc_id", n_tokens.alias("n_tokens"), F.explode(starts).alias("s")
+    )
+    end_tok = F.least(F.col("s") + _CHUNK_W, F.col("n_tokens"))
+    return exploded.select(
+        "doc_id",
+        F.expr(f"s div {_CHUNK_S}").cast("long").alias("chunk_id"),
+        F.col("s").cast("long").alias("start_tok"),
+        end_tok.cast("long").alias("end_tok"),
+        (end_tok - F.col("s")).cast("long").alias("n_chunk_tokens"),
+        (F.col("s") + _CHUNK_S >= F.col("n_tokens")).alias("is_last"),
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_incremental — new-batch exact dedup against the seen corpus
+# --------------------------------------------------------------------------
+
+_BATCH_SOURCE = "src13"  # "today's crawl"; every other source is "seen"
+
+_INCR_ORACLE = f"""
+    WITH batch AS (
+        SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_batch_copies
+        FROM documents WHERE source = '{_BATCH_SOURCE}'
+        GROUP BY md5(text)
+    ),
+    seen AS (
+        SELECT DISTINCT md5(text) AS content_hash
+        FROM documents WHERE source <> '{_BATCH_SOURCE}'
+    )
+    SELECT b.doc_id, b.content_hash, b.n_batch_copies
+    FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.content_hash = b.content_hash)
+"""
+
+
+@register("dedup_incremental", oracle=_INCR_ORACLE)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: collapse the new batch (source =
+    'src13') to one row per content hash (lowest doc_id canonical, copy
+    count retained), then LEFT ANTI join against the seen corpus's
+    distinct hash set — only genuinely new content survives.
+
+    This is ``dedup_exact``'s delta form: instead of re-deduping the
+    whole corpus per crawl, each batch compares against the persisted
+    hash index. The driver fixture contains no exact duplicates, so at
+    fixture scale everything passes through; the match-and-drop path is
+    pinned by tests/test_corpus_ops.py with constructed duplicates.
+
+    Implementation: ``dedup_incremental_frames`` holds the logic over
+    arbitrary (batch, seen) frames; this registry entry binds it to the
+    source split."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("source") == _BATCH_SOURCE)
+    seen = docs.filter(F.col("source") != _BATCH_SOURCE)
+    return dedup_incremental_frames(batch, seen)
+
+
+def dedup_incremental_frames(batch: DataFrame, seen: DataFrame) -> DataFrame:
+    """Core delta-dedup: rows of ``batch`` whose md5(text) does not
+    occur in ``seen``, batch-internally collapsed first. Both inputs
+    need (doc_id, text) columns."""
+    batch_hashed = (
+        batch.select(F.md5(F.col("text")).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count("*").cast("long").alias("n_batch_copies"),
+        )
+    )
+    seen_hashes = seen.select(F.md5(F.col("text")).alias("content_hash")).distinct()
+    return batch_hashed.join(seen_hashes, "content_hash", "left_anti").select(
+        "doc_id", "content_hash", "n_batch_copies"
+    )

@@ -20,11 +20,15 @@ this convention.
 
 from __future__ import annotations
 
+import itertools
 from collections.abc import Callable
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+_SERIAL = itertools.count()
 
 
 @dataclass(frozen=True)
@@ -33,6 +37,9 @@ class Query:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # DuckDB SQL; None => rows-only check (non-SQL-expressible)
     headline: bool = False  # include in bench.py
+    # registration sequence — preserves SOURCE order of register() calls
+    # within a module no matter when the module happened to be imported
+    serial: int = field(default_factory=lambda: next(_SERIAL))
 
 
 QUERIES: dict[str, Query] = {}
@@ -78,42 +85,63 @@ def sql_davg(expr: str, alias: str) -> str:
 
 
 # The registry has grown past the driver's graded window (first 50 entries,
-# positionally frozen since round 1). Ordering is NATURAL registration order
-# (module import order below, then source order within each module) — the
-# registry does not reorder itself around the window. Entries past the
-# window are still fully oracle-checked every round by
-# tests/test_registry_oracle.py, which runs EVERY registered query against
-# its DuckDB oracle at sf0.001 regardless of position.
+# positionally frozen since round 1). Ordering is the NATURAL registration
+# order — _MODULE_ORDER (the order modules were added to the repo, new
+# modules appended at the tail) then source order within each module — and
+# the registry does not reorder itself around the window. The canonical sort
+# below reproduces that order deterministically even if some operator module
+# was imported directly (e.g. by a test) before load_registry() ran;
+# otherwise an early `import textops` would silently rotate the graded
+# window (tests/test_registry_order.py pins it). Entries past the window are
+# still fully oracle-checked every round by tests/test_registry_oracle.py,
+# which runs EVERY registered query against its DuckDB oracle at sf0.001
+# regardless of position.
+
+_MODULE_ORDER = [
+    "example_beam_spark.operators.ctr",
+    "example_beam_spark.operators.enrich",
+    "example_beam_spark.operators.relational",
+    "example_beam_spark.operators.dedup",
+    "example_beam_spark.operators.similarity",
+    "example_beam_spark.operators.textops",
+    "example_beam_spark.operators.multimodal",
+    "example_beam_spark.operators.io_roundtrip",
+    "example_beam_spark.operators.setops",
+    "example_beam_spark.operators.subqueries",
+    "example_beam_spark.operators.tpch",
+    "example_beam_spark.streaming.entries",
+    # appended after round 4
+    "example_beam_spark.operators.avro_io",
+    "example_beam_spark.operators.corpusqa",
+    "example_beam_spark.operators.ivf",
+    # round 5, session 3
+    "example_beam_spark.operators.curation",
+    "example_beam_spark.operators.sketches",
+    "example_beam_spark.operators.analytics",
+    # round 5, session 4
+    "example_beam_spark.operators.behavior",
+    "example_beam_spark.operators.corpus_ops",
+]
 
 
 def load_registry() -> dict[str, Query]:
     """Import every operator module (each registers its queries on import);
-    return the registry in natural registration order."""
-    from example_beam_spark.operators import (  # noqa: F401
-        ctr,
-        enrich,
-        relational,
-        dedup,
-        similarity,
-        textops,
-        multimodal,
-        io_roundtrip,
-        setops,
-        subqueries,
-        tpch,
-    )
-    from example_beam_spark.streaming import entries as streaming_entries  # noqa: F401
+    return the registry in canonical order: _MODULE_ORDER, then source
+    order within each module."""
+    import importlib
 
-    # appended after round 4 — new modules import last so existing registry
-    # positions (and the driver's positional graded window) never shift
-    from example_beam_spark.operators import avro_io, corpusqa, ivf  # noqa: F401
+    for mod in _MODULE_ORDER:
+        importlib.import_module(mod)
 
-    # appended in round 5 session 3 (import order = registration order:
-    # later modules append after earlier ones)
-    from example_beam_spark.operators import curation, sketches  # noqa: F401
-    from example_beam_spark.operators import analytics  # noqa: F401
+    def key(q: Query) -> tuple[int, int]:
+        try:
+            return (_MODULE_ORDER.index(q.fn.__module__), q.serial)
+        except ValueError:
+            raise RuntimeError(
+                f"query {q.name!r} registered from {q.fn.__module__!r}, which is "
+                "not in registry._MODULE_ORDER — append the new module at the "
+                "TAIL of that list (never insert mid-list: the driver grades "
+                "the first 50 entries positionally)"
+            ) from None
 
-    # round 5, session 4
-    from example_beam_spark.operators import behavior  # noqa: F401
-
-    return dict(QUERIES)
+    return {q.name: q for q in sorted(QUERIES.values(), key=key)}

@@ -1,0 +1,87 @@
+"""Corpus lifecycle operators: the paths the driver fixture cannot
+exercise (it contains no exact duplicates) plus split-invariant and
+plan-shape pins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from example_beam_spark.operators.corpus_ops import dedup_incremental_frames
+from example_beam_spark.plans import num_exchanges
+from example_beam_spark.registry import load_registry
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_incremental_dedup_drops_seen_and_batch_dupes(spark):
+    """Constructed duplicates: batch-internal copies collapse to the
+    lowest doc_id, and content already in the seen corpus is dropped."""
+    batch = spark.createDataFrame(
+        [
+            (1, "alpha"),  # duplicated within the batch (with 3)
+            (3, "alpha"),
+            (2, "beta"),  # already seen → dropped
+            (4, "gamma"),  # genuinely new
+        ],
+        "doc_id long, text string",
+    )
+    seen = spark.createDataFrame(
+        [(100, "beta"), (101, "delta")], "doc_id long, text string"
+    )
+    out = dedup_incremental_frames(batch, seen)
+    rows = {r["doc_id"]: r["n_batch_copies"] for r in out.collect()}
+    assert rows == {1: 2, 4: 1}  # alpha kept once (doc 1, 2 copies); beta gone
+
+
+def test_incremental_dedup_empty_seen_passes_batch_through(spark):
+    batch = spark.createDataFrame([(7, "x"), (8, "y")], "doc_id long, text string")
+    seen = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup_incremental_frames(batch, seen).count() == 2
+
+
+def test_train_split_is_exhaustive_and_disjoint(spark):
+    """Every doc lands in exactly one split (the three ranges cover
+    [0,100) exclusively), and the split column never nulls."""
+    q = load_registry()["docs_train_split"]
+    df = q.fn(spark, SF)
+    n_docs = df.count()
+    assert df.filter(F.col("split").isNull()).count() == 0
+    assert (
+        df.groupBy("doc_id").count().filter(F.col("count") > 1).count() == 0
+    )
+    per_split = dict(
+        df.groupBy("split").count().rdd.map(lambda r: (r["split"], r["count"])).collect()
+    )
+    assert sum(per_split.values()) == n_docs
+    assert set(per_split) <= {"train", "valid", "test"}
+    assert per_split["train"] > per_split.get("valid", 0)
+
+
+def test_chunk_overlap_geometry_invariants(spark):
+    """Chunks tile each doc: first starts at 0, strides are exactly S,
+    ends are clamped to n_tokens, exactly one is_last per doc."""
+    q = load_registry()["docs_chunk_overlap"]
+    df = q.fn(spark, SF).cache()
+    bad_stride = df.filter(F.col("start_tok") != F.col("chunk_id") * 24)
+    assert bad_stride.count() == 0
+    assert df.filter(F.col("end_tok") < F.col("start_tok")).count() == 0
+    assert df.filter(F.col("n_chunk_tokens") > 32).count() == 0
+    per_doc_last = df.groupBy("doc_id").agg(
+        F.sum(F.col("is_last").cast("int")).alias("n_last"),
+        F.min("start_tok").alias("first_start"),
+    )
+    assert per_doc_last.filter(F.col("n_last") != 1).count() == 0
+    assert per_doc_last.filter(F.col("first_start") != 0).count() == 0
+    df.unpersist()
+
+
+def test_chunk_overlap_no_shuffle(spark):
+    """Chunk planning is a narrow map + explode: zero exchanges."""
+    q = load_registry()["docs_chunk_overlap"]
+    assert num_exchanges(q.fn(spark, SF)) == 0
+
+
+def test_train_split_no_shuffle(spark):
+    """Split assignment is a pure scan expression: zero exchanges."""
+    q = load_registry()["docs_train_split"]
+    assert num_exchanges(q.fn(spark, SF)) == 0
