@@ -1,0 +1,155 @@
+"""OLAP shape completions: pivot (long→wide conditional aggregation),
+CUBE (the third member of the rollup / grouping-sets / cube trio — the
+first two live in ``relational.py``), and ratio-to-report (a windowed
+share-of-total). All pure DataFrame plans, one or two partial+final
+aggregations each.
+
+100-TB design notes
+-------------------
+- ``events_pivot_monthly``: implemented as COUNT-CASE conditional
+  aggregation rather than ``.pivot()`` — Spark's pivot is a two-shuffle
+  plan (pre-count, exchange, PivotFirst) even with an explicit value
+  list, and an unlisted pivot adds a distinct-values driver job; the
+  COUNT-CASE form is one partial+final aggregate, one exchange.
+- ``orders_cube_priority_status``: CUBE multiplies each input row into
+  its 4 grouping combinations map-side and shares ONE partial+final
+  aggregate — never four separate scans; grouping_id() disambiguates
+  NULL-as-total from genuine NULLs.
+- ``lineitem_monthly_share``: the per-month aggregate collapses the
+  fact table first; the year-total for the share is a window SUM over
+  the TINY aggregate (rows = months), not a second fact scan, and the
+  share division is one final double op on exact decimal sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from example_beam_spark.registry import dsum, register, sql_dsum
+from example_beam_spark.sources import load_table
+
+# --------------------------------------------------------------------------
+# events_pivot_monthly — long→wide: per month, one count column per type
+# --------------------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+_PIVOT_ORACLE = f"""
+    SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+           {", ".join(
+               f"CAST(COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS BIGINT)"
+               f" AS n_{t}"
+               for t in _EVENT_TYPES
+           )}
+    FROM events GROUP BY 1
+"""
+
+
+@register("events_pivot_monthly", oracle=_PIVOT_ORACLE)
+def events_pivot_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly long→wide pivot: one row per month, one count column per
+    event type, as SINGLE-PASS conditional aggregation (COUNT-CASE per
+    type). Deliberately not ``df.groupBy().pivot()``: even with an
+    explicit value list Spark plans pivot as TWO aggregates — a
+    (month, type) pre-count, an exchange, then a PivotFirst aggregate —
+    i.e. two shuffles; with a known value list the COUNT-CASE form is
+    one partial+final aggregate with one exchange (pinned by
+    tests/test_plans.py). Use .pivot() only when the column set is
+    unknown (it then costs a distinct-values driver job on top)."""
+    ev = load_table(spark, sf_dir, "events")
+    month = F.date_trunc("month", F.col("ts")).cast("date")
+    return (
+        ev.select(month.alias("month"), "event_type")
+        .groupBy("month")
+        .agg(
+            *[
+                F.count(F.when(F.col("event_type") == t, 1))
+                .cast("long")
+                .alias(f"n_{t}")
+                for t in _EVENT_TYPES
+            ]
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# orders_cube_priority_status — CUBE with grouping_id disambiguation
+# --------------------------------------------------------------------------
+
+_CUBE_ORACLE = f"""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT)
+               AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum("o_totalprice", "revenue")}
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+@register("orders_cube_priority_status", oracle=_CUBE_ORACLE)
+def orders_cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (priority, status): all four grouping combinations —
+    detail, per-priority, per-status, grand total — in ONE partial+final
+    aggregate (rows are expanded map-side, never four scans).
+    grouping_id (bit 1 = priority rolled up, bit 0 = status rolled up)
+    distinguishes subtotal NULLs from data NULLs, exactly as the
+    reference's users would GROUP BY each combination separately."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderpriority", "o_orderstatus").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count("*").cast("long").alias("n_orders"),
+        dsum("o_totalprice", "revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
+# lineitem_monthly_share — ratio-to-report over the monthly aggregate
+# --------------------------------------------------------------------------
+
+_SHARE_ORACLE = f"""
+    WITH monthly AS (
+        SELECT CAST(date_trunc('year', l_shipdate) AS DATE) AS year,
+               CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+               {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT year, month, revenue,
+           revenue / CAST(SUM(CAST(revenue AS DECIMAL(38,6)))
+                              OVER (PARTITION BY year) AS DOUBLE)
+               AS share_of_year
+    FROM monthly
+"""
+
+
+@register("lineitem_monthly_share", oracle=_SHARE_ORACLE)
+def lineitem_monthly_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each month's discounted revenue as a share of
+    its year's total. The fact table collapses to a months-sized
+    aggregate first; the year total is a window SUM over that tiny
+    frame. Shares divide two doubles that were produced from exact
+    decimal sums, so both engines emit identical bits.
+
+    The year-total window sum ALSO goes through DECIMAL(38,6) — window
+    frames are unordered, engines may visit partition rows in different
+    orders, and double addition is order-sensitive; decimal addition is
+    exact and order-independent (same convention as registry.dsum)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    monthly = (
+        li.select(
+            F.date_trunc("year", F.col("l_shipdate")).cast("date").alias("year"),
+            F.date_trunc("month", F.col("l_shipdate")).cast("date").alias("month"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        )
+        .groupBy("year", "month")
+        .agg(dsum("rev", "revenue"))
+    )
+    total = (
+        F.sum(F.col("revenue").cast("decimal(38,6)"))
+        .over(Window.partitionBy("year"))
+        .cast("double")
+    )
+    return monthly.select(
+        "year", "month", "revenue", (F.col("revenue") / total).alias("share_of_year")
+    )

@@ -121,6 +121,7 @@ _MODULE_ORDER = [
     # round 5, session 4
     "example_beam_spark.operators.behavior",
     "example_beam_spark.operators.corpus_ops",
+    "example_beam_spark.operators.olap",
 ]
 
 

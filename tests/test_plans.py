@@ -394,3 +394,24 @@ def test_retention_has_no_self_join(spark):
     q = load_registry()["user_retention_cohorts"]
     plan = explain_formatted(q.fn(spark, SF))
     assert "Join" not in plan, plan[:2000]
+
+
+def test_pivot_as_conditional_agg_single_shuffle(spark):
+    """events_pivot_monthly: the COUNT-CASE form is one partial+final
+    aggregate with one exchange — Spark's .pivot() would plan two
+    (pre-count + PivotFirst), which is why the operator avoids it."""
+    q = load_registry()["events_pivot_monthly"]
+    assert num_exchanges(q.fn(spark, SF)) == 1
+
+
+def test_cube_is_one_expand_aggregate(spark):
+    """orders_cube_priority_status: CUBE expands rows map-side into one
+    shared partial+final aggregate — a single exchange, never four
+    scans."""
+    from example_beam_spark.plans import explain_formatted
+
+    q = load_registry()["orders_cube_priority_status"]
+    df = q.fn(spark, SF)
+    plan = explain_formatted(df)
+    assert "Expand" in plan, plan[:1500]
+    assert num_exchanges(df) == 1, plan[:1500]
