@@ -19,6 +19,11 @@ aggregations each.
   fact table first; the year-total for the share is a window SUM over
   the TINY aggregate (rows = months), not a second fact scan, and the
   share division is one final double op on exact decimal sums.
+- ``orders_daily_gapfill``: the calendar spine is generated FROM the
+  daily aggregate's own min/max bounds (sequence + explode — no driver
+  collect, no hand-written calendar), and the gap-fill join is a
+  broadcast of the days-sized aggregate. Spine cardinality is bounded
+  by elapsed calendar time, not data volume.
 """
 
 from __future__ import annotations
@@ -152,4 +157,68 @@ def lineitem_monthly_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return monthly.select(
         "year", "month", "revenue", (F.col("revenue") / total).alias("share_of_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# orders_daily_gapfill — complete calendar spine with zero-filled gaps
+# --------------------------------------------------------------------------
+
+_GAPFILL_ORACLE = f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               {sql_dsum("o_totalprice", "revenue")}
+        FROM orders GROUP BY 1
+    ),
+    bounds AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM daily),
+    spine AS (
+        SELECT CAST(u.d AS DATE) AS day
+        FROM bounds CROSS JOIN UNNEST(generate_series(
+            CAST(mn AS TIMESTAMP), CAST(mx AS TIMESTAMP), INTERVAL 1 DAY)) AS u(d)
+    )
+    SELECT s.day,
+           COALESCE(d.n_orders, 0) AS n_orders,
+           COALESCE(d.revenue, CAST(0.0 AS DOUBLE)) AS revenue,
+           d.day IS NULL AS is_gap
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+"""
+
+
+@register("orders_daily_gapfill", oracle=_GAPFILL_ORACLE)
+def orders_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill: a complete day spine from the data's own
+    min/max (no driver collect — the bounds row feeds ``sequence`` +
+    ``explode`` directly), left-joined to the daily aggregate so absent
+    days surface as explicit zero rows with an ``is_gap`` flag — the
+    resampling step time-series reporting and anomaly detection need
+    (a missing day must read as 0, not vanish).
+
+    100-TB design: the fact table collapses to a days-sized aggregate
+    once; bounds re-aggregate THAT frame (the exchange is reused, no
+    second fact scan), and the spine (span-of-days rows) joins the
+    daily aggregate broadcast-side. Spine cardinality is bounded by
+    calendar time, not data volume."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.select(F.col("o_orderdate").cast("date").alias("day"), "o_totalprice")
+        .groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            dsum("o_totalprice", "revenue"),
+        )
+    )
+    bounds = daily.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    spine = bounds.select(F.explode(F.sequence("mn", "mx")).alias("day"))
+    d = daily.select(
+        F.col("day").alias("d_day"), "n_orders", "revenue"
+    )
+    return (
+        spine.join(F.broadcast(d), spine["day"] == d["d_day"], "left")
+        .select(
+            "day",
+            F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+            F.coalesce("revenue", F.lit(0.0)).cast("double").alias("revenue"),
+            F.col("d_day").isNull().alias("is_gap"),
+        )
     )
