@@ -115,9 +115,11 @@ _CHUNK_ORACLE = f"""
            CAST(s AS BIGINT) AS start_tok,
            CAST(LEAST(s + {_CHUNK_W}, n_tokens) AS BIGINT) AS end_tok,
            CAST(LEAST(s + {_CHUNK_W}, n_tokens) - s AS BIGINT) AS n_chunk_tokens,
-           s + {_CHUNK_S} >= n_tokens AS is_last
+           LEAST(s + {_CHUNK_W}, n_tokens) = n_tokens AS is_last
     FROM toks
-    CROSS JOIN UNNEST(generate_series(0, n_tokens - 1, {_CHUNK_S})) AS u(s)
+    CROSS JOIN UNNEST(generate_series(
+        0, GREATEST(n_tokens - {_CHUNK_W - _CHUNK_S} - 1, 0), {_CHUNK_S})) AS u(s)
+    WHERE n_tokens >= 1
 """
 
 
@@ -134,13 +136,27 @@ def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_tokens = 0 → no chunks) the same way as
     ``multimodal_audio_segments``; chunk_id = start // S, and the
     geometry is pure per-row arithmetic — narrow map, zero shuffles,
-    fan-out planned before any per-chunk work."""
+    fan-out planned before any per-chunk work.
+
+    A start is emitted only while its window reaches NEW tokens
+    (start < n_tokens − (W−S), i.e. strictly past the previous chunk's
+    clamped end) — without that cap, any doc with n_tokens mod S in
+    [1, W−S] would emit a final chunk that is a strict subset of its
+    predecessor, silently duplicating ~10% of tail windows into a
+    training pipeline whose whole point is dedup. Consequently every
+    non-final chunk is a full W tokens, the final chunk has more than
+    W−S, and is_last ≡ (end_tok = n_tokens) is unique per doc
+    (pinned by tests/test_corpus_ops.py)."""
     docs = load_table(spark, sf_dir, "documents")
     n_tokens = F.size(
         F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 0)
     ).cast("long")
+    last_new_start = F.greatest(
+        n_tokens - (_CHUNK_W - _CHUNK_S) - 1, F.lit(0).cast("long")
+    )
     starts = F.when(
-        n_tokens >= 1, F.sequence(F.lit(0).cast("long"), n_tokens - 1, F.lit(_CHUNK_S))
+        n_tokens >= 1,
+        F.sequence(F.lit(0).cast("long"), last_new_start, F.lit(_CHUNK_S)),
     ).otherwise(F.array().cast("array<bigint>"))
     exploded = docs.select(
         "doc_id", n_tokens.alias("n_tokens"), F.explode(starts).alias("s")
@@ -152,7 +168,7 @@ def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").cast("long").alias("start_tok"),
         end_tok.cast("long").alias("end_tok"),
         (end_tok - F.col("s")).cast("long").alias("n_chunk_tokens"),
-        (F.col("s") + _CHUNK_S >= F.col("n_tokens")).alias("is_last"),
+        (end_tok == F.col("n_tokens")).alias("is_last"),
     )
 
 

@@ -195,10 +195,17 @@ def orders_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a missing day must read as 0, not vanish).
 
     100-TB design: the fact table collapses to a days-sized aggregate
-    once; bounds re-aggregate THAT frame (the exchange is reused, no
-    second fact scan), and the spine (span-of-days rows) joins the
-    daily aggregate broadcast-side. Spine cardinality is bounded by
-    calendar time, not data volume."""
+    once, and that frame is PERSISTED (MEMORY_AND_DISK, LRU-evictable —
+    same posture as ``source_overlap``) because both the bounds branch
+    and the gap-fill join consume it: without the persist, column
+    pruning differentiates the two aggregate subtrees (bounds reads
+    only o_orderdate) so ReusedExchange never fires and Spark plans a
+    SECOND full fact scan — measured, which is why the persist is
+    here. The spine (span-of-days rows) then joins the days-sized
+    aggregate broadcast-side; spine cardinality is bounded by calendar
+    time, not data volume."""
+    from pyspark import StorageLevel
+
     orders = load_table(spark, sf_dir, "orders")
     daily = (
         orders.select(F.col("o_orderdate").cast("date").alias("day"), "o_totalprice")
@@ -207,6 +214,7 @@ def orders_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_orders"),
             dsum("o_totalprice", "revenue"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     bounds = daily.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
     spine = bounds.select(F.explode(F.sequence("mn", "mx")).alias("day"))

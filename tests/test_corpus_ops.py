@@ -49,23 +49,29 @@ def test_train_split_is_exhaustive_and_disjoint(spark):
     assert (
         df.groupBy("doc_id").count().filter(F.col("count") > 1).count() == 0
     )
-    per_split = dict(
-        df.groupBy("split").count().rdd.map(lambda r: (r["split"], r["count"])).collect()
-    )
+    per_split = {
+        r["split"]: r["count"] for r in df.groupBy("split").count().collect()
+    }
     assert sum(per_split.values()) == n_docs
     assert set(per_split) <= {"train", "valid", "test"}
     assert per_split["train"] > per_split.get("valid", 0)
 
 
 def test_chunk_overlap_geometry_invariants(spark):
-    """Chunks tile each doc: first starts at 0, strides are exactly S,
-    ends are clamped to n_tokens, exactly one is_last per doc."""
+    """Chunks tile each doc with no redundant windows: first starts at
+    0, strides are exactly S, every non-final chunk is a full W tokens,
+    every non-first chunk reaches more than W−S new tokens (a chunk
+    that didn't would be a strict subset of its predecessor), and
+    exactly one is_last per doc."""
     q = load_registry()["docs_chunk_overlap"]
     df = q.fn(spark, SF).cache()
     bad_stride = df.filter(F.col("start_tok") != F.col("chunk_id") * 24)
     assert bad_stride.count() == 0
     assert df.filter(F.col("end_tok") < F.col("start_tok")).count() == 0
     assert df.filter(F.col("n_chunk_tokens") > 32).count() == 0
+    # non-final chunks are full windows; no chunk is subset-redundant
+    assert df.filter(~F.col("is_last") & (F.col("n_chunk_tokens") != 32)).count() == 0
+    assert df.filter((F.col("chunk_id") > 0) & (F.col("n_chunk_tokens") <= 8)).count() == 0
     per_doc_last = df.groupBy("doc_id").agg(
         F.sum(F.col("is_last").cast("int")).alias("n_last"),
         F.min("start_tok").alias("first_start"),
