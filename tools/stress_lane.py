@@ -3,8 +3,9 @@
 The scale claims of the dedup/ANN operators (PPJoin prefix work stays
 sub-quadratic, LSH buckets stay balanced) are plan-tested at bench SF but
 the corpus never exceeds 5k docs / 2k vectors there. This tool generates
-a deterministic 10x corpus (50k documents, 20k embeddings — the sf1
-shape) from the sf0.1 tables and runs the three quadratic-risk queries
+a deterministic 10x corpus (50k documents, 20k embeddings, 1M events
+with 10x the users at constant per-user density — the sf1 shape) from
+the sf0.1 tables and runs the three quadratic-risk queries
 against it, reporting wall time, result rows, and the candidate-pair
 volumes that decide scalability:
 
@@ -126,6 +127,31 @@ def generate(out_dir: str) -> None:
         os.path.join(out_dir, "embeddings.parquet"),
     )
 
+    # 10x events: replicate with SHIFTED user ids (10x the users, same
+    # per-user event density — the realistic growth model for the
+    # behavior ops: funnel/cohort/inter-arrival state is per-user, so
+    # the per-key working set must NOT grow with corpus size)
+    ev = pq.read_table(os.path.join(SRC_SF_DIR, "events.parquet"))
+    n_ev = ev.num_rows
+    max_user = pa.compute.max(ev["user_id"]).as_py() + 1
+    copies = []
+    for copy in range(N_DOC_COPIES):
+        t = ev.set_column(
+            ev.schema.get_field_index("event_id"),
+            "event_id",
+            pa.compute.add(ev["event_id"], copy * n_ev),
+        )
+        t = t.set_column(
+            t.schema.get_field_index("user_id"),
+            "user_id",
+            pa.compute.add(ev["user_id"], copy * max_user),
+        )
+        copies.append(t)
+    pq.write_table(
+        pa.concat_tables(copies).combine_chunks(),
+        os.path.join(out_dir, "events.parquet"),
+    )
+
 
 def candidate_volumes(spark, sf_dir: str) -> dict[str, int]:
     """The three candidate-pair volumes (see module doc) — each is a cheap
@@ -215,7 +241,10 @@ def main() -> None:
     ap.add_argument("--out-dir", default="/tmp/spark_graft_stress")
     args = ap.parse_args()
 
-    if not os.path.exists(os.path.join(args.out_dir, "embeddings.parquet")):
+    if not all(
+        os.path.exists(os.path.join(args.out_dir, f"{t}.parquet"))
+        for t in ("documents", "embeddings", "events")
+    ):
         t0 = time.time()
         generate(args.out_dir)
         print(f"# generated 10x corpus in {time.time() - t0:.1f}s -> {args.out_dir}")
@@ -225,7 +254,13 @@ def main() -> None:
 
     spark = get_spark(app_name="stress_lane")
     reg = load_registry()
-    result: dict = {"sf_equiv": 1.0, "docs": 50000, "vecs": 20000, "queries": {}}
+    result: dict = {
+        "sf_equiv": 1.0,
+        "docs": 50000,
+        "vecs": 20000,
+        "events": 1_000_000,
+        "queries": {},
+    }
     for name in (
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
@@ -247,6 +282,16 @@ def main() -> None:
         "docs_mixture_sample",
         "pii_redact",
         "text_normalize",
+        # round-5 session-4 additions — doc lifecycle + behavior ops
+        # (events table is 10x users at constant per-user density)
+        "docs_train_split",
+        "docs_chunk_overlap",
+        "dedup_incremental",
+        "events_funnel",
+        "user_retention_cohorts",
+        "events_interarrival",
+        "events_pivot_monthly",
+        "events_json_stats",
     ):
         t0 = time.time()
         n = reg[name].fn(spark, args.out_dir).count()
