@@ -233,3 +233,59 @@ def dedup_incremental_frames(batch: DataFrame, seen: DataFrame) -> DataFrame:
     return batch_hashed.join(seen_hashes, "content_hash", "left_anti").select(
         "doc_id", "content_hash", "n_batch_copies"
     )
+
+
+# --------------------------------------------------------------------------
+# bpe_merge_pairs — the core BPE-training step: adjacent-pair counting
+# --------------------------------------------------------------------------
+
+_BPE_TOPK = 50
+
+_MERGE_ORACLE = f"""
+    WITH toks AS (
+        SELECT regexp_extract_all(text, '{{bpe}}') AS t FROM documents
+    ),
+    pairs AS (
+        SELECT t[i] AS a, t[i + 1] AS b
+        FROM toks CROSS JOIN UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+    )
+    SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_pair
+    FROM pairs GROUP BY a, b
+    ORDER BY n_pair DESC, a, b LIMIT {_BPE_TOPK}
+"""
+
+
+@register("bpe_merge_pairs", oracle=_MERGE_ORACLE.format(bpe=_BPE_PATTERN))
+def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inner loop of BPE tokenizer TRAINING at corpus scale: count
+    adjacent symbol pairs (over the same pre-tokenizer vocabulary as
+    ``token_count_bpe``) and rank the top merge candidates — each BPE
+    round merges the most frequent pair, so this query IS one training
+    round's work, distributed.
+
+    Parity note: Spark SQL array indexing is 0-based while DuckDB's is
+    1-based; the lambda uses t[i-1], t[i] against the oracle's t[i],
+    t[i+1] so both enumerate the same n−1 adjacent pairs. The pair
+    fan-out is guarded (docs with <2 tokens emit nothing — Spark's
+    ``sequence(1, 0)`` would otherwise count DOWN by its default -1
+    step rather than return empty like generate_series).
+
+    100-TB design: explode → one partial+final count aggregate; the
+    top-k is TakeOrderedAndProject (per-partition partial top-k, no
+    global sort). Ties break deterministically on (a, b)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 0).alias("t")
+    )
+    pair_expr = (
+        "CASE WHEN size(t) >= 2 THEN "
+        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS a, t[i] AS b)) "
+        "ELSE array() END"
+    )
+    pairs = toks.select(F.explode(F.expr(pair_expr)).alias("p")).select("p.a", "p.b")
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("n_pair"))
+        .orderBy(F.desc("n_pair"), "a", "b")
+        .limit(_BPE_TOPK)
+    )

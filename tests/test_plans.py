@@ -415,3 +415,30 @@ def test_cube_is_one_expand_aggregate(spark):
     plan = explain_formatted(df)
     assert "Expand" in plan, plan[:1500]
     assert num_exchanges(df) == 1, plan[:1500]
+
+
+def test_gapfill_daily_aggregate_is_cached(spark):
+    """orders_daily_gapfill: both the bounds branch and the gap-fill
+    join must consume the persisted daily aggregate (InMemoryTableScan)
+    — without the persist, column pruning differentiates the two
+    subtrees and Spark plans a SECOND full fact scan (measured; the
+    formatted plan prints the cached relation per reference, so we pin
+    presence of the cache, not scan text counts)."""
+    from example_beam_spark.plans import explain_formatted
+
+    q = load_registry()["orders_daily_gapfill"]
+    plan = explain_formatted(q.fn(spark, SF))
+    assert "InMemoryTableScan" in plan, plan[:2000]
+
+
+def test_bpe_merge_pairs_partial_topk(spark):
+    """bpe_merge_pairs: the ranked merge candidates come from
+    TakeOrderedAndProject (per-partition partial top-k) over one
+    partial+final count aggregate — no global sort of the pair space."""
+    from example_beam_spark.plans import explain_formatted
+
+    q = load_registry()["bpe_merge_pairs"]
+    df = q.fn(spark, SF)
+    plan = explain_formatted(df)
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    assert num_exchanges(df) == 1, plan[:1500]
