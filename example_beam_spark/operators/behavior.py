@@ -249,3 +249,69 @@ def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("gap_us").cast("long").alias("total_gap_us"),
         (F.sum("gap_us").cast("double") / F.count("*")).alias("avg_gap_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# events_value_zscore — per-group feature standardization (ML preprocessing)
+# --------------------------------------------------------------------------
+
+_ZSCORE_ORACLE = """
+    WITH stats AS (
+        SELECT event_type,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS sq,
+               CAST(COUNT(value) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           s / n AS grp_mean,
+           sqrt(sq / n - (s / n) * (s / n)) AS grp_std,
+           CASE WHEN sq / n - (s / n) * (s / n) > 0
+                THEN (e.value - s / n) / sqrt(sq / n - (s / n) * (s / n))
+                ELSE CAST(0.0 AS DOUBLE) END AS zscore
+    FROM events e JOIN stats st ON e.event_type = st.event_type
+"""
+
+
+@register("events_value_zscore", oracle=_ZSCORE_ORACLE)
+def events_value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature standardization: z-score of ``value`` within
+    its event type — the normalize-before-training step of an ML
+    pipeline, computed as ONE tiny stats aggregate broadcast back onto
+    the fact rows (never a window over the full fact table, which would
+    shuffle every row just to attach two numbers).
+
+    Determinism: sums and sums-of-squares go through DECIMAL(38,6)
+    (order-independent, the registry convention); mean/variance/sqrt
+    are then identical double expressions on identical inputs in both
+    engines. Zero-variance groups emit z = 0 rather than NaN/inf
+    (CASE-guarded identically on both sides).
+
+    100-TB design: the stats frame is |event_type| rows — explicitly
+    broadcast, so the fact side never shuffles; the quantile/cutoff
+    variants of this op (price_quantiles, orders_rfm_segments) share
+    the same collapse-then-broadcast posture."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("s"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sq"),
+        F.count("value").cast("long").alias("n"),
+    )
+    mean = F.col("s") / F.col("n")
+    var = F.col("sq") / F.col("n") - mean * mean
+    z = F.when(var > 0, (F.col("value") - mean) / F.sqrt(var)).otherwise(
+        F.lit(0.0).cast("double")
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            mean.alias("grp_mean"),
+            F.sqrt(var).alias("grp_std"),
+            z.alias("zscore"),
+        )
+    )

@@ -442,3 +442,13 @@ def test_bpe_merge_pairs_partial_topk(spark):
     plan = explain_formatted(df)
     assert "TakeOrderedAndProject" in plan, plan[:1500]
     assert num_exchanges(df) == 1, plan[:1500]
+
+
+def test_zscore_stats_broadcast_no_fact_shuffle(spark):
+    """events_value_zscore: the per-type stats frame must broadcast back
+    onto the fact rows — the fact side reaches the join with no hash
+    exchange (only the tiny stats aggregate shuffles)."""
+    q = load_registry()["events_value_zscore"]
+    df = q.fn(spark, SF)
+    assert has_broadcast_join(df)
+    assert num_exchanges(df) <= 1, num_exchanges(df)

@@ -292,6 +292,8 @@ def main() -> None:
         "events_interarrival",
         "events_pivot_monthly",
         "events_json_stats",
+        "events_value_zscore",
+        "bpe_merge_pairs",
     ):
         t0 = time.time()
         n = reg[name].fn(spark, args.out_dir).count()
