@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from example_beam_spark.registry import register
+from example_beam_spark.registry import dsum, register, sql_dsum
 from example_beam_spark.sources import load_table
 
 # --------------------------------------------------------------------------
@@ -255,18 +255,28 @@ def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
 # events_value_zscore — per-group feature standardization (ML preprocessing)
 # --------------------------------------------------------------------------
 
-_ZSCORE_ORACLE = """
+# Degenerate-variance guard: sq/n - mean^2 on a constant-value group is
+# ±O(1e-18) rounding noise, not 0 — unguarded, a tiny-NEGATIVE residue
+# crashes DuckDB's sqrt (oracle aborts) while Spark emits NaN, and a
+# tiny-POSITIVE residue yields garbage ~1e9 z-scores. Treat variance at
+# or below the relative noise floor as zero, identically in both engines
+# (both compute the identical doubles, so the guard is deterministic).
+_VAR_FLOOR = "1e-12 * ((({m}) * ({m})) + 1.0)"  # relative to mean^2
+
+_ZSCORE_ORACLE = f"""
     WITH stats AS (
         SELECT event_type,
-               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s,
-               CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS sq,
+               {sql_dsum("value", "s")},
+               {sql_dsum("value * value", "sq")},
                CAST(COUNT(value) AS BIGINT) AS n
         FROM events GROUP BY event_type
     )
     SELECT e.event_id, e.event_type, e.value,
            s / n AS grp_mean,
-           sqrt(sq / n - (s / n) * (s / n)) AS grp_std,
-           CASE WHEN sq / n - (s / n) * (s / n) > 0
+           CASE WHEN sq / n - (s / n) * (s / n) > {_VAR_FLOOR.format(m="s / n")}
+                THEN sqrt(sq / n - (s / n) * (s / n))
+                ELSE CAST(0.0 AS DOUBLE) END AS grp_std,
+           CASE WHEN sq / n - (s / n) * (s / n) > {_VAR_FLOOR.format(m="s / n")}
                 THEN (e.value - s / n) / sqrt(sq / n - (s / n) * (s / n))
                 ELSE CAST(0.0 AS DOUBLE) END AS zscore
     FROM events e JOIN stats st ON e.event_type = st.event_type
@@ -282,26 +292,36 @@ def events_value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle every row just to attach two numbers).
 
     Determinism: sums and sums-of-squares go through DECIMAL(38,6)
-    (order-independent, the registry convention); mean/variance/sqrt
-    are then identical double expressions on identical inputs in both
-    engines. Zero-variance groups emit z = 0 rather than NaN/inf
-    (CASE-guarded identically on both sides).
+    (registry.dsum / sql_dsum — the one shared definition of the
+    convention); mean/variance/sqrt are then identical double
+    expressions on identical inputs in both engines. Variance at or
+    below the relative rounding-noise floor (see _VAR_FLOOR) reads as
+    zero — grp_std and z emit 0 rather than a DuckDB sqrt(-ε) abort, a
+    Spark NaN, or a garbage ~1e9 z from sqrt(+ε) (guarded identically
+    on both sides; pinned by tests/test_behavior.py with a
+    constant-value group on BOTH engines).
 
     100-TB design: the stats frame is |event_type| rows — explicitly
     broadcast, so the fact side never shuffles; the quantile/cutoff
     variants of this op (price_quantiles, orders_rfm_segments) share
     the same collapse-then-broadcast posture."""
-    ev = load_table(spark, sf_dir, "events")
+    return zscore_frame(load_table(spark, sf_dir, "events"))
+
+
+def zscore_frame(ev: DataFrame) -> DataFrame:
+    """Core standardization over any (event_id, event_type, value)
+    frame — split out so the degenerate-variance guard is unit-testable
+    with constructed constant-value groups."""
     stats = ev.groupBy("event_type").agg(
-        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("s"),
-        F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)"))
-        .cast("double")
-        .alias("sq"),
+        dsum("value", "s"),
+        dsum(F.col("value") * F.col("value"), "sq"),
         F.count("value").cast("long").alias("n"),
     )
     mean = F.col("s") / F.col("n")
     var = F.col("sq") / F.col("n") - mean * mean
-    z = F.when(var > 0, (F.col("value") - mean) / F.sqrt(var)).otherwise(
+    var_floor = F.lit(1e-12) * (mean * mean + 1.0)
+    std = F.when(var > var_floor, F.sqrt(var)).otherwise(F.lit(0.0).cast("double"))
+    z = F.when(var > var_floor, (F.col("value") - mean) / F.sqrt(var)).otherwise(
         F.lit(0.0).cast("double")
     )
     return (
@@ -311,7 +331,7 @@ def events_value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "value",
             mean.alias("grp_mean"),
-            F.sqrt(var).alias("grp_std"),
+            std.alias("grp_std"),
             z.alias("zscore"),
         )
     )

@@ -5,9 +5,10 @@ sub-quadratic, LSH buckets stay balanced) are plan-tested at bench SF but
 the corpus never exceeds 5k docs / 2k vectors there. This tool generates
 a deterministic 10x corpus (50k documents, 20k embeddings, 1M events
 with 10x the users at constant per-user density — the sf1 shape) from
-the sf0.1 tables and runs the three quadratic-risk queries
-against it, reporting wall time, result rows, and the candidate-pair
-volumes that decide scalability:
+the sf0.1 tables and runs the scale-sensitive query suite (~30 queries,
+multi-minute: includes the 70 s exact n-gram twin) against it,
+reporting wall time, result rows, and the candidate-pair volumes that
+decide scalability for the quadratic-risk operators:
 
 - minhash_bucket_pairs:  sum over LSH band-buckets of C(|bucket|, 2)
 - ppjoin_prefix_pairs:   sum over prefix tokens of C(df_prefix(g), 2)
@@ -132,14 +133,16 @@ def generate(out_dir: str) -> None:
     # behavior ops: funnel/cohort/inter-arrival state is per-user, so
     # the per-key working set must NOT grow with corpus size)
     ev = pq.read_table(os.path.join(SRC_SF_DIR, "events.parquet"))
-    n_ev = ev.num_rows
+    # stride by max+1, not row count: a regenerated fixture with sparse
+    # or non-zero-based ids would otherwise silently collide across copies
+    max_event = pa.compute.max(ev["event_id"]).as_py() + 1
     max_user = pa.compute.max(ev["user_id"]).as_py() + 1
     copies = []
     for copy in range(N_DOC_COPIES):
         t = ev.set_column(
             ev.schema.get_field_index("event_id"),
             "event_id",
-            pa.compute.add(ev["event_id"], copy * n_ev),
+            pa.compute.add(ev["event_id"], copy * max_event),
         )
         t = t.set_column(
             t.schema.get_field_index("user_id"),
