@@ -17,7 +17,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from pyspark.sql import DataFrame, SparkSession
 
-from example_beam_spark.registry import load_registry
+from example_beam_spark.registry import drain_cleanups, load_registry
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -26,9 +26,22 @@ def entry(spark: SparkSession) -> DataFrame:
     return q.fn(spark, "/root/testdata/sf0.001")
 
 
+def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    """Release the PREVIOUS query's persisted intermediates before building
+    the next one (the driver runs queries sequentially and consumes each
+    result before calling the next, so leftover cleanups are safe to run
+    here; the current query's own caches stay live for the caller)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        drain_cleanups()
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: q.fn for name, q in load_registry().items()}
+    return {name: _wrap(q.fn) for name, q in load_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:

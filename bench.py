@@ -30,7 +30,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from example_beam_spark.registry import load_registry
+from example_beam_spark.registry import drain_cleanups, load_registry
 from example_beam_spark.session import get_spark
 
 
@@ -65,6 +65,7 @@ def main() -> None:
             # unconditionally tainted (even for oracle-less queries the
             # disagreement alone invalidates the timing)
             unstable.append((name, counts[name], warm_count))
+        drain_cleanups()  # untimed: release per-query persisted intermediates
         print(
             f"# {name}: {timings[name]:.3f}s (warm {warm[name]:.3f}s) "
             f"rows={counts[name]}",

@@ -340,17 +340,20 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both consumers (sizes, shared) read it without re-scanning the
     # corpus — static ReuseExchange does not fire here because column
     # pruning differs between the branches; same idiom as the cached
-    # signature table in dedup.py's candidate-verify join. The cache is
-    # released by Spark's LRU (MEMORY_AND_DISK evicts under pressure),
-    # not an explicit unpersist — the returned DataFrame is lazy, so any
-    # eager unpersist here would drop the cache before the caller runs.
+    # signature table in dedup.py's candidate-verify join. The returned
+    # DataFrame is lazy, so an eager unpersist here would drop the cache
+    # before the caller runs — instead the cache is released via
+    # registry.defer_cleanup (runners drain after consuming the result).
     from pyspark import StorageLevel
+
+    from example_beam_spark.registry import defer_cleanup
 
     by_shingle = (
         sg.groupBy("g")
         .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    defer_cleanup(lambda: by_shingle.unpersist())
     sizes = (
         by_shingle.select(F.explode("srcs").alias("source"))
         .groupBy("source")

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from example_beam_spark.registry import dsum, register, sql_dsum
+from example_beam_spark.registry import defer_cleanup, dsum, register, sql_dsum
 from example_beam_spark.sources import load_table
 
 # --------------------------------------------------------------------------
@@ -195,8 +195,9 @@ def orders_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a missing day must read as 0, not vanish).
 
     100-TB design: the fact table collapses to a days-sized aggregate
-    once, and that frame is PERSISTED (MEMORY_AND_DISK, LRU-evictable —
-    same posture as ``source_overlap``) because both the bounds branch
+    once, and that frame is PERSISTED (MEMORY_AND_DISK, released after
+    consumption via registry.defer_cleanup — same posture as
+    ``source_overlap``) because both the bounds branch
     and the gap-fill join consume it: without the persist, column
     pruning differentiates the two aggregate subtrees (bounds reads
     only o_orderdate) so ReusedExchange never fires and Spark plans a
@@ -216,6 +217,7 @@ def orders_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    defer_cleanup(lambda: daily.unpersist())
     bounds = daily.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
     spine = bounds.select(F.explode(F.sequence("mn", "mx")).alias("day"))
     d = daily.select(

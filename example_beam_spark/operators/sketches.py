@@ -215,14 +215,23 @@ CMS_D = 4  # hash rows
 CMS_W = 256  # counters per row
 CMS_PROBES = 10  # probe the exact top-10 terms
 
-_CMS_COL = "CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || term), 1, 7)) AS BIGINT) % " + str(CMS_W)
+def _cms_col_sql(r_expr: str, term_expr: str) -> str:
+    """The ONE definition of the CMS counter-hash (SQL side); the sketch
+    build and the probe lookup must agree bit-for-bit, so both derive
+    from this template (the Spark twin is ``col_of`` inside
+    ``cms_token_counts`` — pinned equal by the value oracle)."""
+    return (
+        f"CAST(('0x' || substr(md5(CAST({r_expr} AS VARCHAR) || ':' || {term_expr}), 1, 7)) "
+        f"AS BIGINT) % {CMS_W}"
+    )
+
 
 _CMS_ORACLE = f"""
     WITH toks AS (
         SELECT unnest(string_split(text, ' ')) AS term FROM documents
     ),
     cells AS (
-        SELECT r, {_CMS_COL} AS c, COUNT(*) AS cnt
+        SELECT r, {_cms_col_sql('r', 'term')} AS c, COUNT(*) AS cnt
         FROM toks CROSS JOIN (VALUES (0), (1), (2), (3)) AS rows(r)
         GROUP BY 1, 2
     ),
@@ -240,7 +249,7 @@ _CMS_ORACLE = f"""
     FROM probes p
     CROSS JOIN (VALUES (0), (1), (2), (3)) AS rows(r)
     JOIN cells ce ON ce.r = rows.r AND ce.c = (
-        CAST(('0x' || substr(md5(CAST(rows.r AS VARCHAR) || ':' || p.term), 1, 7)) AS BIGINT) % {CMS_W}
+        {_cms_col_sql('rows.r', 'p.term')}
     )
     GROUP BY p.term, p.n_exact
 """

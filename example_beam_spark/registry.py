@@ -45,6 +45,40 @@ class Query:
 QUERIES: dict[str, Query] = {}
 
 
+# ---- deferred cache cleanup ----------------------------------------------
+# Queries that .persist() an intermediate cannot unpersist it eagerly (the
+# returned DataFrame is lazy — the cache must survive until the CALLER has
+# consumed the result). Relying on LRU eviction instead leaks one cached
+# relation per invocation in long-lived sessions (verify_all / bench /
+# time_surface run all ~110 queries in one session). Contract: a query
+# registers its cleanup via defer_cleanup(); every runner calls
+# drain_cleanups() AFTER consuming (collect/count) the returned DataFrame.
+# Unpersist after consumption is always safe — a re-used DataFrame simply
+# recomputes.
+
+_CLEANUPS: list[Callable[[], None]] = []
+
+
+def defer_cleanup(fn: Callable[[], None]) -> None:
+    """Register a cleanup (typically ``lambda: df.unpersist()``) to run
+    once the current query's result has been consumed."""
+    _CLEANUPS.append(fn)
+
+
+def drain_cleanups() -> int:
+    """Run and clear all deferred cleanups; returns how many ran.
+    Cleanup errors are suppressed (an unpersist on a stopped session
+    must never mask the query result that already materialized)."""
+    n = len(_CLEANUPS)
+    while _CLEANUPS:
+        fn = _CLEANUPS.pop()
+        try:
+            fn()
+        except Exception:
+            pass
+    return n
+
+
 def register(
     name: str, oracle: str | None = None, headline: bool = False
 ) -> Callable[[Callable[[SparkSession, str], DataFrame]], Callable[[SparkSession, str], DataFrame]]:

@@ -58,3 +58,28 @@ def test_zscore_constant_group_oracle_does_not_abort():
     for eid in (1, 2, 3):
         assert rows[eid][4] == 0.0 and rows[eid][5] == 0.0
     assert rows[4][4] > 0.9 and rows[4][5] < 0
+
+
+def test_pivot_event_types_canary():
+    """events_pivot_monthly hardcodes _EVENT_TYPES as pivot columns; a
+    fixture regeneration that adds an event type would be silently
+    uncounted in BOTH engines (so the value oracle cannot catch it).
+    This canary fails loudly instead: the fixture's distinct event_type
+    set must equal the hardcoded tuple at every generated SF."""
+    import duckdb
+
+    from example_beam_spark.operators.olap import _EVENT_TYPES
+
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        got = tuple(
+            r[0]
+            for r in con.sql(
+                "SELECT DISTINCT event_type FROM "
+                f"'/root/testdata/{sf}/events.parquet' ORDER BY 1"
+            ).fetchall()
+        )
+        assert got == _EVENT_TYPES, (
+            f"{sf}: fixture event types {got} != pivot columns "
+            f"{_EVENT_TYPES} — update olap._EVENT_TYPES (and its oracle)"
+        )

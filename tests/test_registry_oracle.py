@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import pytest
 
-from example_beam_spark.registry import load_registry
+from example_beam_spark.registry import drain_cleanups, load_registry
 from tests.oracle import assert_matches_oracle
 
 REG = load_registry()
@@ -15,8 +15,11 @@ REG = load_registry()
 @pytest.mark.parametrize("name", sorted(REG))
 def test_query_matches_oracle(spark, sf_dir, name):
     q = REG[name]
-    df = q.fn(spark, sf_dir)
-    if q.oracle is None:
-        assert df.count() >= 0  # rows-only smoke (non-SQL-expressible op)
-    else:
-        assert_matches_oracle(df, q.oracle, sf_dir, name=name)
+    try:
+        df = q.fn(spark, sf_dir)
+        if q.oracle is None:
+            assert df.count() >= 0  # rows-only smoke (non-SQL-expressible op)
+        else:
+            assert_matches_oracle(df, q.oracle, sf_dir, name=name)
+    finally:
+        drain_cleanups()  # release per-query persisted intermediates

@@ -252,7 +252,7 @@ def main() -> None:
         generate(args.out_dir)
         print(f"# generated 10x corpus in {time.time() - t0:.1f}s -> {args.out_dir}")
 
-    from example_beam_spark.registry import load_registry
+    from example_beam_spark.registry import drain_cleanups, load_registry
     from example_beam_spark.session import get_spark
 
     spark = get_spark(app_name="stress_lane")
@@ -304,6 +304,7 @@ def main() -> None:
             "sec": round(time.time() - t0, 2),
             "rows": n,
         }
+        drain_cleanups()  # release per-query persisted intermediates
         print(f"# {name}: {result['queries'][name]}", flush=True)
     result["candidate_volumes"] = candidate_volumes(spark, args.out_dir)
     result["ann_recall_at_10"] = ann_recall(reg, spark, args.out_dir)

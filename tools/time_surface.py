@@ -29,10 +29,13 @@ def main() -> int:
     reg = load_registry()
     timings: dict[str, dict] = {}
     t_all = time.time()
+    from example_beam_spark.registry import drain_cleanups
+
     for name, q in reg.items():
         t0 = time.time()
         n = q.fn(spark, args.sf_dir).count()
         timings[name] = {"sec": round(time.time() - t0, 2), "rows": n}
+        drain_cleanups()  # release per-query persisted intermediates
         print(f"# {name}: {timings[name]}", flush=True)
     total = round(time.time() - t_all, 1)
     slowest = sorted(timings.items(), key=lambda kv: -kv[1]["sec"])[:10]

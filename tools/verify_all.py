@@ -37,6 +37,7 @@ def main() -> int:
     ).getOrCreate()
 
     from tests.oracle import assert_matches_oracle
+    from example_beam_spark.registry import drain_cleanups
 
     qs, oracles = mod.queries(), mod.oracle_sql()
     fails: list[str] = []
@@ -52,6 +53,8 @@ def main() -> int:
                 f"[{i}/{len(qs)}] FAIL: {name}: {type(e).__name__} {str(e)[:200]}",
                 flush=True,
             )
+        finally:
+            drain_cleanups()  # release per-query persisted intermediates
     print(f"DONE: {len(qs) - len(fails)}/{len(qs)} green; fails: {fails}")
     return 1 if fails else 0
 
