@@ -91,3 +91,39 @@ def test_train_split_no_shuffle(spark):
     """Split assignment is a pure scan expression: zero exchanges."""
     q = load_registry()["docs_train_split"]
     assert num_exchanges(q.fn(spark, SF)) == 0
+
+
+def test_bpe_train_greedy_merge_semantics(spark):
+    """Pins the two behaviors the sf fixtures cannot isolate:
+    (1) greedy left-to-right single-pass application — 'a a a' with
+    merge (a,a) yields [aa, a], never [a, aa] or a double merge;
+    (2) cascading vocabulary growth — a token minted in round 1
+    participates in round 2's winning pair."""
+    from example_beam_spark.operators.corpus_ops import bpe_train_frames
+
+    docs = spark.createDataFrame(
+        # 'x x' dominates round 1 (4 pairs, one per doc plus the runs);
+        # round 2 must then see 'xx y' pairs built from the NEW token.
+        [
+            (1, "x x y"),
+            (2, "x x y"),
+            (3, "x x y"),
+            (4, "x x x"),  # run of three: greedy → [xx, x], ONE pair consumed
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["step"]: (r["a"], r["b"], r["n_pair"]) for r in
+           bpe_train_frames(docs, 2).collect()}
+    # round 1: (x,x) appears in docs 1-3 once each and TWICE in doc 4
+    # (x·x at positions 1-2 and 2-3) = 5 — more than (x,y)'s 3
+    assert out[1] == ("x", "x", 5)
+    # round 2: doc 4 became [xx, x] (greedy consumed ONE pair, leaving
+    # ('xx','x')); docs 1-3 became [xx, y] → ('xx','y') wins with 3
+    assert out[2] == ("xx", "y", 3)
+
+
+def test_bpe_train_empty_corpus_stops_early(spark):
+    from example_beam_spark.operators.corpus_ops import bpe_train_frames
+
+    docs = spark.createDataFrame([(1, ""), (2, "solo")], "doc_id long, text string")
+    assert bpe_train_frames(docs, 5).count() == 0  # no adjacent pairs anywhere

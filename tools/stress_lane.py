@@ -297,6 +297,9 @@ def main() -> None:
         "events_json_stats",
         "events_value_zscore",
         "bpe_merge_pairs",
+        # round-6: full BPE training loop (10 merge rounds, counts-only
+        # driver collects)
+        "bpe_train_merges",
     ):
         t0 = time.time()
         n = reg[name].fn(spark, args.out_dir).count()
