@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from example_beam_spark.operators.textops import _BPE_PATTERN
 from example_beam_spark.registry import register
 from example_beam_spark.sources import load_table
 
@@ -294,4 +295,132 @@ def eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_spans.join(F.broadcast(eval_spans), "h")
         .groupBy("doc_id")
         .agg(F.countDistinct("h").cast("long").alias("n_shared_spans"))
+    )
+
+
+# --------------------------------------------------------------------------
+# docs_quality_classifier — hashed n-gram linear quality scorer
+# --------------------------------------------------------------------------
+
+# fastText-style text classifier (Joulin et al., "Bag of Tricks for
+# Efficient Text Classification", EACL 2017): features are word unigrams
+# + adjacent bigrams, hashed into a fixed-width weight vector (the
+# hashing trick), score = mean feature weight. This is the standard
+# quality-classifier stage of a curation pipeline (e.g. the CCNet /
+# GPT-3 quality filters) with one twist that keeps it oracle-checkable:
+# the weight vector is DETERMINISTIC — weight[j] derives from a salted
+# md5 of the bucket index j — instead of learned. Swapping in trained
+# weights changes ONE broadcast map, nothing in the plan.
+#
+# Scale design (100 TB): entirely scan-shaped — per-document score is a
+# higher-order-function fold over the token array (no explode, no
+# groupBy), so the operator is a narrow map over the documents scan with
+# ZERO exchanges (plan-pinned). The "model" costs nothing to ship:
+# weights are computed from the bucket id inline (a real trained model
+# would broadcast a 4096-entry map — still map-side). Integer weights in
+# [-1000, 1000] summed as BIGINT keep the score bit-reproducible
+# (score = wsum / (1000·n_feats), one exact-integer division).
+
+_QC_BUCKETS = 4096
+_QC_SPAN = 2001  # weights in [-1000, 1000]
+
+_QC_BUCKET_SQL = "CAST(('0x' || substr(md5('qw:' || {f}), 1, 7)) AS BIGINT) % 4096"
+_QC_WEIGHT_SQL = (
+    "CAST(('0x' || substr(md5('qb:' || CAST((" + _QC_BUCKET_SQL + ") AS VARCHAR)), 1, 7)) "
+    "AS BIGINT) % 2001 - 1000"
+)
+
+_QC_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, lang, regexp_extract_all(text, '{{bpe}}') AS t
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, lang,
+               list_concat(
+                   t,
+                   CASE WHEN len(t) >= 2
+                        THEN list_transform(generate_series(1, len(t) - 1),
+                                            i -> t[i] || '_' || t[i + 1])
+                        ELSE CAST([] AS VARCHAR[]) END
+               ) AS f
+        FROM toks
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               CAST(len(f) AS BIGINT) AS n_feats,
+               CAST(COALESCE(list_sum(list_transform(f,
+                   f -> ({_QC_WEIGHT_SQL.format(f='f')}))), 0) AS BIGINT) AS wsum
+        FROM feats
+    )
+    SELECT doc_id, lang, n_feats, wsum,
+           CASE WHEN n_feats > 0
+                THEN CAST(wsum AS DOUBLE) / (CAST(n_feats AS DOUBLE) * 1000.0)
+                ELSE 0.0 END AS score,
+           CASE WHEN n_feats > 0
+                THEN CAST(wsum AS DOUBLE) / (CAST(n_feats AS DOUBLE) * 1000.0)
+                ELSE 0.0 END > 0.0 AS keep
+    FROM scored
+"""
+
+
+@register("docs_quality_classifier", oracle=_QC_ORACLE.format(bpe=_BPE_PATTERN))
+def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed n-gram linear quality scorer over ``documents``: unigram +
+    adjacent-bigram features → 4096-bucket hashing trick → integer
+    weights → mean-weight score and a keep/drop verdict. See the section
+    comment for the fastText lineage and the determinism twist."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def weight_of(x):  # two-level hash: feature → bucket → weight
+        bucket = (
+            F.conv(F.substring(F.md5(F.concat(F.lit("qw:"), x)), 1, 7), 16, 10)
+            .cast("long")
+            % _QC_BUCKETS
+        )
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("qb:"), bucket.cast("string"))), 1, 7
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _QC_SPAN
+            - 1000
+        )
+
+    bigram_expr = (
+        "CASE WHEN size(t) >= 2 THEN "
+        "transform(sequence(1, size(t) - 1), i -> concat(t[i-1], '_', t[i])) "
+        "ELSE array() END"
+    )
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 0).alias("t"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.concat(F.col("t"), F.expr(bigram_expr)).alias("f"),
+    )
+    scored = feats.select(
+        "doc_id",
+        "lang",
+        F.size("f").cast("long").alias("n_feats"),
+        F.aggregate(
+            "f", F.lit(0).cast("long"), lambda acc, x: acc + weight_of(x)
+        ).alias("wsum"),
+    )
+    score = F.when(
+        F.col("n_feats") > 0,
+        F.col("wsum").cast("double") / (F.col("n_feats").cast("double") * 1000.0),
+    ).otherwise(0.0)
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_feats",
+        "wsum",
+        score.alias("score"),
+        (score > 0.0).alias("keep"),
     )

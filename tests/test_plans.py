@@ -452,3 +452,13 @@ def test_zscore_stats_broadcast_no_fact_shuffle(spark):
     df = q.fn(spark, SF)
     assert has_broadcast_join(df)
     assert num_exchanges(df) <= 1, num_exchanges(df)
+
+
+def test_quality_classifier_no_shuffle(spark):
+    """The hashed-n-gram scorer is a pure scan expression (HOF fold over
+    the token array, no explode/groupBy): zero exchanges."""
+    from example_beam_spark.plans import num_exchanges
+    from example_beam_spark.registry import load_registry
+
+    q = load_registry()["docs_quality_classifier"]
+    assert num_exchanges(q.fn(spark, "/root/testdata/sf0.01")) == 0
