@@ -545,15 +545,30 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # doc_id as its canonical representative (the keep-one-per-cluster step a
 # training-data pipeline runs after near-dup pair detection).
 # --------------------------------------------------------------------------
-# Spark side: iterative min-label propagation over the symmetrized edge
-# list — each round every node takes the min label among itself and its
-# neighbors; converged when no label changes. Rounds = graph diameter
-# (dup clusters are shallow; at web scale the standard fix is the
-# large-star/small-star contraction, which bounds rounds at O(log n) —
-# same joins, different edge rewrite). Lineage is truncated per round
-# with localCheckpoint so the plan does not grow exponentially; the
-# driver-side loop iterates O(diameter) times over COUNTS, never rows.
-# Oracle: exact transitive closure via WITH RECURSIVE on the same pairs.
+# Two implementations behind SPARK_GRAFT_CC_IMPL (see
+# connected_components):
+#
+# - 'star' (DEFAULT — the 100-TB shape): alternating large-star /
+#   small-star edge contraction (Kiveris et al., "Connected Components
+#   in MapReduce and Beyond", ACM SoCC 2014, Alg. 2 "Two-Phase").
+#   Large-star points every neighbor LARGER than u at u's neighborhood
+#   minimum; small-star does the same for the smaller neighbors. Both
+#   are one groupBy(min) + one join per round over the edge list, and
+#   the edge set contracts toward per-component stars rooted at the
+#   minimum in O(log n) rounds REGARDLESS of diameter — a chain-shaped
+#   duplicate cluster (crawl mirrors of mirrors) converges in ~log n
+#   rounds where propagation needs ~n (measured: tests/test_dedup_cc.py
+#   pins 64-chain rounds star<=10 vs propagation>=32).
+#
+# - 'propagation': iterative min-label propagation — each round every
+#   node takes the min label among itself and its neighbors; converged
+#   when no label changes. Rounds = graph diameter; kept as the
+#   didactically-simple reference twin.
+#
+# Both truncate lineage per round with localCheckpoint so the plan does
+# not grow exponentially, and the driver-side loop sees only COUNTS,
+# never rows. Oracle: exact transitive closure via WITH RECURSIVE on the
+# same pairs (implementation-independent ground truth).
 
 
 def _cluster_oracle() -> str:
@@ -576,29 +591,16 @@ def _cluster_oracle() -> str:
 """
 
 
-@register("dedup_cluster_canonical", oracle=_cluster_oracle())
-def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, canonical_id, cluster_size) for every document that has at
-    least one near-duplicate (jaccard >= threshold per the MinHash+LSH
-    pairs); canonical_id = MIN doc_id of the connected dup cluster."""
-    pairs = (
-        dedup_minhash_lsh(spark, sf_dir)
-        .filter(F.col("is_dup"))
-        .select("doc_a", "doc_b")
-    )
-    sym = (
-        pairs.union(
-            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-        )
-        .distinct()
-        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .localCheckpoint()
-    )
+def _cc_propagation(sym: DataFrame) -> tuple[DataFrame, int]:
+    """Min-label propagation; ``sym`` holds (u, v) in BOTH directions.
+    Returns ((doc_id, label), n_rounds)."""
     labels = sym.select("u").distinct().select(
         F.col("u").alias("doc_id"), F.col("u").alias("label")
     ).localCheckpoint()
 
+    rounds = 0
     while True:
+        rounds += 1
         nbr = (
             sym.join(labels, sym.v == labels.doc_id)
             .groupBy("u")
@@ -621,7 +623,108 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    return labels, rounds
 
+
+def _cc_star(sym: DataFrame) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star contraction (Kiveris et al.
+    2014). Edges are kept CANONICAL — distinct (lo, hi) with lo < hi —
+    so set-equality (the convergence test) is a plain subtract. Each
+    round is two edge rewrites, each one groupBy(min)+join; at the
+    fixpoint the edge set is exactly the per-component stars
+    {(root, member)}, from which labels read off directly."""
+    edges = (
+        sym.select(F.least("u", "v").alias("lo"), F.greatest("u", "v").alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint()
+    )
+    all_nodes = sym.select(F.col("u").alias("doc_id")).distinct().localCheckpoint()
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # every neighbor v > u attaches to m(u) = min(u, min of Γ(u))
+        nbrs = e.select(F.col("lo").alias("u"), F.col("hi").alias("v")).union(
+            e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+        m = nbrs.groupBy("u").agg(F.min("v").alias("mv"))
+        m = m.select("u", F.least("u", "mv").alias("m"))
+        return (
+            nbrs.join(m, "u")
+            .filter(F.col("v") > F.col("u"))  # m <= u < v: canonical, no loops
+            .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # every neighbor v < u (and u itself) attaches to min of the
+        # smaller neighborhood; (lo, hi) is already big-end = hi
+        nbrs = e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        m = nbrs.groupBy("u").agg(F.min("v").alias("m"))  # m < u
+        re_small = (
+            nbrs.join(m, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
+        )
+        re_center = m.select(F.col("m").alias("lo"), F.col("u").alias("hi"))
+        return re_small.union(re_center).distinct()
+
+    rounds = 0
+    while True:
+        rounds += 1
+        new_edges = small_star(large_star(edges)).localCheckpoint()
+        n_new = new_edges.count()
+        stable = (
+            n_new == edges.count()
+            and new_edges.subtract(edges).limit(1).count() == 0
+        )
+        edges = new_edges
+        if stable:
+            break
+
+    # fixpoint: edges = {(root, member)}; roots never appear as hi
+    member_labels = edges.select(
+        F.col("hi").alias("doc_id"), F.col("lo").alias("label")
+    )
+    labels = all_nodes.join(member_labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("label", "doc_id").alias("label")
+    )
+    return labels, rounds
+
+
+def connected_components(
+    pairs: DataFrame, impl: str | None = None
+) -> tuple[DataFrame, int]:
+    """Connected components over an undirected pair list (doc_a, doc_b):
+    returns ((doc_id, label) with label = component minimum, n_rounds).
+    ``impl``: 'star' (default; O(log n) rounds — see section comment) or
+    'propagation' (O(diameter) rounds), also via SPARK_GRAFT_CC_IMPL."""
+    import os
+
+    impl = impl or os.environ.get("SPARK_GRAFT_CC_IMPL", "star")
+    if impl not in ("star", "propagation"):
+        raise ValueError(f"unknown CC impl {impl!r}; use 'star' or 'propagation'")
+    sym = (
+        pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .distinct()
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .localCheckpoint()
+    )
+    return _cc_star(sym) if impl == "star" else _cc_propagation(sym)
+
+
+@register("dedup_cluster_canonical", oracle=_cluster_oracle())
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, canonical_id, cluster_size) for every document that has at
+    least one near-duplicate (jaccard >= threshold per the MinHash+LSH
+    pairs); canonical_id = MIN doc_id of the connected dup cluster."""
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .filter(F.col("is_dup"))
+        .select("doc_a", "doc_b")
+    )
+    labels, _ = connected_components(pairs)
     sizes = labels.groupBy("label").agg(F.count("*").cast("long").alias("cluster_size"))
     return (
         labels.join(sizes, "label")
