@@ -312,3 +312,153 @@ def ann_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# ann_topk_ivf_trained — IVF with TRAINED centroids (the production
+# operating point; the hash-seed entry above stays as the oracle twin)
+# --------------------------------------------------------------------------
+# Swaps the deterministic hash-rank seeds for spherical k-means
+# centroids (pyspark.ml.clustering.KMeans over L2-normalized vectors, so
+# Euclidean argmin ≡ cosine argmax) — exactly the ONE-dataframe change
+# the module header promises. A trained coarse quantizer aligns cells
+# with the data's real neighborhood structure, which is what turns IVF
+# from "scans 19% for recall 0.58" (hash seeds on isotropic noise — see
+# NOTES 'ANN recall measurements') into a production operating point:
+# on the planted-neighborhood corpus (tools/planted.py) this reaches
+# recall@10 >= 0.8 while scanning <= 5% of the corpus per query
+# (k=80 cells, nprobe=3 → 3/80 ≈ 3.75% at balanced cells, ~4.5% with
+# realistic cell-size skew; measured by tests/test_ann_trained.py and
+# the stress lane's recall table — recall@10 = 1.0 there).
+#
+# Oracle note: a trained model is a fitted artifact SQL cannot
+# reproduce, so this entry is registered WITHOUT a value oracle (the
+# driver records a rows-only check — the documented weaker gate); its
+# quality gate is the measured recall/scan table instead, and
+# ``ann_topk_ivf`` keeps the bit-exact DuckDB oracle for the shared
+# probe/scan machinery.
+#
+# 100-TB design: training runs on a bounded sample (KMEANS_SAMPLE rows —
+# a coarse quantizer needs only a sketch of the density), the fitted
+# centroids are k×dim doubles broadcast as a literal frame (MBs even at
+# k=√n for billions of rows), assignment is the same broadcast-join +
+# per-vector argmax as the seeded path, and the probed-cell exact scan
+# shuffles by cell id so each cell's work is shuffle-local.
+
+IVF_TRAINED_K = 80
+IVF_TRAINED_NPROBE = 3
+KMEANS_SEED = 20260814
+KMEANS_MAXITER = 10  # coarse quantizer: convergence past ~10 iters buys nothing
+KMEANS_SAMPLE = 100_000  # training-sample cap: coarse quantizer, not a fit
+
+
+def _fdot(a, b):
+    """Plain double dot product via zip_with+aggregate (no oracle parity
+    needed on this path, so no decimal quantization)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_trained_frames(
+    emb: DataFrame,
+    k: int = IVF_TRAINED_K,
+    nprobe: int = IVF_TRAINED_NPROBE,
+) -> tuple[DataFrame, DataFrame]:
+    """(top-k results, candidate pairs) for the trained-centroid IVF.
+    The candidate frame is exposed so callers (recall lane, tests) can
+    measure the scanned fraction |candidates| / (n_queries · (n−1))."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = emb.sparkSession
+    base = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).select("vec_id", "v", F.sqrt(_fdot("v", "v")).alias("nrm"))
+
+    # spherical k-means: train on unit vectors so Euclidean == cosine
+    unit = base.select(
+        "vec_id",
+        F.transform("v", lambda x: x / F.col("nrm")).alias("u"),
+    )
+    train = unit.limit(KMEANS_SAMPLE).select(
+        array_to_vector(F.col("u")).alias("features")
+    )
+    model = KMeans(
+        k=k, seed=KMEANS_SEED, maxIter=KMEANS_MAXITER, featuresCol="features"
+    ).fit(train)
+    centers = F.broadcast(
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+            "cell int, c array<double>",
+        ).select(
+            "cell", "c", F.sqrt(_fdot("c", "c")).alias("c_nrm")
+        )
+    )
+
+    # nearest / top-nprobe cells per vector: broadcast k centroids, one
+    # argmax window keyed by vec_id (bounded n×k map-local expansion)
+    ranked = (
+        unit.join(centers)
+        .select(
+            "vec_id",
+            "cell",
+            (_fdot("u", "c") / F.col("c_nrm")).alias("cos_c"),
+        )
+        .withColumn(
+            "crk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), "cell")
+            ),
+        )
+    )
+    cells = ranked.filter(F.col("crk") == 1).select("vec_id", "cell")
+    probes = ranked.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("crk") <= nprobe)
+    ).select(F.col("vec_id").alias("query_id"), "cell")
+
+    members = cells.join(
+        base.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("n_v"),
+            F.col("nrm").alias("n_nrm"),
+        ),
+        cells.vec_id == F.col("neighbor_id"),
+    ).select("neighbor_id", "cell", "n_v", "n_nrm")
+    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("q_v"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cands = (
+        members.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(queries), "query_id")
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        "cell",
+        (_fdot("q_v", "n_v") / (F.col("q_nrm") * F.col("n_nrm"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    topk = (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cell", "cosine", "rk")
+    )
+    return topk, cands.select("query_id", "neighbor_id")
+
+
+@register("ann_topk_ivf_trained", oracle=None)
+def ann_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-centroid IVF ANN (see section comment): spherical k-means
+    coarse quantizer, top-``IVF_TRAINED_NPROBE``-cell probing, exact
+    cosine top-k within the probed cells. Rows-only driver check by
+    design (fitted model ≠ SQL); recall/scan quality is gated by
+    tests/test_ann_trained.py on the planted-neighborhood corpus."""
+    emb = spread_small_input(load_table(spark, sf_dir, "embeddings"), spark)
+    return ivf_trained_frames(emb)[0]

@@ -1,0 +1,64 @@
+"""Recall gate for the trained-centroid IVF: on a planted-neighborhood
+corpus (the realistic embedding-geometry case — see tools/planted.py)
+the trained coarse quantizer must reach production-quality recall at a
+small scanned fraction. This is the quality contract replacing the value
+oracle for the oracle-less ``ann_topk_ivf_trained`` entry."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from tools.planted import planted_corpus
+
+RECALL_FLOOR = 0.8
+SCAN_CEIL = 0.05
+# smaller than the stress lane's 20k corpus to keep pytest quick, but the
+# same cell geometry (k=64, nprobe=3 → 4.7% at balanced cells)
+N, N_CLUSTERS = 4000, 100
+
+
+def test_trained_ivf_recall_and_scan_fraction(spark, tmp_path):
+    from example_beam_spark.operators.ivf import ivf_trained_frames
+    from example_beam_spark.operators.similarity import N_QUERIES, TOP_K
+    from example_beam_spark.registry import load_registry
+    from example_beam_spark.sources import load_table
+
+    sf_dir = planted_corpus(str(tmp_path), n=N, n_clusters=N_CLUSTERS)
+
+    truth: dict[int, set[int]] = {}
+    brute = load_registry()["ann_topk_bruteforce"]
+    for r in brute.fn(spark, sf_dir).collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert len(truth) == N_QUERIES and all(len(t) == TOP_K for t in truth.values())
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    topk, cands = ivf_trained_frames(emb)
+    got: dict[int, set[int]] = {}
+    for r in topk.collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    recalls = [len(got.get(q, set()) & t) / len(t) for q, t in truth.items()]
+    recall = sum(recalls) / len(recalls)
+    scanned = cands.count() / (N_QUERIES * (N - 1))
+    print(f"planted recall@10={recall:.3f} scanned={scanned:.4f}")
+    assert recall >= RECALL_FLOOR, (recall, recalls)
+    assert scanned <= SCAN_CEIL, scanned
+
+
+def test_trained_ivf_runs_on_driver_fixture(spark, sf_dir):
+    """The registered rows-only entry must run on the real fixture and
+    produce a sane top-k shape (deterministic row count: the driver's
+    rows-only gate repeats the count)."""
+    from example_beam_spark.registry import load_registry
+
+    q = load_registry()["ann_topk_ivf_trained"]
+    rows = q.fn(spark, sf_dir).collect()
+    per_q: dict[int, int] = {}
+    for r in rows:
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+        assert -1.0 <= r.cosine <= 1.0
+    assert set(per_q) == {0, 1, 2, 3, 4}
+    assert all(1 <= n <= 10 for n in per_q.values())

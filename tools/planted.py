@@ -1,0 +1,65 @@
+"""Planted-neighborhood embedding corpus for ANN quality measurement.
+
+The driver fixture's embeddings are isotropic Gaussian noise — there is
+NO neighborhood structure to recover, so recall@k of any sublinear ANN
+method is capped by chance (NOTES "ANN recall measurements": 0.44-0.58
+at 14-19% scanned). Real embedding corpora are the opposite: points
+concentrate around semantic clusters. This generator plants that
+structure explicitly so recall measures the METHOD, not the fixture:
+
+- ``n_clusters`` unit-norm centers drawn from an isotropic Gaussian;
+- each vector = its cluster center + a Gaussian whose VECTOR norm is
+  ≈ ``noise`` (per-coordinate σ = noise/√dim — without that scaling the
+  noise norm grows with √dim and drowns the unit centers), so
+  in-cluster cosine ≈ 1/(1+noise²) ≈ 0.89 at the default 0.35 while
+  cross-cluster cosine ≈ 0 — a query's true top-k is its own cluster;
+- vec_id i belongs to cluster i % n_clusters, so the query set
+  (vec_id < N_QUERIES) spans N_QUERIES distinct clusters;
+- label = cluster id (same schema as the driver's embeddings table:
+  vec_id int64, embedding list<float32>, label int32).
+
+Deterministic (fixed seed) so measured recall tables are reproducible.
+"""
+
+from __future__ import annotations
+
+import os
+
+PLANTED_SEED = 20260814
+
+
+def planted_corpus(
+    out_dir: str,
+    n: int = 20000,
+    dim: int = 64,
+    n_clusters: int = 200,
+    noise: float = 0.35,
+    seed: int = PLANTED_SEED,
+) -> str:
+    """Write ``embeddings.parquet`` under out_dir; returns out_dir (a
+    usable sf_dir for the ANN queries, which read only embeddings)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    cluster = np.arange(n) % n_clusters
+    sigma = noise / np.sqrt(dim)  # noise VECTOR norm ≈ `noise`
+    vecs = (centers[cluster] + sigma * rng.standard_normal((n, dim))).astype(
+        np.float32
+    )
+
+    os.makedirs(out_dir, exist_ok=True)
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], type=pa.list_(pa.float32())
+            ),
+            "label": pa.array(cluster.astype("int32"), type=pa.int32()),
+        }
+    )
+    pq.write_table(table, os.path.join(out_dir, "embeddings.parquet"))
+    return out_dir
