@@ -230,34 +230,126 @@ def write_avro(
         # job failed: nothing committed, sweep our staging
         shutil.rmtree(staging, ignore_errors=True)
         raise
+
+    # Two-phase commit: the ATOMIC manifest rename is the commit point.
+    # Phase 1 moves staged files into place (they are invisible — readers
+    # honor the manifest, and these names are not in it yet); phase 2
+    # atomically replaces _avro_manifest.json. A writer killed anywhere
+    # before the rename leaves the previous committed view fully intact —
+    # strays on disk are never read (tests/test_avro_commit.py kills a
+    # write at each boundary and asserts exactly this). Old files under
+    # overwrite are deleted only AFTER the commit point (post-commit GC),
+    # so no ordering can expose a half-written table. Single concurrent
+    # writer per directory assumed (same contract as Hadoop's
+    # FileOutputCommitter without a coordination service).
+    pre_files = {
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(glob.escape(path), "*.avro"))
+    }
+    old_entries = _read_manifest(path)
+    new_entries = [{"path": r.path, "n_records": r.n_records} for r in manifest]
     try:
-        if mode == "overwrite":
-            for old in glob.glob(os.path.join(glob.escape(path), "*.avro")):
-                try:
-                    if os.path.isfile(old):
-                        os.remove(old)
-                except FileNotFoundError:
-                    pass  # concurrent cleanup (e.g. stream-sink replay) won
         for r in manifest:
             os.replace(os.path.join(staging, r.path), os.path.join(path, r.path))
+        if mode == "overwrite":
+            entries = new_entries
+        elif old_entries is None:
+            # legacy/un-manifested directory: adopt every pre-existing
+            # part file so append keeps them visible under the manifest
+            entries = [{"path": n, "n_records": None} for n in sorted(pre_files)]
+            entries += new_entries
+        else:
+            # keep listed files still on disk (the stream sink replaces a
+            # replayed batch by deleting its files first — prune those)
+            entries = [e for e in old_entries if e["path"] in pre_files]
+            entries += new_entries
+        _write_manifest_atomic(path, entries, avro_schema)
     except Exception as e:
-        # job output is fully materialized in staging — PRESERVE it for
-        # manual recovery instead of sweeping; name it in the error
+        # nothing is committed until the manifest rename: the previous
+        # manifest still governs readers; this job's output survives in
+        # staging and/or as unlisted part files for manual recovery
         raise RuntimeError(
-            f"avro commit failed after a successful job; staged output "
-            f"preserved at {staging!r}"
+            f"avro commit failed after a successful job; previous manifest "
+            f"still governs readers, staged output preserved at {staging!r}"
         ) from e
+    if mode == "overwrite":
+        keep = {e["path"] for e in entries}
+        for old in glob.glob(os.path.join(glob.escape(path), "*.avro")):
+            try:
+                if os.path.basename(old) not in keep and os.path.isfile(old):
+                    os.remove(old)
+            except FileNotFoundError:
+                pass  # concurrent cleanup (e.g. stream-sink replay) won
     shutil.rmtree(staging, ignore_errors=True)
     return sum(r.n_records for r in manifest)
+
+
+_MANIFEST_NAME = "_avro_manifest.json"
+
+
+def _read_manifest_doc(path: str) -> dict | None:
+    """The committed manifest document ({"schema": ..., "files": [...]}),
+    or None for un-manifested directories (pre-manifest layouts,
+    hand-placed files) — readers then fall back to globbing."""
+    mf = os.path.join(path, _MANIFEST_NAME)
+    if not os.path.isdir(path) or not os.path.isfile(mf):
+        return None
+    import json
+
+    with open(mf) as f:
+        return json.load(f)
+
+
+def _read_manifest(path: str) -> list[dict] | None:
+    doc = _read_manifest_doc(path)
+    return None if doc is None else doc["files"]
+
+
+def _write_manifest_atomic(path: str, entries: list[dict], avro_schema: dict) -> None:
+    """fsync-then-rename: the manifest either fully changes or not at
+    all; readers never observe a torn manifest. Carries the table's Avro
+    schema so a committed-EMPTY table stays self-describing."""
+    import json
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(dir=path, prefix="._manifest-", suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump({"schema": avro_schema, "files": entries}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(path, _MANIFEST_NAME))
+    except Exception:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        raise
+
+
+def _committed_files(path: str) -> list[str] | None:
+    """Full paths of manifest-listed part files (None = no manifest)."""
+    entries = _read_manifest(path)
+    if entries is None:
+        return None
+    return [os.path.join(path, e["path"]) for e in entries]
 
 
 def _peek_avro_schema(path: str) -> dict:
     """Read one file's header driver-side to infer the schema (metadata
     map sits at the front of the file; 1 MiB is far beyond any header —
-    read_ocf's row iterator is lazy, so only the header is parsed)."""
-    files = sorted(glob.glob(os.path.join(glob.escape(path), "*.avro"))) or (
-        [path] if os.path.isfile(path) else []
-    )
+    read_ocf's row iterator is lazy, so only the header is parsed).
+    The manifest takes precedence: it carries the committed schema
+    directly (so even a committed-empty table is self-describing), and a
+    stray part file from a killed write can never donate the schema."""
+    doc = _read_manifest_doc(path)
+    if doc is not None and "schema" in doc:
+        return doc["schema"]
+    files = _committed_files(path)
+    if files is None:
+        files = sorted(glob.glob(os.path.join(glob.escape(path), "*.avro"))) or (
+            [path] if os.path.isfile(path) else []
+        )
     if not files:
         raise FileNotFoundError(f"no .avro files under {path!r}")
     with open(files[0], "rb") as f:
@@ -314,12 +406,22 @@ def read_avro(
 
     ``binaryFile`` lists and loads the files executor-side (one task per
     file split group); ``mapInArrow`` decodes them. With ``schema=None``
-    the Avro schema embedded in the first file's header is used."""
+    the Avro schema embedded in the first file's header is used.
+
+    When the directory carries a ``_avro_manifest.json`` (every
+    ``write_avro`` commit writes one, atomically, LAST), exactly the
+    manifest-listed files are read: part files from a writer killed
+    between staging-move and manifest-rename are invisible, never
+    half-read. Un-manifested directories (hand-placed files) fall back
+    to globbing."""
     schema = _resolve_schema(path, schema)
+    committed = _committed_files(path)
+    if committed is not None and not committed:
+        return spark.createDataFrame([], schema)  # committed-empty table
     binary = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.avro")
-        .load(path)
+        .load(committed if committed is not None else path)
         .select("content")
     )
     return binary.mapInArrow(_content_decoder(schema), schema)
@@ -334,7 +436,13 @@ def read_avro_stream(
     the unbounded counterpart of :func:`read_avro`, pairing with
     :func:`avro_stream_sink` for an end-to-end Avro streaming pipeline.
     Schema inference needs at least one existing file; pass ``schema``
-    explicitly to start a stream over a not-yet-populated directory."""
+    explicitly to start a stream over a not-yet-populated directory.
+
+    The streaming source deliberately globs rather than honoring the
+    batch manifest: a stream must see files as they appear, and its
+    correctness against sink replay comes from ``avro_stream_sink``'s
+    idempotent batch-<id> naming (a replayed batch REPLACES its own
+    files) plus the file-source checkpoint, not from the manifest."""
     schema = _resolve_schema(path, schema)
     binary = (
         spark.readStream.format("binaryFile")

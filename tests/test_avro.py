@@ -294,15 +294,23 @@ def test_spark_roundtrip_all_logical_types(spark, tmp_path):
 
 
 def test_empty_write_and_corrupt_block_errors(spark, tmp_path):
-    """Zero-row writes produce no files: inferred read fails with a clear
-    FileNotFoundError, explicit-schema read returns an empty frame.
-    A corrupted block surfaces as a sync-marker mismatch."""
+    """Zero-row writes produce no part files but DO commit: the manifest
+    carries the schema, so both inferred and explicit reads return an
+    empty frame (a successfully committed empty table is a table, not an
+    error — changed from pre-manifest FileNotFoundError behavior). A
+    corrupted block surfaces as a sync-marker mismatch."""
     df = range_records(spark, 10).filter("id > 100")
     path = str(tmp_path / "empty")
     assert write_avro(df, path, mode="overwrite") == 0
-    with pytest.raises(FileNotFoundError, match="no .avro files"):
-        read_avro(spark, path)
+    inferred = read_avro(spark, path)
+    assert inferred.count() == 0
+    assert [f.name for f in inferred.schema.fields] == [
+        f.name for f in df.schema.fields
+    ]
     assert read_avro(spark, path, schema=df.schema).count() == 0
+    # a truly nonexistent/never-written dir still fails loudly
+    with pytest.raises(FileNotFoundError, match="no .avro files"):
+        read_avro(spark, str(tmp_path / "never_written"))
 
     full = range_records(spark, 10)
     path2 = str(tmp_path / "full")
