@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from example_beam_spark.operators.textops import _BPE_PATTERN
-from example_beam_spark.registry import register
+from example_beam_spark.registry import davg, register, sql_davg
 from example_beam_spark.sources import load_table
 
 _NGRAM = 3
@@ -423,4 +423,85 @@ def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wsum",
         score.alias("score"),
         (score > 0.0).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# doc_lm_predictability — corpus-bigram language-model fluency score
+# --------------------------------------------------------------------------
+
+# The perplexity-style curation signal: score each document by how
+# predictable its token stream is under the corpus's own bigram MLE
+# model (P(b|a) = c(a,b)/c(a,·)). Low predictability ≈ boilerplate-free
+# but also gibberish; high ≈ templated/repeated text — used as a band
+# filter exactly like docs_quality_filter's length bands. Using the mean
+# PROBABILITY instead of mean log-prob keeps the oracle bit-exact:
+# ln() rounding is not guaranteed identical across engines (same
+# documented delta as the HLL linear-counting correction), while
+# count-ratio division and the decimal-sum average are.
+
+_LM_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    big AS (
+        SELECT doc_id, t[i] AS a, t[i + 1] AS b
+        FROM toks CROSS JOIN UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+    ),
+    cab AS (SELECT a, b, COUNT(*) AS n_ab FROM big GROUP BY a, b),
+    ca AS (SELECT a, COUNT(*) AS n_a FROM big GROUP BY a),
+    per AS (
+        SELECT big.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               {sql_davg("CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE)", "predictability")}
+        FROM big
+        JOIN cab ON cab.a = big.a AND cab.b = big.b
+        JOIN ca ON ca.a = big.a
+        GROUP BY big.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_bigrams, 0) AS n_bigrams,
+           COALESCE(p.predictability, 0.0) AS predictability
+    FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+"""
+
+
+@register("doc_lm_predictability", oracle=_LM_ORACLE)
+def doc_lm_predictability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean corpus-bigram probability per document (see section comment).
+
+    100-TB design: two passes over the bigram stream — (1) the model:
+    partial+final counts keyed by bigram / by left token (both shrink
+    map-side, the model is vocabulary-sized, orders smaller than the
+    corpus); (2) the score: two shuffle equi-joins keyed by bigram /
+    left token (runtime bloom pruning applies — same shape as
+    dedup_incremental's anti-join), then one per-doc average. Mean
+    probability uses the decimal-sum convention (registry.davg) so the
+    per-doc aggregate is order-independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    pair_expr = (
+        "CASE WHEN size(t) >= 2 THEN "
+        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS a, t[i] AS b)) "
+        "ELSE array() END"
+    )
+    big = toks.select("doc_id", F.explode(F.expr(pair_expr)).alias("p")).select(
+        "doc_id", "p.a", "p.b"
+    )
+    cab = big.groupBy("a", "b").agg(F.count("*").alias("n_ab"))
+    ca = big.groupBy("a").agg(F.count("*").alias("n_a"))
+    per = (
+        big.join(cab, ["a", "b"])
+        .join(ca, "a")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            davg(F.col("n_ab").cast("double") / F.col("n_a").cast("double"),
+                 "predictability"),
+        )
+    )
+    return docs.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce("predictability", F.lit(0.0)).alias("predictability"),
     )

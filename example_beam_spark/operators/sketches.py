@@ -36,7 +36,7 @@ partial aggregation IS the merge).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from example_beam_spark.registry import register
@@ -337,3 +337,107 @@ def hll_distinct_users_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     regs = run_to_final(agg, ["bucket"], spark)
     return _hll_finish(regs, load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# price_quantile_histogram — mergeable equi-width quantile sketch
+# --------------------------------------------------------------------------
+
+HIST_BINS = 64
+HIST_QS = (0.25, 0.5, 0.75, 0.95, 0.99)
+
+_HIST_ORACLE = f"""
+    WITH bounds AS (
+        SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx,
+               COUNT(*) AS n
+        FROM lineitem
+    ),
+    binned AS (
+        SELECT LEAST({HIST_BINS - 1}, CAST(FLOOR(
+                   (l_extendedprice - b.mn) / ((b.mx - b.mn) / {HIST_BINS})
+               ) AS BIGINT)) AS bin
+        FROM lineitem CROSS JOIN bounds b
+    ),
+    bins AS (
+        SELECT bin, COUNT(*) AS cnt FROM binned GROUP BY bin
+    ),
+    cum AS (
+        SELECT bin, cnt,
+               SUM(cnt) OVER (ORDER BY bin) AS cum,
+               SUM(cnt) OVER (ORDER BY bin) - cnt AS cum_prev
+        FROM bins
+    ),
+    qs AS (SELECT unnest([{", ".join(str(q) for q in HIST_QS)}]) AS q),
+    hits AS (
+        SELECT q, bin, cnt, cum_prev,
+               ROW_NUMBER() OVER (PARTITION BY q ORDER BY bin) AS rk
+        FROM qs JOIN cum ON cum >= q * (SELECT n FROM bounds)
+    )
+    SELECT h.q,
+           CAST((SELECT n FROM bounds) AS BIGINT) AS n_rows,
+           b.mn + ((b.mx - b.mn) / {HIST_BINS}) *
+               (h.bin + (h.q * b.n - h.cum_prev) / h.cnt) AS est
+    FROM hits h CROSS JOIN bounds b
+    WHERE h.rk = 1
+"""
+
+
+@register("price_quantile_histogram", oracle=_HIST_ORACLE)
+def price_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles of l_extendedprice from a 64-bin equi-width
+    histogram — the mergeable quantile summary completing the sketch
+    family (HLL=cardinality, KMV=cardinality, CMS=frequency, this=
+    quantiles). A histogram of fixed bin count is the simplest
+    associative/commutative quantile sketch: partial per-partition bin
+    counts merge by addition, exactly like production t-digest/GK
+    summaries but with a closed-form, engine-identical estimator
+    (linear interpolation inside the covering bin), so the DuckDB
+    oracle can reproduce it bit-for-bit.
+
+    100-TB design: one bounds aggregate broadcast onto the scan (same
+    posture as events_value_zscore's stats), one partial+final COUNT
+    into at most 64 groups — state is 64 longs per partition no matter
+    the data volume; the quantile read-off runs on 64 rows."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    bounds = F.broadcast(
+        li.agg(
+            F.min("l_extendedprice").alias("mn"),
+            F.max("l_extendedprice").alias("mx"),
+            F.count("*").alias("n"),
+        )
+    )
+    w = (F.col("mx") - F.col("mn")) / HIST_BINS
+    binned = li.crossJoin(bounds).select(
+        F.least(
+            F.lit(HIST_BINS - 1),
+            F.floor((F.col("l_extendedprice") - F.col("mn")) / w).cast("long"),
+        ).alias("bin")
+    )
+    bins = binned.groupBy("bin").agg(F.count("*").alias("cnt"))
+    win = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select(
+        "bin",
+        "cnt",
+        F.sum("cnt").over(win).alias("cum"),
+        (F.sum("cnt").over(win) - F.col("cnt")).alias("cum_prev"),
+    )
+    qs = spark.createDataFrame([(q,) for q in HIST_QS], "q double")
+    hits = (
+        qs.crossJoin(bounds)
+        .join(cum, F.col("cum") >= F.col("q") * F.col("n"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("q").orderBy("bin")
+            ),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    return hits.select(
+        "q",
+        F.col("n").cast("long").alias("n_rows"),
+        (
+            F.col("mn")
+            + w * (F.col("bin") + (F.col("q") * F.col("n") - F.col("cum_prev")) / F.col("cnt"))
+        ).alias("est"),
+    )

@@ -552,3 +552,33 @@ def test_join_salted_hot_key_same_semantics(spark):
         ("ad4", "screenA"),
         ("adLate", None),
     ]
+
+
+def test_tws_gate_opens_the_moment_protobuf_exists(monkeypatch):
+    """The 14 tws skips are a PROBE, not a hardcode: the moment
+    `import google.protobuf` succeeds in this environment, the gate
+    reports available and every parametrized tws test un-skips on the
+    next run. Proven by planting a minimal fake of the package. Also
+    pins that the real current probe result matches what the runtime
+    actually has (so the skip reason can never go stale)."""
+    import importlib
+    import sys
+    import types
+
+    from example_beam_spark.streaming.tws import tws_unavailable_reason
+
+    # the probe must agree with reality right now
+    try:
+        importlib.import_module("google.protobuf")
+        really_available = True
+    except ImportError:
+        really_available = False
+    assert (tws_unavailable_reason() is None) == really_available
+
+    # and it must flip to available as soon as the import succeeds
+    google = types.ModuleType("google")
+    protobuf = types.ModuleType("google.protobuf")
+    google.protobuf = protobuf
+    monkeypatch.setitem(sys.modules, "google", google)
+    monkeypatch.setitem(sys.modules, "google.protobuf", protobuf)
+    assert tws_unavailable_reason() is None

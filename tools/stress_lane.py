@@ -298,8 +298,10 @@ def main() -> None:
         "events_value_zscore",
         "bpe_merge_pairs",
         # round-6: full BPE training loop (10 merge rounds, counts-only
-        # driver collects)
+        # driver collects) + the two document scorers
         "bpe_train_merges",
+        "docs_quality_classifier",
+        "doc_lm_predictability",
     ):
         t0 = time.time()
         n = reg[name].fn(spark, args.out_dir).count()
