@@ -43,6 +43,11 @@ def main() -> int:
     fails: list[str] = []
     for i, (name, fn) in enumerate(qs.items(), 1):
         try:
+            if name not in oracles:
+                # driver contract: no oracle entry -> rows-only check
+                n = fn(spark, args.sf_dir).count()
+                print(f"[{i}/{len(qs)}] rows-only ({n} rows): {name}", flush=True)
+                continue
             assert_matches_oracle(
                 fn(spark, args.sf_dir), oracles[name], args.sf_dir, name
             )
