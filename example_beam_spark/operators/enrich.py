@@ -436,3 +436,4 @@ def cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "latest_signup_version double",
         )
     )
+

@@ -232,3 +232,67 @@ def orders_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d_day").isNull().alias("is_gap"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# orders_moving_avg_7d — RANGE-frame trailing window over calendar days
+# --------------------------------------------------------------------------
+
+_MA7_ORACLE = f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               {sql_dsum('o_totalprice', 'revenue')}
+        FROM orders GROUP BY 1
+    ),
+    keyed AS (
+        SELECT day, n_orders, revenue,
+               datediff('day', DATE '1970-01-01', day) AS day_num
+        FROM daily
+    )
+    SELECT day, n_orders, revenue,
+           CAST(SUM(CAST(revenue AS DECIMAL(38,6))) OVER w AS DOUBLE)
+               / COUNT(revenue) OVER w AS ma7_revenue,
+           CAST(COUNT(revenue) OVER w AS BIGINT) AS n_days_in_window
+    FROM keyed
+    WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("orders_moving_avg_7d", oracle=_MA7_ORACLE)
+def orders_moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-calendar-day average of daily order revenue — a RANGE
+    frame keyed by day number, NOT a ROWS frame: across a gap in the
+    calendar the frame correctly covers [day−6, day] by VALUE, so a day
+    following a 3-day gap averages only the days actually inside its
+    window (a ROWS 6 PRECEDING frame would silently reach back across
+    the gap — the classic moving-average bug this operator exists to
+    demonstrate). ``n_days_in_window`` exposes how many days the frame
+    really held. Decimal-sum average per the registry convention.
+
+    100-TB design: the fact table collapses to a days-sized aggregate
+    first (partial+final, same as ``orders_daily_gapfill``); the window
+    then runs over calendar-bounded rows — a single-partition sort of
+    ~thousands of rows regardless of fact volume (partition by
+    year/series key when the day spine itself grows unbounded)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.select(F.col("o_orderdate").cast("date").alias("day"), "o_totalprice")
+        .groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            dsum("o_totalprice", "revenue"),
+        )
+        .withColumn("day_num", F.datediff(F.col("day"), F.lit("1970-01-01")))
+    )
+    w = Window.orderBy("day_num").rangeBetween(-6, Window.currentRow)
+    return daily.select(
+        "day",
+        "n_orders",
+        "revenue",
+        (
+            F.sum(F.col("revenue").cast("decimal(38,6)")).over(w).cast("double")
+            / F.count("revenue").over(w)
+        ).alias("ma7_revenue"),
+        F.count("revenue").over(w).cast("long").alias("n_days_in_window"),
+    )
