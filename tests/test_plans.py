@@ -462,3 +462,25 @@ def test_quality_classifier_no_shuffle(spark):
 
     q = load_registry()["docs_quality_classifier"]
     assert num_exchanges(q.fn(spark, "/root/testdata/sf0.01")) == 0
+
+
+def test_cogroup_fast_exchanges_are_shared(spark):
+    """Both aggregates hash-partition on user_id and the full-outer join
+    reuses that partitioning: exactly 2 exchanges (one per side), none
+    added by the join itself."""
+    from example_beam_spark.plans import num_exchanges
+    from example_beam_spark.registry import load_registry
+
+    q = load_registry()["cogroup_user_activity_fast"]
+    assert num_exchanges(q.fn(spark, "/root/testdata/sf0.01")) == 2
+
+
+def test_moving_avg_window_runs_on_aggregate(spark):
+    """The RANGE-frame window must run over the days-sized aggregate,
+    never the fact scan: one fact exchange (the daily partial+final
+    aggregate) + one single-partition exchange for the tiny window."""
+    from example_beam_spark.plans import num_exchanges
+    from example_beam_spark.registry import load_registry
+
+    q = load_registry()["orders_moving_avg_7d"]
+    assert num_exchanges(q.fn(spark, "/root/testdata/sf0.01")) == 2
