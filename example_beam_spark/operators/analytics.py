@@ -243,3 +243,80 @@ def cogroup_user_activity_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "latest_signup_version",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# events_attribution_last_touch — conversion attribution via window carry
+# --------------------------------------------------------------------------
+
+_ATTR_WINDOW_DAYS = 7
+_ATTR_WINDOW_US = _ATTR_WINDOW_DAYS * 24 * 3600 * 1_000_000
+
+_ATTR_ORACLE = f"""
+    WITH carried AS (
+        SELECT event_id, user_id, ts, value, event_type,
+               last_value(CASE WHEN event_type = 'click' THEN event_id END
+                          IGNORE NULLS) OVER w AS last_click_id,
+               last_value(CASE WHEN event_type = 'click' THEN ts END
+                          IGNORE NULLS) OVER w AS last_click_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, value,
+           CASE WHEN last_click_ts IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(last_click_ts) <= {_ATTR_WINDOW_US}
+                THEN last_click_id END AS attributed_click_id,
+           last_click_ts IS NOT NULL
+               AND epoch_us(ts) - epoch_us(last_click_ts) <= {_ATTR_WINDOW_US}
+               AS attributed
+    FROM carried WHERE event_type = 'purchase'
+"""
+
+
+@register("events_attribution_last_touch", oracle=_ATTR_ORACLE)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: each purchase is credited to
+    the user's most recent click within a {_ATTR_WINDOW_DAYS}-day
+    lookback (the standard marketing-analytics as-of pattern).
+
+    Deliberately NOT a time-range join: a purchases⋈clicks range join
+    re-shuffles both sides and its candidate volume scales with
+    clicks-per-window. The single-pass shape — one window per user
+    carrying the last click forward (``last(..., ignorenulls)`` over
+    rows-unbounded-preceding), filter to purchases — is one exchange on
+    user_id total, per-key memory O(1), and is how every sessionize/
+    as-of carry in this repo scales (cf. ``sessionize_events``). The
+    lookback test compares exact integer microseconds."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "event_type",
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("event_id")),
+            ignorenulls=True,
+        ).over(w).alias("last_click_id"),
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+        ).over(w).alias("last_click_ts"),
+    )
+    in_window = F.col("last_click_ts").isNotNull() & (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("last_click_ts"))
+        <= _ATTR_WINDOW_US
+    )
+    return carried.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "value",
+        F.when(in_window, F.col("last_click_id")).alias("attributed_click_id"),
+        in_window.alias("attributed"),
+    )

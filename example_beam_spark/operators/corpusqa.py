@@ -505,3 +505,211 @@ def doc_lm_predictability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
         F.coalesce("predictability", F.lit(0.0)).alias("predictability"),
     )
+
+
+# --------------------------------------------------------------------------
+# build_inverted_index — term → posting-list construction
+# --------------------------------------------------------------------------
+
+_IDX_TOP_TERMS = 200  # cap: index the 200 highest-df terms (demo bound)
+
+_IDX_ORACLE = f"""
+    WITH terms AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+        SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM terms WHERE term <> '' GROUP BY term, doc_id
+    ),
+    df AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+               CAST(SUM(tf) AS BIGINT) AS total_tf
+        FROM tf GROUP BY term
+    ),
+    top AS (
+        SELECT term, df, total_tf FROM (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY df DESC, term) AS rk FROM df
+        ) WHERE rk <= {_IDX_TOP_TERMS}
+    )
+    SELECT t.term, t.df, t.total_tf,
+           list_transform(
+               list_sort(list({{'doc_id': f.doc_id, 'tf': f.tf}})),
+               p -> p.doc_id
+           ) AS postings,
+           list_transform(
+               list_sort(list({{'doc_id': f.doc_id, 'tf': f.tf}})),
+               p -> p.tf
+           ) AS tfs
+    FROM top t JOIN tf f ON f.term = t.term
+    GROUP BY t.term, t.df, t.total_tf
+"""
+
+
+@register("build_inverted_index", oracle=_IDX_ORACLE)
+def build_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-index construction: per term, the sorted posting list of
+    (doc_id) plus aligned term frequencies — the build step behind every
+    corpus search/retrieval system. Capped at the {_IDX_TOP_TERMS}
+    highest-df terms so the demo output is bounded; the build itself is
+    corpus-wide.
+
+    100-TB design: tf is one partial+final count keyed by (term, doc);
+    df another keyed by term; the posting-list materialization
+    (collect_list) runs ONLY for the capped term set after a TakeOrdered
+    cut, and each list is bounded by that term's df — at real scale
+    postings shard by (term, doc_id range) instead of one array per term
+    (the standard segment layout); the aggregation shape is identical,
+    so this plan IS the per-segment build."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("term", "doc_id").agg(F.count("*").cast("long").alias("tf"))
+    df = tf.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("total_tf"),
+    )
+    top = df.orderBy(F.desc("df"), "term").limit(_IDX_TOP_TERMS)
+    postings = (
+        tf.join(F.broadcast(top.select("term")), "term")
+        .groupBy("term")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "tf"))).alias("ps"))
+        .select(
+            "term",
+            F.expr("transform(ps, p -> p.doc_id)").alias("postings"),
+            F.expr("transform(ps, p -> p.tf)").alias("tfs"),
+        )
+    )
+    return top.join(postings, "term").select(
+        "term", "df", "total_tf", "postings", "tfs"
+    )
+
+
+# --------------------------------------------------------------------------
+# term_pair_lift — doc-level co-occurrence association mining
+# --------------------------------------------------------------------------
+
+_LIFT_VOCAB = 50   # mine pairs only among the top-df terms (bounds the fan-out)
+_LIFT_MIN_SUPPORT = 5
+_LIFT_TOP = 100
+
+_LIFT_ORACLE = f"""
+    WITH terms AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    df AS (
+        SELECT term, COUNT(*) AS n_t FROM terms WHERE term <> '' GROUP BY term
+    ),
+    vocab AS (
+        SELECT term, n_t FROM (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY n_t DESC, term) AS rk FROM df
+        ) WHERE rk <= {_LIFT_VOCAB}
+    ),
+    baskets AS (
+        SELECT t.doc_id, list_sort(list(t.term)) AS ts
+        FROM terms t JOIN vocab v ON v.term = t.term
+        GROUP BY t.doc_id
+    ),
+    pairs AS (
+        SELECT ts[i] AS a, ts[j] AS b
+        FROM baskets
+        CROSS JOIN UNNEST(generate_series(1, len(ts) - 1)) AS u(i)
+        CROSS JOIN UNNEST(generate_series(i + 1, len(ts))) AS v(j)
+    ),
+    cab AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM pairs GROUP BY a, b
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT a, b, n_ab,
+           CAST(va.n_t AS BIGINT) AS n_a,
+           CAST(vb.n_t AS BIGINT) AS n_b,
+           CAST(n_ab AS DOUBLE) * (SELECT n_docs FROM n)
+               / (CAST(va.n_t AS DOUBLE) * CAST(vb.n_t AS DOUBLE)) AS lift,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                   ORDER BY CAST(n_ab AS DOUBLE) * (SELECT n_docs FROM n)
+                            / (CAST(va0.n_t AS DOUBLE) * CAST(vb0.n_t AS DOUBLE)) DESC,
+                            a, b
+               ) AS rk
+        FROM cab
+        JOIN vocab va0 ON va0.term = cab.a
+        JOIN vocab vb0 ON vb0.term = cab.b
+        WHERE n_ab >= {_LIFT_MIN_SUPPORT}
+    ) ranked
+    JOIN vocab va ON va.term = ranked.a
+    JOIN vocab vb ON vb.term = ranked.b
+    WHERE rk <= {_LIFT_TOP}
+"""
+
+
+@register("term_pair_lift", oracle=_LIFT_ORACLE)
+def term_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association mining over documents-as-baskets: lift of term pairs
+    (docs containing BOTH / expected-if-independent), the log-free PMI
+    twin — lift = P(ab)·N / (P(a)P(b)·N²) stays a pure count ratio, so
+    the oracle is bit-exact where PMI's ln() would not be. Mined only
+    among the top-{_LIFT_VOCAB} document-frequency terms with support ≥
+    {_LIFT_MIN_SUPPORT}, top-{_LIFT_TOP} by lift.
+
+    100-TB design: the quadratic step is PER DOCUMENT over the
+    vocabulary-filtered token set — bounded by min(doc length,
+    |vocab|)², so corpus cost is linear in documents (same shape as
+    source_overlap's within-group pairs); the vocabulary itself is a
+    TakeOrdered cut of the df aggregate, broadcast into the basket
+    semi-join. Pair counts are one partial+final aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("term")
+    ).filter(F.col("term") != "")
+    df = terms.groupBy("term").agg(F.count("*").alias("n_t"))
+    vocab = df.orderBy(F.desc("n_t"), "term").limit(_LIFT_VOCAB)
+
+    baskets = (
+        terms.join(F.broadcast(vocab.select("term")), "term")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("term")).alias("ts"))
+    )
+    pairs_expr = (
+        "flatten(transform(sequence(1, size(ts) - 1), i -> "
+        "transform(sequence(i + 1, size(ts)), j -> "
+        "struct(ts[i-1] AS a, ts[j-1] AS b))))"
+    )
+    pairs = (
+        baskets.filter(F.size("ts") >= 2)
+        .select(F.explode(F.expr(pairs_expr)).alias("p"))
+        .select("p.a", "p.b")
+    )
+    cab = pairs.groupBy("a", "b").agg(F.count("*").cast("long").alias("n_ab"))
+    # corpus size rides along as a broadcast one-row aggregate (the
+    # sketches.py idiom) — no driver-side count at plan time
+    n = F.broadcast(docs.agg(F.count("*").alias("n_docs")))
+
+    va = F.broadcast(vocab.select(F.col("term").alias("a"), F.col("n_t").alias("n_a")))
+    vb = F.broadcast(vocab.select(F.col("term").alias("b"), F.col("n_t").alias("n_b")))
+    lift = (
+        F.col("n_ab").cast("double") * F.col("n_docs")
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    )
+    ranked = (
+        cab.filter(F.col("n_ab") >= _LIFT_MIN_SUPPORT)
+        .join(va, "a")
+        .join(vb, "b")
+        .crossJoin(n)
+        .withColumn("lift", lift)
+        .withColumn(
+            "rk",
+            F.row_number()
+            .over(Window.orderBy(F.desc("lift"), "a", "b"))
+            .cast("long"),
+        )
+        .filter(F.col("rk") <= _LIFT_TOP)
+    )
+    return ranked.select(
+        "a", "b", "n_ab",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        "lift", "rk",
+    )
