@@ -485,6 +485,18 @@ def avro_stream_sink(
 
     def deliver(batch_df: DataFrame, batch_id: int) -> None:
         prefix = f"batch-{batch_id:09d}"
+        # Replay ordering vs the manifest: FIRST commit the removal of
+        # this batch's entries (atomic manifest rewrite), THEN delete the
+        # files — now unlisted strays — then append the rewrite. A reader
+        # at any point resolves only to files that exist; the pre-prune
+        # order left a window (and a permanent state, if the rewrite
+        # exhausted retries into the DLQ) where the manifest listed
+        # already-deleted paths and every read_avro failed.
+        doc = _read_manifest_doc(path)
+        if doc is not None:
+            kept = [e for e in doc["files"] if not e["path"].startswith(prefix)]
+            if len(kept) != len(doc["files"]):
+                _write_manifest_atomic(path, kept, doc.get("schema"))
         for stale in glob.glob(os.path.join(glob.escape(path), f"{prefix}-*.avro")):
             os.remove(stale)
         write_avro(

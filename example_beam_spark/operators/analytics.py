@@ -277,7 +277,7 @@ _ATTR_ORACLE = f"""
 @register("events_attribution_last_touch", oracle=_ATTR_ORACLE)
 def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch conversion attribution: each purchase is credited to
-    the user's most recent click within a {_ATTR_WINDOW_DAYS}-day
+    the user's most recent click within a 7-day (_ATTR_WINDOW_DAYS)
     lookback (the standard marketing-analytics as-of pattern).
 
     Deliberately NOT a time-range join: a purchases⋈clicks range join

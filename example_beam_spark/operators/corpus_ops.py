@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from example_beam_spark.operators.textops import _BPE_PATTERN
-from example_beam_spark.registry import defer_cleanup, register
+from example_beam_spark.registry import register
 from example_beam_spark.sources import load_table
 
 # --------------------------------------------------------------------------
@@ -394,7 +394,10 @@ def bpe_train_frames(docs: DataFrame, rounds: int) -> DataFrame:
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    defer_cleanup(lambda: base.unpersist())
+    # NOT defer_cleanup: every consumption of this cache happens inside
+    # the loop below (the returned frame is built from the collected
+    # merge rows), so the eager unpersist after the loop is safe and
+    # does not rely on the caller draining cleanups.
 
     cur = base
     merges: list[tuple[int, str, str, int]] = []
@@ -418,4 +421,5 @@ def bpe_train_frames(docs: DataFrame, rounds: int) -> DataFrame:
                 F.col("s"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
             ).alias("s")
         )
+    base.unpersist()
     return spark.createDataFrame(merges, "step long, a string, b string, n_pair long")

@@ -146,7 +146,7 @@ _VOCAB_ORACLE = f"""
 @register("vocab_top_terms", oracle=_VOCAB_ORACLE)
 def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global vocabulary statistics: term frequency + document frequency
-    per token, top-{_VOCAB_TOP} by frequency. Explode → partial+final
+    per token, top-100 (_VOCAB_TOP) by frequency. Explode → partial+final
     aggregate keyed by term; the cut is orderBy+limit (TakeOrdered —
     per-partition heaps) and the rank window touches only the 100
     survivors."""
@@ -478,14 +478,11 @@ def doc_lm_predictability(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_incremental's anti-join), then one per-doc average. Mean
     probability uses the decimal-sum convention (registry.davg) so the
     per-doc aggregate is order-independent."""
+    from example_beam_spark.operators.corpus_ops import _PAIR_EXPR
+
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
-    pair_expr = (
-        "CASE WHEN size(t) >= 2 THEN "
-        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS a, t[i] AS b)) "
-        "ELSE array() END"
-    )
-    big = toks.select("doc_id", F.explode(F.expr(pair_expr)).alias("p")).select(
+    big = toks.select("doc_id", F.explode(F.expr(_PAIR_EXPR)).alias("p")).select(
         "doc_id", "p.a", "p.b"
     )
     cab = big.groupBy("a", "b").agg(F.count("*").alias("n_ab"))
@@ -549,7 +546,7 @@ _IDX_ORACLE = f"""
 def build_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Search-index construction: per term, the sorted posting list of
     (doc_id) plus aligned term frequencies — the build step behind every
-    corpus search/retrieval system. Capped at the {_IDX_TOP_TERMS}
+    corpus search/retrieval system. Capped at the 200 (_IDX_TOP_TERMS)
     highest-df terms so the demo output is bounded; the build itself is
     corpus-wide.
 
@@ -651,8 +648,8 @@ def term_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs containing BOTH / expected-if-independent), the log-free PMI
     twin — lift = P(ab)·N / (P(a)P(b)·N²) stays a pure count ratio, so
     the oracle is bit-exact where PMI's ln() would not be. Mined only
-    among the top-{_LIFT_VOCAB} document-frequency terms with support ≥
-    {_LIFT_MIN_SUPPORT}, top-{_LIFT_TOP} by lift.
+    among the top-50 (_LIFT_VOCAB) document-frequency terms with support
+    >= 5 (_LIFT_MIN_SUPPORT), top-100 (_LIFT_TOP) by lift.
 
     100-TB design: the quadratic step is PER DOCUMENT over the
     vocabulary-filtered token set — bounded by min(doc length,

@@ -669,15 +669,16 @@ def _cc_star(sym: DataFrame) -> tuple[DataFrame, int]:
         return re_small.union(re_center).distinct()
 
     rounds = 0
+    n_prev = edges.count()
     while True:
         rounds += 1
         new_edges = small_star(large_star(edges)).localCheckpoint()
         n_new = new_edges.count()
         stable = (
-            n_new == edges.count()
+            n_new == n_prev
             and new_edges.subtract(edges).limit(1).count() == 0
         )
-        edges = new_edges
+        edges, n_prev = new_edges, n_new
         if stable:
             break
 

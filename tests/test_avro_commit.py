@@ -74,12 +74,13 @@ def test_killed_manifest_write_preserves_old_view(spark, tmp_path, monkeypatch):
     path = str(tmp_path / "t")
     write_avro(_frame(spark, [1, 2]), path, mode="append")
 
-    def boom(p, entries):
+    def boom(p, entries, avro_schema):
         raise OSError("simulated crash during manifest rename")
 
     monkeypatch.setattr(avro_spark, "_write_manifest_atomic", boom)
-    with pytest.raises(RuntimeError, match="previous manifest still governs"):
+    with pytest.raises(RuntimeError, match="previous manifest still governs") as ei:
         write_avro(_frame(spark, [3, 4]), path, mode="overwrite")
+    assert isinstance(ei.value.__cause__, OSError)  # the simulated crash, not a TypeError
     monkeypatch.undo()
 
     assert _ids(spark, path) == [1, 2]

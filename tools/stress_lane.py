@@ -385,8 +385,6 @@ def ann_planted(reg, spark, out_dir: str) -> dict:
     return out
 
 
-if __name__ == "__main__":
-    main()
 
 
 def cc_chain_lane(spark) -> dict:
@@ -413,3 +411,7 @@ def cc_chain_lane(spark) -> dict:
         "mislabeled": bad,
         "sec": round(_t.time() - t0, 2),
     }
+
+
+if __name__ == "__main__":
+    main()
