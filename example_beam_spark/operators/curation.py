@@ -880,3 +880,64 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("is_canonical") & passes_quality & sampled).alias("final_keep"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# label_centroids — per-class mean-pooled prototype vectors
+# --------------------------------------------------------------------------
+
+_CENT_SCALE = "1000000000000.0"  # FLOOR(x*1e12) quantization (similarity.py)
+
+_CENT_ORACLE = f"""
+    WITH elems AS (
+        SELECT label,
+               generate_subscripts(embedding, 1) AS i,
+               CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {_CENT_SCALE}) AS BIGINT) AS q
+        FROM embeddings
+    ),
+    dims AS (
+        SELECT label, i,
+               CAST(SUM(q) AS DOUBLE) / (COUNT(*) * {_CENT_SCALE}) AS m
+        FROM elems GROUP BY label, i
+    ),
+    counts AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors
+        FROM embeddings GROUP BY label
+    )
+    SELECT d.label, c.n_vectors, list(d.m ORDER BY d.i) AS centroid
+    FROM dims d JOIN counts c ON c.label = d.label
+    GROUP BY d.label, c.n_vectors
+"""
+
+
+@register("label_centroids", oracle=_CENT_ORACLE)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class prototype vectors: element-wise mean of every embedding
+    sharing a label — the pooling step behind nearest-centroid
+    classification, class-balanced sampling, and the trained-IVF seeding
+    idea. Sums use the FLOOR(x·1e12) quantized-integer convention from
+    ``operators/similarity.py`` so the mean is bit-reproducible against
+    the oracle (raw double sums are order-sensitive; decimal(38,6) would
+    ROUND float32 mantissas differently per engine).
+
+    100-TB design: posexplode fans each vector into (label, dim)
+    elements map-side; ONE partial+final aggregate keyed by
+    (label, dim) — at most |labels|·dim groups — then a labels-sized
+    regroup packs the array back in dimension order. No vector ever
+    crosses the shuffle whole; state is two longs per (label, dim)."""
+    emb = spread_small_input(load_table(spark, sf_dir, "embeddings"), spark)
+    elems = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x")
+    ).select(
+        "label", "i", F.floor(F.col("x") * F.expr(_CENT_SCALE)).cast("long").alias("q")
+    )
+    dims = elems.groupBy("label", "i").agg(
+        (F.sum("q").cast("double") / (F.count("*") * F.expr(_CENT_SCALE))).alias("m")
+    )
+    counts = emb.groupBy("label").agg(F.count("*").cast("long").alias("n_vectors"))
+    packed = (
+        dims.groupBy("label")
+        .agg(F.sort_array(F.collect_list(F.struct("i", "m"))).alias("ps"))
+        .select("label", F.expr("transform(ps, p -> p.m)").alias("centroid"))
+    )
+    return counts.join(packed, "label").select("label", "n_vectors", "centroid")

@@ -296,3 +296,74 @@ def orders_moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ma7_revenue"),
         F.count("revenue").over(w).cast("long").alias("n_days_in_window"),
     )
+
+
+# --------------------------------------------------------------------------
+# orders_pareto_deciles — revenue-concentration (80/20) curve
+# --------------------------------------------------------------------------
+
+_PARETO_ORACLE = f"""
+    WITH cust AS (
+        SELECT o_custkey, {sql_dsum('o_totalprice', 'revenue')}
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT revenue,
+               NTILE(10) OVER (ORDER BY revenue DESC, o_custkey) AS decile
+        FROM cust
+    ),
+    per AS (
+        SELECT decile,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               {sql_dsum('revenue', 'revenue')}
+        FROM ranked GROUP BY decile
+    ),
+    tot AS (SELECT {sql_dsum('revenue', 'total')} FROM cust)
+    SELECT CAST(decile AS BIGINT) AS decile, n_customers, revenue,
+           revenue / (SELECT total FROM tot) AS share,
+           CAST(SUM(CAST(revenue AS DECIMAL(38,6)))
+                    OVER (ORDER BY decile) AS DOUBLE)
+               / (SELECT total FROM tot) AS cum_share
+    FROM per
+"""
+
+
+@register("orders_pareto_deciles", oracle=_PARETO_ORACLE)
+def orders_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration curve: customers ranked by revenue, cut
+    into deciles, each decile's share and cumulative share of total
+    revenue — the 80/20 analysis behind curation decisions like "the
+    top X% of sources contribute Y% of tokens".
+
+    100-TB design: the fact table collapses to a customers-sized
+    aggregate first; NTILE and the 10-row cumulative window run over
+    aggregates (customer table, then 10 rows). Every sum — including
+    the window cumsum — goes through DECIMAL(38,6) so shares divide
+    bit-identical doubles in both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(dsum("o_totalprice", "revenue"))
+    ranked = cust.select(
+        "revenue",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("revenue"), "o_custkey"))
+        .alias("decile"),
+    )
+    per = ranked.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        dsum("revenue", "revenue"),
+    )
+    tot = F.broadcast(cust.agg(dsum("revenue", "total")))
+    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per.crossJoin(tot)
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "n_customers",
+            "revenue",
+            (F.col("revenue") / F.col("total")).alias("share"),
+            (
+                F.sum(F.col("revenue").cast("decimal(38,6)")).over(wcum).cast("double")
+                / F.col("total")
+            ).alias("cum_share"),
+        )
+    )
