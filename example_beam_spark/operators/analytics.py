@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from example_beam_spark.operators.enrich import _clicks, _COGROUP_ORACLE, _signups
+from example_beam_spark.operators.textops import _LANG_ORACLE
 from example_beam_spark.registry import dsum, register, sql_dsum
 from example_beam_spark.sources import load_table
 
@@ -319,4 +320,125 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
         "value",
         F.when(in_window, F.col("last_click_id")).alias("attributed_click_id"),
         in_window.alias("attributed"),
+    )
+
+
+# --------------------------------------------------------------------------
+# lang_id_confusion — evaluation harness for the language-ID classifier
+# --------------------------------------------------------------------------
+
+_CONFUSION_ORACLE = """
+    WITH preds AS ({lang_oracle}),
+    n AS (SELECT COUNT(*) AS n_docs FROM preds)
+    SELECT lang_true, lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS DOUBLE) / (SELECT n_docs FROM n) AS frac,
+           lang_true = lang_pred AS is_correct
+    FROM preds GROUP BY lang_true, lang_pred
+"""
+
+
+@register(
+    "lang_id_confusion",
+    oracle=_CONFUSION_ORACLE.format(lang_oracle=_LANG_ORACLE),
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the marker-vote language classifier against
+    the corpus's declared language — the evaluation harness every
+    classifier stage needs (cell counts + corpus fraction + diagonal
+    flag; accuracy = sum of diagonal fracs). Composes the registered
+    ``lang_id_markers`` per-doc output; one tiny aggregate on top.
+
+    100-TB design: inherits the classifier's scan shape; the matrix is
+    a |langs|² aggregate with map-side partials."""
+    from example_beam_spark.operators.textops import lang_id_markers
+
+    preds = lang_id_markers(spark, sf_dir)
+    n = F.broadcast(preds.agg(F.count("*").alias("n_docs_total")))
+    return (
+        preds.groupBy("lang_true", "lang_pred")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .crossJoin(n)
+        .select(
+            "lang_true",
+            "lang_pred",
+            "n_docs",
+            (F.col("n_docs").cast("double") / F.col("n_docs_total")).alias("frac"),
+            (F.col("lang_true") == F.col("lang_pred")).alias("is_correct"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# events_weekly_drift — distribution-drift monitor (L1 vs corpus baseline)
+# --------------------------------------------------------------------------
+
+_DRIFT_ORACLE = """
+    WITH weekly AS (
+        SELECT CAST(date_trunc('week', ts) AS DATE) AS week, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_wt
+        FROM events GROUP BY 1, 2
+    ),
+    wk AS (SELECT week, CAST(SUM(n_wt) AS BIGINT) AS n_w FROM weekly GROUP BY week),
+    base AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t FROM events GROUP BY 1
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM events)
+    SELECT w.week, wk.n_w AS n_events,
+           CAST(SUM(ABS(w.n_wt * (SELECT n_all FROM n) - b.n_t * wk.n_w)) AS DOUBLE)
+               / (CAST(wk.n_w AS DOUBLE) * (SELECT n_all FROM n)) AS l1_drift
+    FROM weekly w
+    JOIN wk ON wk.week = w.week
+    JOIN base b ON b.event_type = w.event_type
+    GROUP BY w.week, wk.n_w
+"""
+
+
+@register("events_weekly_drift", oracle=_DRIFT_ORACLE)
+def events_weekly_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly distribution drift of event types against the corpus-wide
+    baseline: L1 distance between each week's event-type share vector
+    and the global one — the standard input-drift monitor for a
+    pipeline's event feed.
+
+    Float discipline: the L1 sum runs entirely on exact integers —
+    SUM(|n_wt·N − n_t·n_w|) as BIGINT, ONE double division at the end —
+    because a sum of per-type double differences would be
+    aggregation-order-sensitive (the registry's decimal trick would
+    ROUND full-mantissa doubles; integer cross-multiplication avoids
+    the rounding entirely). Products stay within BIGINT for corpora to
+    ~3·10⁹ events per week window; beyond that, rescale or DECIMAL(38).
+
+    100-TB design: two partial+final aggregates over the fact table
+    (weekly×type, type) plus a count; the drift join runs on
+    weeks×types rows."""
+    ev = load_table(spark, sf_dir, "events")
+    weekly = (
+        ev.select(
+            F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+            "event_type",
+        )
+        .groupBy("week", "event_type")
+        .agg(F.count("*").cast("long").alias("n_wt"))
+    )
+    wk = weekly.groupBy("week").agg(F.sum("n_wt").cast("long").alias("n_w"))
+    base = F.broadcast(
+        ev.groupBy("event_type").agg(F.count("*").cast("long").alias("n_t"))
+    )
+    n = F.broadcast(ev.agg(F.count("*").cast("long").alias("n_all")))
+    num = F.abs(
+        F.col("n_wt") * F.col("n_all") - F.col("n_t") * F.col("n_w")
+    )
+    return (
+        weekly.join(wk, "week")
+        .join(base, "event_type")
+        .crossJoin(n)
+        .groupBy("week", "n_w")
+        .agg(
+            (
+                F.sum(num).cast("double")
+                / (F.first("n_w").cast("double") * F.first("n_all"))
+            ).alias("l1_drift")
+        )
+        .select("week", F.col("n_w").alias("n_events"), "l1_drift")
     )
