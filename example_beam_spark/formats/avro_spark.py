@@ -494,7 +494,13 @@ def avro_stream_sink(
         # already-deleted paths and every read_avro failed.
         doc = _read_manifest_doc(path)
         if doc is not None:
-            kept = [e for e in doc["files"] if not e["path"].startswith(prefix)]
+            # dash-anchored like the glob below: bare startswith(prefix)
+            # would also match a LONGER batch id sharing the digits
+            # (batch-1000000001 vs prefix batch-100000000), pruning a
+            # committed batch's entries without deleting its files
+            kept = [
+                e for e in doc["files"] if not e["path"].startswith(prefix + "-")
+            ]
             if len(kept) != len(doc["files"]):
                 _write_manifest_atomic(path, kept, doc.get("schema"))
         for stale in glob.glob(os.path.join(glob.escape(path), f"{prefix}-*.avro")):

@@ -328,11 +328,10 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
 # --------------------------------------------------------------------------
 
 _CONFUSION_ORACLE = """
-    WITH preds AS ({lang_oracle}),
-    n AS (SELECT COUNT(*) AS n_docs FROM preds)
+    WITH preds AS ({lang_oracle})
     SELECT lang_true, lang_pred,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(COUNT(*) AS DOUBLE) / (SELECT n_docs FROM n) AS frac,
+           CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () AS frac,
            lang_true = lang_pred AS is_correct
     FROM preds GROUP BY lang_true, lang_pred
 """
@@ -354,16 +353,19 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from example_beam_spark.operators.textops import lang_id_markers
 
     preds = lang_id_markers(spark, sf_dir)
-    n = F.broadcast(preds.agg(F.count("*").alias("n_docs_total")))
+    # the corpus total is SUM over the <=36-row matrix itself — a window
+    # over the aggregate, NOT a second execution of the classifier scan
     return (
         preds.groupBy("lang_true", "lang_pred")
         .agg(F.count("*").cast("long").alias("n_docs"))
-        .crossJoin(n)
         .select(
             "lang_true",
             "lang_pred",
             "n_docs",
-            (F.col("n_docs").cast("double") / F.col("n_docs_total")).alias("frac"),
+            (
+                F.col("n_docs").cast("double")
+                / F.sum("n_docs").over(Window.partitionBy())
+            ).alias("frac"),
             (F.col("lang_true") == F.col("lang_pred")).alias("is_correct"),
         )
     )
@@ -381,16 +383,25 @@ _DRIFT_ORACLE = """
     ),
     wk AS (SELECT week, CAST(SUM(n_wt) AS BIGINT) AS n_w FROM weekly GROUP BY week),
     base AS (
-        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t FROM events GROUP BY 1
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t,
+               CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n_all
+        FROM events GROUP BY 1
     ),
-    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM events)
-    SELECT w.week, wk.n_w AS n_events,
-           CAST(SUM(ABS(w.n_wt * (SELECT n_all FROM n) - b.n_t * wk.n_w)) AS DOUBLE)
-               / (CAST(wk.n_w AS DOUBLE) * (SELECT n_all FROM n)) AS l1_drift
-    FROM weekly w
-    JOIN wk ON wk.week = w.week
-    JOIN base b ON b.event_type = w.event_type
-    GROUP BY w.week, wk.n_w
+    grid AS (
+        -- every (week, type) cell, INCLUDING types absent from a week:
+        -- a vanished type is the sharpest drift signal and must
+        -- contribute its full |0 - share| term
+        SELECT wk.week, wk.n_w, b.event_type, b.n_t, b.n_all,
+               COALESCE(w.n_wt, 0) AS n_wt
+        FROM wk CROSS JOIN base b
+        LEFT JOIN weekly w
+               ON w.week = wk.week AND w.event_type = b.event_type
+    )
+    SELECT week, n_w AS n_events,
+           CAST(SUM(ABS(n_wt * n_all - n_t * n_w)) AS DOUBLE)
+               / (CAST(n_w AS DOUBLE) * MAX(n_all)) AS l1_drift
+    FROM grid
+    GROUP BY week, n_w
 """
 
 
@@ -401,6 +412,13 @@ def events_weekly_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the global one — the standard input-drift monitor for a
     pipeline's event feed.
 
+    The drift is computed on the full weeks × types GRID, not just the
+    (week, type) cells that occurred: a type that VANISHES from a week
+    is the sharpest drift signal and must contribute its full
+    |0 − baseline_share| term (an inner join silently understates
+    exactly those events — found by review, pinned by
+    tests/test_drift_missing_type.py).
+
     Float discipline: the L1 sum runs entirely on exact integers —
     SUM(|n_wt·N − n_t·n_w|) as BIGINT, ONE double division at the end —
     because a sum of per-type double differences would be
@@ -410,8 +428,9 @@ def events_weekly_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~3·10⁹ events per week window; beyond that, rescale or DECIMAL(38).
 
     100-TB design: two partial+final aggregates over the fact table
-    (weekly×type, type) plus a count; the drift join runs on
-    weeks×types rows."""
+    (weekly×type, type — the corpus total N is a window over the
+    types-sized aggregate, not another fact scan); the drift join runs
+    on weeks×types rows."""
     ev = load_table(spark, sf_dir, "events")
     weekly = (
         ev.select(
@@ -423,21 +442,23 @@ def events_weekly_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wk = weekly.groupBy("week").agg(F.sum("n_wt").cast("long").alias("n_w"))
     base = F.broadcast(
-        ev.groupBy("event_type").agg(F.count("*").cast("long").alias("n_t"))
+        ev.groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n_t"))
+        .withColumn(
+            "n_all", F.sum("n_t").over(Window.partitionBy()).cast("long")
+        )
     )
-    n = F.broadcast(ev.agg(F.count("*").cast("long").alias("n_all")))
+    grid = wk.crossJoin(base).join(weekly, ["week", "event_type"], "left")
     num = F.abs(
-        F.col("n_wt") * F.col("n_all") - F.col("n_t") * F.col("n_w")
+        F.coalesce("n_wt", F.lit(0)) * F.col("n_all")
+        - F.col("n_t") * F.col("n_w")
     )
     return (
-        weekly.join(wk, "week")
-        .join(base, "event_type")
-        .crossJoin(n)
-        .groupBy("week", "n_w")
+        grid.groupBy("week", "n_w")
         .agg(
             (
                 F.sum(num).cast("double")
-                / (F.first("n_w").cast("double") * F.first("n_all"))
+                / (F.first("n_w").cast("double") * F.max("n_all"))
             ).alias("l1_drift")
         )
         .select("week", F.col("n_w").alias("n_events"), "l1_drift")

@@ -396,30 +396,33 @@ def bpe_train_frames(docs: DataFrame, rounds: int) -> DataFrame:
     )
     # NOT defer_cleanup: every consumption of this cache happens inside
     # the loop below (the returned frame is built from the collected
-    # merge rows), so the eager unpersist after the loop is safe and
-    # does not rely on the caller draining cleanups.
+    # merge rows), so the eager unpersist in the finally is safe, does
+    # not rely on the caller draining cleanups, and — unlike a post-loop
+    # statement — releases the cache even when a round's collect throws.
 
     cur = base
     merges: list[tuple[int, str, str, int]] = []
-    for step in range(1, rounds + 1):
-        top = (
-            cur.select(F.split(F.trim(F.col("s")), "  ").alias("t"))
-            .select(F.explode(F.expr(_PAIR_EXPR)).alias("p"))
-            .select("p.a", "p.b")
-            .groupBy("a", "b")
-            .agg(F.count("*").cast("long").alias("n_pair"))
-            .orderBy(F.desc("n_pair"), "a", "b")
-            .limit(1)
-            .collect()
-        )
-        if not top:  # pairs ran dry (degenerate corpus) — stop early
-            break
-        a, b, n = top[0]["a"], top[0]["b"], top[0]["n_pair"]
-        merges.append((step, a, b, n))
-        cur = cur.select(
-            F.replace(
-                F.col("s"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
-            ).alias("s")
-        )
-    base.unpersist()
+    try:
+        for step in range(1, rounds + 1):
+            top = (
+                cur.select(F.split(F.trim(F.col("s")), "  ").alias("t"))
+                .select(F.explode(F.expr(_PAIR_EXPR)).alias("p"))
+                .select("p.a", "p.b")
+                .groupBy("a", "b")
+                .agg(F.count("*").cast("long").alias("n_pair"))
+                .orderBy(F.desc("n_pair"), "a", "b")
+                .limit(1)
+                .collect()
+            )
+            if not top:  # pairs ran dry (degenerate corpus) — stop early
+                break
+            a, b, n = top[0]["a"], top[0]["b"], top[0]["n_pair"]
+            merges.append((step, a, b, n))
+            cur = cur.select(
+                F.replace(
+                    F.col("s"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
+                ).alias("s")
+            )
+    finally:
+        base.unpersist()
     return spark.createDataFrame(merges, "step long, a string, b string, n_pair long")

@@ -886,18 +886,16 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # label_centroids — per-class mean-pooled prototype vectors
 # --------------------------------------------------------------------------
 
-_CENT_SCALE = "1000000000000.0"  # FLOOR(x*1e12) quantization (similarity.py)
-
 _CENT_ORACLE = f"""
     WITH elems AS (
         SELECT label,
                generate_subscripts(embedding, 1) AS i,
-               CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {_CENT_SCALE}) AS BIGINT) AS q
+               CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {_SCALE}) AS BIGINT) AS q
         FROM embeddings
     ),
     dims AS (
         SELECT label, i,
-               CAST(SUM(q) AS DOUBLE) / (COUNT(*) * {_CENT_SCALE}) AS m
+               CAST(SUM(q) AS DOUBLE) / (COUNT(*) * {_SCALE}) AS m
         FROM elems GROUP BY label, i
     ),
     counts AS (
@@ -929,10 +927,10 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     elems = emb.select(
         "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x")
     ).select(
-        "label", "i", F.floor(F.col("x") * F.expr(_CENT_SCALE)).cast("long").alias("q")
+        "label", "i", F.floor(F.col("x") * F.expr(_SCALE)).cast("long").alias("q")
     )
     dims = elems.groupBy("label", "i").agg(
-        (F.sum("q").cast("double") / (F.count("*") * F.expr(_CENT_SCALE))).alias("m")
+        (F.sum("q").cast("double") / (F.count("*") * F.expr(_SCALE))).alias("m")
     )
     counts = emb.groupBy("label").agg(F.count("*").cast("long").alias("n_vectors"))
     packed = (
