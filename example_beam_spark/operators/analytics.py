@@ -440,9 +440,17 @@ def events_weekly_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("week", "event_type")
         .agg(F.count("*").cast("long").alias("n_wt"))
     )
+    return drift_from_weekly(weekly, ev)
+
+
+def drift_from_weekly(weekly: DataFrame, baseline_events: DataFrame) -> DataFrame:
+    """Grid + L1 scoring shared by the batch query and the streaming twin
+    (``streaming/entries.py``): ``weekly`` carries (week, event_type,
+    n_wt); the baseline distribution comes from ``baseline_events`` —
+    in production a static offline artifact, here the events table."""
     wk = weekly.groupBy("week").agg(F.sum("n_wt").cast("long").alias("n_w"))
     base = F.broadcast(
-        ev.groupBy("event_type")
+        baseline_events.groupBy("event_type")
         .agg(F.count("*").cast("long").alias("n_t"))
         .withColumn(
             "n_all", F.sum("n_t").over(Window.partitionBy()).cast("long")

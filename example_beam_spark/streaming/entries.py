@@ -659,3 +659,43 @@ def sessionize_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_event_time",
     )
     return run_to_append(out, spark)
+
+
+# --------------------------------------------------------------------------
+# events_weekly_drift_stream — the drift monitor on a LIVE stream
+# --------------------------------------------------------------------------
+
+from example_beam_spark.operators.analytics import _DRIFT_ORACLE as _DRIFT_ORACLE_BATCH
+
+
+@register("events_weekly_drift_stream", oracle=_DRIFT_ORACLE_BATCH)
+def events_weekly_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distribution-drift monitor running on a REAL Structured
+    Streaming feed: weekly (week, event_type) counts accumulate as
+    streaming state (state volume = weeks-in-retention × |types| rows,
+    ever) and are scored against a STATIC baseline distribution — the
+    production drift-monitoring shape, where the reference distribution
+    is a broadcast artifact computed offline and the live side only
+    maintains windowed counts.
+
+    Here the baseline is the batch events table and availableNow drains
+    the entire corpus, so the result — including the full weeks × types
+    GRID semantics of the batch twin (a vanished type contributes its
+    whole |0 − share| term) — is gated by the SAME value oracle as
+    ``events_weekly_drift``."""
+    from example_beam_spark.operators.analytics import drift_from_weekly
+    from example_beam_spark.sources import load_table
+
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.select(
+            F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+            "event_type",
+        )
+        .groupBy("week", "event_type")
+        .agg(F.count("*").cast("long").alias("n_wt"))
+    )
+    weekly = run_to_final(agg, ["week", "event_type"], spark).select(
+        "week", "event_type", "n_wt"
+    )
+    return drift_from_weekly(weekly, load_table(spark, sf_dir, "events"))
