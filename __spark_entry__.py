@@ -28,9 +28,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     """Release the PREVIOUS query's persisted intermediates before building
-    the next one (the driver runs queries sequentially and consumes each
-    result before calling the next, so leftover cleanups are safe to run
-    here; the current query's own caches stay live for the caller)."""
+    the next one.
+
+    SEQUENCING CONTRACT (API boundary): callables returned by
+    ``queries()`` assume build→consume→build — consume (collect/count)
+    each returned DataFrame before building the next. This matches the
+    driver's and bench's loops. A caller that builds several DataFrames
+    before collecting any still gets CORRECT results, but earlier
+    queries' persisted intermediates are unpersisted pre-consumption and
+    silently recomputed (performance and the persist-dependent plan
+    shape lost, never values). We drain here rather than in a
+    result-consumed hook because Spark offers no portable "this
+    DataFrame was consumed" callback; the contract is the documented
+    alternative."""
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         drain_cleanups()

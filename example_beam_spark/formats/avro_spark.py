@@ -249,15 +249,24 @@ def write_avro(
     old_entries = _read_manifest(path)
     new_entries = [{"path": r.path, "n_records": r.n_records} for r in manifest]
     try:
+        if old_entries is None:
+            # Bootstrap commit BEFORE any file lands in the directory:
+            # adopt exactly the files that pre-date this write (empty for
+            # a fresh dir; the legacy layout as-is otherwise, keeping its
+            # own header schema when one exists). From here on readers
+            # resolve through a committed manifest, so the part files
+            # moved below stay invisible until the final commit — a
+            # writer killed mid-move leaves strays that are never globbed
+            # by readers nor adopted by a later append's manifest.
+            old_entries = [{"path": n, "n_records": None} for n in sorted(pre_files)]
+            boot_schema = (
+                _peek_avro_schema(path) if pre_files else avro_schema
+            )
+            _write_manifest_atomic(path, old_entries, boot_schema)
         for r in manifest:
             os.replace(os.path.join(staging, r.path), os.path.join(path, r.path))
         if mode == "overwrite":
             entries = new_entries
-        elif old_entries is None:
-            # legacy/un-manifested directory: adopt every pre-existing
-            # part file so append keeps them visible under the manifest
-            entries = [{"path": n, "n_records": None} for n in sorted(pre_files)]
-            entries += new_entries
         else:
             # keep listed files still on disk (the stream sink replaces a
             # replayed batch by deleting its files first — prune those)
@@ -327,26 +336,19 @@ def _write_manifest_atomic(path: str, entries: list[dict], avro_schema: dict) ->
         raise
 
 
-def _committed_files(path: str) -> list[str] | None:
-    """Full paths of manifest-listed part files (None = no manifest)."""
-    entries = _read_manifest(path)
-    if entries is None:
-        return None
-    return [os.path.join(path, e["path"]) for e in entries]
-
-
-def _peek_avro_schema(path: str) -> dict:
-    """Read one file's header driver-side to infer the schema (metadata
-    map sits at the front of the file; 1 MiB is far beyond any header —
-    read_ocf's row iterator is lazy, so only the header is parsed).
-    The manifest takes precedence: it carries the committed schema
-    directly (so even a committed-empty table is self-describing), and a
-    stray part file from a killed write can never donate the schema."""
-    doc = _read_manifest_doc(path)
-    if doc is not None and "schema" in doc:
+def _schema_from_snapshot(doc: dict | None, path: str) -> dict:
+    """Avro schema from ONE manifest snapshot (or file headers when the
+    snapshot carries none). The manifest takes precedence: it carries the
+    committed schema directly (so even a committed-empty table is
+    self-describing), and a stray part file from a killed write can never
+    donate the schema. Header fallback reads 1 MiB driver-side — far
+    beyond any header; read_ocf's row iterator is lazy, so only the
+    header is parsed."""
+    if doc is not None and doc.get("schema") is not None:
         return doc["schema"]
-    files = _committed_files(path)
-    if files is None:
+    if doc is not None:
+        files = [os.path.join(path, e["path"]) for e in doc["files"]]
+    else:
         files = sorted(glob.glob(os.path.join(glob.escape(path), "*.avro"))) or (
             [path] if os.path.isfile(path) else []
         )
@@ -361,6 +363,13 @@ def _peek_avro_schema(path: str) -> dict:
             f"{files[0]!r}: OCF header has no avro.schema entry"
         ) from e
     return schema
+
+
+def _peek_avro_schema(path: str) -> dict:
+    """Schema from the current committed manifest (or header fallback) —
+    takes its own snapshot; callers needing snapshot consistency with a
+    file list use :func:`_schema_from_snapshot` directly."""
+    return _schema_from_snapshot(_read_manifest_doc(path), path)
 
 
 def _resolve_schema(path: str, schema: T.StructType | None) -> T.StructType:
@@ -413,9 +422,22 @@ def read_avro(
     manifest-listed files are read: part files from a writer killed
     between staging-move and manifest-rename are invisible, never
     half-read. Un-manifested directories (hand-placed files) fall back
-    to globbing."""
-    schema = _resolve_schema(path, schema)
-    committed = _committed_files(path)
+    to globbing.
+
+    The manifest is read ONCE and both the schema and the file list
+    derive from that single snapshot, so a concurrent overwrite commit
+    plus post-commit GC between two reads can neither hand this reader a
+    stale file list whose files were just deleted nor pair one commit's
+    schema with another commit's files."""
+    doc = _read_manifest_doc(path)
+    if schema is None:
+        spark_type = avro_schema_to_spark(_schema_from_snapshot(doc, path))
+        if not isinstance(spark_type, T.StructType):
+            raise ValueError("top-level avro schema must be a record")
+        schema = spark_type
+    committed = (
+        None if doc is None else [os.path.join(path, e["path"]) for e in doc["files"]]
+    )
     if committed is not None and not committed:
         return spark.createDataFrame([], schema)  # committed-empty table
     binary = (

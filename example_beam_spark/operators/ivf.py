@@ -366,6 +366,7 @@ def ivf_trained_frames(
     emb: DataFrame,
     k: int = IVF_TRAINED_K,
     nprobe: int = IVF_TRAINED_NPROBE,
+    sample_cap: int = KMEANS_SAMPLE,
 ) -> tuple[DataFrame, DataFrame]:
     """(top-k results, candidate pairs) for the trained-centroid IVF.
     The candidate frame is exposed so callers (recall lane, tests) can
@@ -384,9 +385,25 @@ def ivf_trained_frames(
         "vec_id",
         F.transform("v", lambda x: x / F.col("nrm")).alias("u"),
     )
-    train = unit.limit(KMEANS_SAMPLE).select(
-        array_to_vector(F.col("u")).alias("features")
-    )
+    # DETERMINISM CONTRACT: the training sample is a pure function of
+    # the data — a hash-threshold filter (like every sample in this
+    # repo), never `limit` (which is not contractually deterministic
+    # under partition scheduling, so trained centroids — and the
+    # driver's rows-only count — could flap between runs once the
+    # corpus exceeds the cap). The count is one cheap columnar-scan
+    # job; ~KMEANS_SAMPLE rows (binomial spread) is plenty for a
+    # coarse quantizer, which needs a sketch of the density, not an
+    # exact-k sample.
+    n_total = unit.count()
+    sample = unit
+    if n_total > sample_cap:
+        denom = 1_000_000
+        thresh = -(-sample_cap * denom // n_total)  # ceil
+        sample = unit.filter(
+            F.pmod(F.xxhash64("vec_id", F.lit(KMEANS_SEED)), F.lit(denom))
+            < F.lit(thresh)
+        )
+    train = sample.select(array_to_vector(F.col("u")).alias("features"))
     model = KMeans(
         k=k, seed=KMEANS_SEED, maxIter=KMEANS_MAXITER, featuresCol="features"
     ).fit(train)

@@ -18,6 +18,7 @@ deployments); nothing is collected on the driver.
 
 from __future__ import annotations
 
+import glob
 import os
 import shutil
 import tempfile
@@ -275,15 +276,36 @@ def dedup_stream_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     return run_to_append(dd, spark)
 
 
-def run_to_append(agg: DataFrame, spark: SparkSession) -> DataFrame:
-    """Drain an append-mode stateful streaming query (availableNow) into
-    staging parquet and return everything appended."""
-    out_dir = tempfile.mkdtemp(prefix="stream_out_")
-    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+def _batch_overwrite_sink(out_dir: str):
+    """foreachBatch delivery for :func:`run_to_append`: mode="overwrite"
+    into a per-batch subdir, so redelivery of the same batch id (Spark's
+    at-least-once contract after a mid-batch failure) replaces that
+    batch's output — including any partial files a killed first attempt
+    left — instead of appending a duplicate copy."""
 
     def sink(bdf: DataFrame, bid: int) -> None:
-        bdf.write.mode("append").parquet(out_dir)
+        bdf.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch-{bid:09d}")
+        )
 
+    return sink
+
+
+def run_to_append(agg: DataFrame, spark: SparkSession) -> DataFrame:
+    """Drain an append-mode stateful streaming query (availableNow) into
+    staging parquet and return everything appended.
+
+    Idempotent under micro-batch replay (the same contract the Avro
+    streaming sink implements with batch-id file prefixes): each batch
+    writes mode="overwrite" into its own ``batch-<id>`` subdir, so a
+    batch re-delivered after a mid-batch failure REPLACES its own output
+    instead of appending a second copy — foreachBatch is at-least-once
+    per batch id; the sink must be idempotent per batch id to get
+    exactly-once (pinned by tests/test_streaming.py::
+    test_run_to_append_idempotent_under_batch_replay)."""
+    out_dir = tempfile.mkdtemp(prefix="stream_out_")
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    sink = _batch_overwrite_sink(out_dir)
     try:
         q = (
             agg.writeStream.outputMode("append")
@@ -296,7 +318,10 @@ def run_to_append(agg: DataFrame, spark: SparkSession) -> DataFrame:
     finally:
         _restore_session(spark)
     shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.read.parquet(out_dir)
+    batch_dirs = sorted(glob.glob(os.path.join(glob.escape(out_dir), "batch-*")))
+    if not batch_dirs:
+        return spark.createDataFrame([], agg.schema)
+    return spark.read.parquet(*batch_dirs)
 
 
 # Converged lookup-cache semantics over the corpus (see the query

@@ -62,3 +62,28 @@ def test_trained_ivf_runs_on_driver_fixture(spark, sf_dir):
         assert -1.0 <= r.cosine <= 1.0
     assert set(per_q) == {0, 1, 2, 3, 4}
     assert all(1 <= n <= 10 for n in per_q.values())
+
+
+def test_trained_ivf_sample_is_deterministic(spark, tmp_path):
+    """With the corpus LARGER than the training-sample cap (the regime
+    where `limit` could flap between runs under partition scheduling),
+    two trainings in one session must produce identical top-k frames —
+    the hash-threshold sample makes centroids a pure function of the
+    data."""
+    from example_beam_spark.operators.ivf import ivf_trained_frames
+    from example_beam_spark.sources import load_table
+
+    sf_dir = planted_corpus(str(tmp_path), n=1200, n_clusters=24)
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def run():
+        topk, _ = ivf_trained_frames(
+            emb.repartition(7), k=16, nprobe=2, sample_cap=300
+        )
+        return sorted(
+            (r.query_id, r.rk, r.neighbor_id, round(r.cosine, 9))
+            for r in topk.collect()
+        )
+
+    first, second = run(), run()
+    assert first and first == second

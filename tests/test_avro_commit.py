@@ -127,6 +127,61 @@ def test_legacy_unmanifested_dir_reads_and_adopts(spark, tmp_path):
     assert _ids(spark, path) == [1, 2, 3]  # adopted + new
 
 
+def test_fresh_dir_kill_mid_move_exposes_nothing(spark, tmp_path, monkeypatch):
+    """The FIRST write into a fresh directory commits a bootstrap (empty)
+    manifest BEFORE any part file lands, so a writer killed mid-move
+    leaves strays that readers never glob and that the next append never
+    adopts. (Pre-fix probe: 4 rows in 2 files, kill after file 1 —
+    read_avro returned 1 row and the next append committed the partial
+    file permanently.)"""
+    path = str(tmp_path / "t")
+
+    real_replace = os.replace
+    calls = {"n": 0}
+
+    def flaky_replace(src, dst):
+        # call 1 = bootstrap manifest rename, call 2 = first part-file
+        # move; die on the second part-file move
+        calls["n"] += 1
+        if calls["n"] >= 3:
+            raise OSError("simulated crash mid file-move")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(avro_spark.os, "replace", flaky_replace)
+    with pytest.raises(RuntimeError):
+        write_avro(_frame(spark, [1, 2, 3, 4]).repartition(2), path, mode="append")
+    monkeypatch.undo()
+
+    # one stray fully-materialized part file IS on disk...
+    assert sum(n.endswith(".avro") for n in os.listdir(path)) == 1
+    # ...but readers resolve through the bootstrap manifest: zero rows
+    assert _ids(spark, path) == []
+
+    # and the next append does NOT adopt the stray into the manifest
+    write_avro(_frame(spark, [5]), path, mode="append")
+    assert _ids(spark, path) == [5]
+
+
+def test_fresh_dir_kill_before_bootstrap_leaves_dir_empty(
+    spark, tmp_path, monkeypatch
+):
+    """Killed AT the bootstrap commit: no manifest, no part files — the
+    directory is exactly as unwritten (output preserved in staging for
+    manual recovery)."""
+    path = str(tmp_path / "t")
+
+    def boom(p, entries, avro_schema):
+        raise OSError("simulated crash during bootstrap manifest rename")
+
+    monkeypatch.setattr(avro_spark, "_write_manifest_atomic", boom)
+    with pytest.raises(RuntimeError, match="previous manifest still governs"):
+        write_avro(_frame(spark, [1, 2]), path, mode="append")
+    monkeypatch.undo()
+
+    assert not any(n.endswith(".avro") for n in os.listdir(path))
+    assert not os.path.isfile(os.path.join(path, _MANIFEST_NAME))
+
+
 def test_committed_empty_table_reads_empty(spark, tmp_path):
     path = str(tmp_path / "t")
     write_avro(_frame(spark, [1]), path, mode="append")

@@ -376,3 +376,39 @@ def test_drop_duplicates_within_watermark_evicts_state(spark):
         for r in rows
     ]
     assert out == [("a", "12:00:00"), ("a", "14:00:00")]
+
+
+def test_run_to_append_idempotent_under_batch_replay(spark, tmp_path):
+    """foreachBatch is at-least-once per batch id: a batch whose first
+    delivery was killed mid-write is redelivered after recovery. The
+    run_to_append sink must REPLACE that batch's output (batch-id subdir,
+    mode=overwrite), never append a second copy — mirrors the Avro
+    streaming sink's batch-id replacement contract."""
+    import os
+
+    from example_beam_spark.streaming.entries import _batch_overwrite_sink
+
+    out_dir = str(tmp_path / "out")
+    sink = _batch_overwrite_sink(out_dir)
+    batch0 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    batch1 = spark.createDataFrame([(3, "c")], "id long, v string")
+
+    # first attempt of batch 0 dies mid-write: a partial part file is on disk
+    partial = os.path.join(out_dir, "batch-000000000")
+    os.makedirs(partial)
+    spark.createDataFrame([(99, "partial")], "id long, v string").write.mode(
+        "append"
+    ).parquet(partial)
+
+    sink(batch0, 0)  # recovery redelivers batch 0
+    got = sorted(
+        (r.id, r.v) for r in spark.read.parquet(out_dir + "/batch-*").collect()
+    )
+    assert got == [(1, "a"), (2, "b")]  # partial attempt replaced, not merged
+
+    sink(batch0, 0)  # a second redelivery (retry storm) is still one copy
+    sink(batch1, 1)
+    got = sorted(
+        (r.id, r.v) for r in spark.read.parquet(out_dir + "/batch-*").collect()
+    )
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
