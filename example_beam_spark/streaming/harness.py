@@ -98,7 +98,8 @@ def replay(
     build_query: Callable[[DataFrame], DataFrame],
     watermark_delay_seconds: int,
     output_mode: str = "update",
-) -> list[tuple[int, list[Row]]]:
+    with_watermarks: bool = False,
+) -> list[tuple]:
     """Run the scenario one micro-batch per step.
 
     ``build_query`` receives the raw streaming DataFrame *including* the
@@ -106,17 +107,27 @@ def replay(
     (or apply withWatermark before dropping sentinels) so watermark
     scripting works.
 
-    Returns [(batch_id, emitted_rows)] for batches that emitted rows.
+    Returns [(batch_id, emitted_rows)] for batches that emitted rows;
+    with ``with_watermarks=True``, [(batch_id, beam_watermark,
+    emitted_rows)] where ``beam_watermark`` is the scripted reference
+    (Beam) watermark in effect when the batch ran (None until the first
+    ``advance_watermark_to``) — the input :func:`assign_pane_info`
+    needs to tag panes.
     """
     in_dir = tempfile.mkdtemp(prefix="replay_in_")
     ckpt = tempfile.mkdtemp(prefix="replay_ckpt_")
     full_schema = _with_sentinel_field(schema)
-    captured: list[tuple[int, list[Row]]] = []
+    captured: list[tuple] = []
+    # mutated between (blocking) processAllAvailable calls only, so the
+    # sink thread always reads the value scripted for its batch
+    beam_wm: list[datetime | None] = [None]
 
     def sink(bdf: DataFrame, bid: int) -> None:
         rows = bdf.collect()
         if rows:
-            captured.append((bid, rows))
+            captured.append(
+                (bid, beam_wm[0], rows) if with_watermarks else (bid, rows)
+            )
 
     stream = spark.readStream.schema(full_schema).parquet(in_dir)
     query = (
@@ -148,6 +159,7 @@ def replay(
                 # a second sentinel batch makes the new watermark effective.
                 base = {f.name: None for f in schema.fields if f.name != "event_time"}
                 at = step.to
+                beam_wm[0] = at
                 write_rows([{**base, "event_time": at}], sentinel=True)
                 query.processAllAvailable()
                 write_rows([{**base, "event_time": at}], sentinel=True)
@@ -158,6 +170,78 @@ def replay(
         shutil.rmtree(in_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
     return captured
+
+
+@dataclass(frozen=True)
+class PaneInfo:
+    """Beam ``PaneInfo`` analog for replayed panes (model.scala uses the
+    Beam original; asserted by TimestampedMatchers.scala:18-59 /
+    AdCtrFixedWindowCalculatorTest.scala:124-161)."""
+
+    pane_index: int
+    timing: str  # 'EARLY' | 'ON_TIME' | 'LATE'
+    is_first: bool
+    is_last: bool
+
+    @property
+    def is_late(self) -> bool:
+        return self.timing == "LATE"
+
+
+def assign_pane_info(
+    captured,
+    window_key: Callable[[Row], tuple],
+    window_end: Callable[[Row], datetime],
+) -> list[tuple[int, Row, PaneInfo]]:
+    """Tag every captured pane with Beam-style pane metadata, derived
+    from the batch sequence vs the SCRIPTED (Beam) watermark timeline —
+    ``captured`` must come from ``replay(..., with_watermarks=True)``.
+
+    Mapping (the engine delta, made explicit): Beam fires a data-less
+    ON_TIME pane exactly when its watermark passes the window end; Spark's
+    update mode only emits on data, so the accumulated content of Beam's
+    ON_TIME pane is carried by the LAST pane emitted before the watermark
+    passed the end. Hence per window:
+
+    - panes emitted while watermark < end: all but the last are EARLY
+      (speculative firings), the last is ON_TIME — its row equals what
+      Beam's at-watermark pane would contain under ACCUMULATING panes;
+    - panes emitted at watermark ≥ end are LATE firings — unless the
+      window never fired before the watermark passed (an append-mode
+      at-watermark flush, e.g. session windows), in which case the first
+      such pane IS the on-time pane.
+
+    ``window_key(row)`` identifies a window (key columns + window start);
+    ``window_end(row)`` its end timestamp (tz-naive UTC, like collected
+    rows)."""
+    per: dict[tuple, list[list]] = {}
+    order: list[list] = []
+    for bid, wm, rows in captured:
+        for r in rows:
+            entry = [bid, wm, r, None]
+            per.setdefault(window_key(r), []).append(entry)
+            order.append(entry)
+    for panes in per.values():
+        end = window_end(panes[0][2])
+        n_pre = sum(
+            1
+            for p in panes
+            if p[1] is None or p[1].replace(tzinfo=None) < end.replace(tzinfo=None)
+        )
+        on_time_idx = n_pre - 1 if n_pre else 0
+        for i, p in enumerate(panes):
+            timing = (
+                "EARLY" if i < on_time_idx else
+                "ON_TIME" if i == on_time_idx else
+                "LATE"
+            )
+            p[3] = PaneInfo(
+                pane_index=i,
+                timing=timing,
+                is_first=(i == 0),
+                is_last=(i == len(panes) - 1),
+            )
+    return [(bid, r, pane) for bid, wm, r, pane in order]
 
 
 def watermark_then_filter(

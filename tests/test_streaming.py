@@ -412,3 +412,71 @@ def test_run_to_append_idempotent_under_batch_replay(spark, tmp_path):
         (r.id, r.v) for r in spark.read.parquet(out_dir + "/batch-*").collect()
     )
     assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_pane_info_on_time_then_late(spark):
+    """AdCtrFixedWindowCalculatorTest.scala:124-161 analog WITH pane
+    labels: the accumulated pane carried before the watermark passes the
+    window end is ON_TIME; the post-watermark re-fire from the late click
+    is LATE with the accumulated (not delta) content."""
+    from example_beam_spark.streaming.harness import assign_pane_info
+
+    delay = 600
+    sc = (
+        StreamScenario()
+        .add_elements_at("12:00:01", _imp())
+        .advance_watermark_to("12:10:00")
+        .add_elements_at("12:00:02", _click())  # late, within lateness
+        .advance_watermark_to_infinity()
+    )
+    captured = replay(
+        spark, sc, schemas.AD_EVENT, _ctr_query(delay), delay, with_watermarks=True
+    )
+    tagged = assign_pane_info(
+        captured,
+        window_key=lambda r: (r["screen_id"], r["ad_id"], r["window_start"]),
+        window_end=lambda r: r["window_end"],
+    )
+    panes = [
+        (p.timing, p.pane_index, p.is_late, r["clicks"], r["impressions"])
+        for _, r, p in tagged
+        if r["window_start"].isoformat() == "1970-01-01T12:00:00"
+    ]
+    assert panes == [
+        ("ON_TIME", 0, False, 0, 1),
+        ("LATE", 1, True, 1, 1),
+    ]
+    infos = [p for _, _, p in tagged]
+    assert infos[0].is_first and infos[-1].is_last
+
+
+def test_pane_info_early_panes_before_watermark(spark):
+    """Speculative firings: two data batches before the watermark passes
+    the end are EARLY then ON_TIME (the last pre-watermark pane carries
+    Beam's at-watermark accumulated content); a late element re-fires
+    LATE."""
+    from example_beam_spark.streaming.harness import assign_pane_info
+
+    delay = 600
+    sc = (
+        StreamScenario()
+        .add_elements_at("12:00:01", _imp())
+        .add_elements_at("12:00:05", _imp())
+        .advance_watermark_to("12:10:00")
+        .add_elements_at("12:00:06", _click())
+        .advance_watermark_to_infinity()
+    )
+    captured = replay(
+        spark, sc, schemas.AD_EVENT, _ctr_query(delay), delay, with_watermarks=True
+    )
+    tagged = assign_pane_info(
+        captured,
+        window_key=lambda r: (r["screen_id"], r["ad_id"], r["window_start"]),
+        window_end=lambda r: r["window_end"],
+    )
+    # capped semigroup: impressions stay least(1, n) across panes
+    assert [(p.timing, r["impressions"], r["clicks"]) for _, r, p in tagged] == [
+        ("EARLY", 1, 0),
+        ("ON_TIME", 1, 0),
+        ("LATE", 1, 1),
+    ]

@@ -50,11 +50,20 @@ SEED = 20260814
 SRC_SF_DIR = "/root/testdata/sf0.1"
 
 
-def generate(out_dir: str) -> None:
+def generate(
+    out_dir: str,
+    doc_copies: int = N_DOC_COPIES,
+    emb_copies: int = N_EMB_COPIES,
+    event_copies: int | None = None,
+) -> None:
+    """Write the scaled corpus. ``doc_copies``/``event_copies`` multiply
+    the sf0.1 base (event copies default to doc copies); ``emb_copies=0``
+    skips embeddings (the 100x lane doesn't use them)."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    event_copies = doc_copies if event_copies is None else event_copies
     os.makedirs(out_dir, exist_ok=True)
 
     base = pq.read_table(os.path.join(SRC_SF_DIR, "documents.parquet"))
@@ -66,7 +75,7 @@ def generate(out_dir: str) -> None:
     vocab.sort()
 
     doc_ids, out_texts, out_langs, out_sources = [], [], [], []
-    for i in range(nb * N_DOC_COPIES):
+    for i in range(nb * doc_copies):
         b = i % nb
         rng = random.Random(SEED * 1_000_003 + i)
         if i < nb:
@@ -100,15 +109,25 @@ def generate(out_dir: str) -> None:
         os.path.join(out_dir, "documents.parquet"),
     )
 
+    if emb_copies:
+        _write_embeddings(out_dir, emb_copies)
+    _write_events(out_dir, event_copies)
+
+
+def _write_embeddings(out_dir: str, emb_copies: int) -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     emb_t = pq.read_table(os.path.join(SRC_SF_DIR, "embeddings.parquet"))
     emb = np.array(emb_t["embedding"].to_pylist(), dtype=np.float32)
     labels = emb_t["label"].to_pylist()
     ne, dim = emb.shape
     g = np.random.default_rng(SEED)
-    rows = np.empty((ne * N_EMB_COPIES, dim), dtype=np.float32)
+    rows = np.empty((ne * emb_copies, dim), dtype=np.float32)
     rows[:ne] = emb
     out_labels = list(labels)
-    for i in range(ne, ne * N_EMB_COPIES):
+    for i in range(ne, ne * emb_copies):
         b = i % ne
         if g.random() < NEAR_DUP_EMB_RATE:
             rows[i] = emb[b] + g.normal(0.0, 0.05 * np.abs(emb[b]).mean(), dim).astype(
@@ -120,7 +139,7 @@ def generate(out_dir: str) -> None:
     pq.write_table(
         pa.table(
             {
-                "vec_id": pa.array(range(ne * N_EMB_COPIES), pa.int64()),
+                "vec_id": pa.array(range(ne * emb_copies), pa.int64()),
                 "embedding": pa.array([r.tolist() for r in rows], pa.list_(pa.float32())),
                 "label": pa.array(out_labels, pa.int32()),
             }
@@ -128,7 +147,13 @@ def generate(out_dir: str) -> None:
         os.path.join(out_dir, "embeddings.parquet"),
     )
 
-    # 10x events: replicate with SHIFTED user ids (10x the users, same
+
+
+def _write_events(out_dir: str, event_copies: int) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # scaled events: replicate with SHIFTED user ids (N x the users, same
     # per-user event density — the realistic growth model for the
     # behavior ops: funnel/cohort/inter-arrival state is per-user, so
     # the per-key working set must NOT grow with corpus size)
@@ -138,7 +163,7 @@ def generate(out_dir: str) -> None:
     max_event = pa.compute.max(ev["event_id"]).as_py() + 1
     max_user = pa.compute.max(ev["user_id"]).as_py() + 1
     copies = []
-    for copy in range(N_DOC_COPIES):
+    for copy in range(event_copies):
         t = ev.set_column(
             ev.schema.get_field_index("event_id"),
             "event_id",
@@ -239,10 +264,72 @@ def candidate_volumes(spark, sf_dir: str) -> dict[str, int]:
     }
 
 
+def lane_100x(out_dir: str) -> None:
+    """Second decade of the growth curve for the core dedup path:
+    500k docs, 10M events (100x users at constant per-user density), CC
+    on a 1M-edge chain. Embeddings are skipped (ANN quality is the
+    planted lane's job; the isotropic corpus caps recall by
+    construction). Compare against the 10x lane's numbers: ratios ≈10
+    for the linear-shaped queries are the claim under test; the minhash
+    bucket-pair volume is the quadratic-risk number recorded alongside.
+    ~128 GiB heap holds this comfortably (docs parquet ~500 MB)."""
+    if not os.path.exists(os.path.join(out_dir, "documents.parquet")):
+        t0 = time.time()
+        generate(out_dir, doc_copies=100, emb_copies=0)
+        print(f"# generated 100x corpus in {time.time() - t0:.1f}s -> {out_dir}")
+
+    from pyspark.sql import functions as F
+
+    from example_beam_spark.registry import drain_cleanups, load_registry
+    from example_beam_spark.session import get_spark
+
+    spark = get_spark(app_name="stress_lane_100x")
+    reg = load_registry()
+    result: dict = {
+        "sf_equiv": 10.0,
+        "docs": 500_000,
+        "events": 10_000_000,
+        "queries": {},
+    }
+    for name in ("dedup_exact", "dedup_minhash_lsh", "events_funnel"):
+        t0 = time.time()
+        n = reg[name].fn(spark, out_dir).count()
+        result["queries"][name] = {"sec": round(time.time() - t0, 2), "rows": n}
+        drain_cleanups()
+        print(f"# {name}: {result['queries'][name]}", flush=True)
+
+    from example_beam_spark.operators.dedup import (
+        band_keys,
+        minhash_signatures,
+        shingles_raw,
+    )
+    from example_beam_spark.sources.parquet import load_table
+
+    docs = load_table(spark, out_dir, "documents")
+    result["minhash_bucket_pairs"] = int(
+        band_keys(minhash_signatures(shingles_raw(docs)))
+        .groupBy("band", "bk")
+        .agg(F.count("*").alias("c"))
+        .agg(F.sum(F.expr("c * (c - 1) / 2")).alias("pairs"))
+        .collect()[0]["pairs"]
+    )
+    result["cc_chain_1m_edges"] = cc_chain_lane(spark, n=1_000_001)
+    print(json.dumps(result))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out-dir", default="/tmp/spark_graft_stress")
+    ap.add_argument(
+        "--lane",
+        choices=("10x", "100x"),
+        default="10x",
+        help="100x runs the core-dedup second-decade lane (own corpus dir)",
+    )
     args = ap.parse_args()
+    if args.lane == "100x":
+        lane_100x(args.out_dir.rstrip("/") + "_100x")
+        return
 
     if not all(
         os.path.exists(os.path.join(args.out_dir, f"{t}.parquet"))
@@ -387,18 +474,16 @@ def ann_planted(reg, spark, out_dir: str) -> dict:
 
 
 
-def cc_chain_lane(spark) -> dict:
-    """Scale evidence for the large-star/small-star CC engine: a
-    100k-node chain is the adversarial diameter case (propagation would
-    need ~100k driver rounds — NOT run here); star contraction must
+def cc_chain_lane(spark, n: int = 100_000) -> dict:
+    """Scale evidence for the large-star/small-star CC engine: an
+    n-node chain is the adversarial diameter case (propagation would
+    need ~n driver rounds — NOT run here); star contraction must
     finish in O(log n) rounds. Labels spot-checked (all -> 0)."""
     import time as _t
 
     from pyspark.sql import functions as F
 
     from example_beam_spark.operators.dedup import connected_components
-
-    n = 100_000
     t0 = _t.time()
     pairs = spark.range(n - 1).select(
         F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
