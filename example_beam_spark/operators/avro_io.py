@@ -33,3 +33,14 @@ def record_roundtrip_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roundtrip_frame(
         spark, "avro", reader=lambda s, _schema, path: read_avro(s, path)
     )
+
+
+@register("record_roundtrip_json", oracle=_ROUNDTRIP_ORACLE)
+def record_roundtrip_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same round-trip through newline-delimited JSON — the reference's
+    OTHER bulk-load wire format (BigQuery file loads accept
+    NEWLINE_DELIMITED_JSON alongside Avro). Typed read-back supplies the
+    schema, so timestamps and the nested attribute struct/map survive
+    the text encoding; nulls (description every 10th record) round-trip
+    as absent fields."""
+    return roundtrip_frame(spark, "json")

@@ -320,9 +320,11 @@ _TRAIN_ROUNDS = 10
 _WRAP_SQL = "CASE WHEN len(t) = 0 THEN '' ELSE ' ' || array_to_string(t, '  ') || ' ' END"
 
 
-def _train_oracle() -> str:
-    """Mechanically generated oracle: _TRAIN_ROUNDS nested CTE rounds of
-    count → top-1 → replace, mirroring the Spark driver loop exactly."""
+def _train_ctes() -> list[str]:
+    """Shared CTE parts for the training-loop oracles: _TRAIN_ROUNDS
+    nested rounds of count → top-1 → replace, mirroring the Spark driver
+    loop exactly. Produces docs{r} (the re-segmented corpus after round
+    r) and b{r} (round r's winning merge row)."""
     # docs{r} is consumed TWICE (by c{r+1} and docs{r+1}); without
     # MATERIALIZED, CTE inlining doubles the evaluation tree per round —
     # 2^rounds scans of docs0 (measured: 35 s at sf0.001 vs 2 s with the
@@ -351,10 +353,14 @@ def _train_oracle() -> str:
                 f"docs{r} AS MATERIALIZED (SELECT replace(s, ' ' || a || '  ' || b || ' ', "
                 f"' ' || a || b || ' ') AS s FROM docs{r - 1} CROSS JOIN b{r})"
             )
+    return parts
+
+
+def _train_oracle() -> str:
     union = "\n    UNION ALL ".join(
         f"SELECT * FROM b{r}" for r in range(1, _TRAIN_ROUNDS + 1)
     )
-    return "WITH " + ",\n    ".join(parts) + f"\n    {union} ORDER BY step"
+    return "WITH " + ",\n    ".join(_train_ctes()) + f"\n    {union} ORDER BY step"
 
 
 @register("bpe_train_merges", oracle=_train_oracle())
@@ -380,9 +386,16 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bpe_train_frames(docs: DataFrame, rounds: int) -> DataFrame:
     """Core training loop over any (.., text) frame — split out so unit
     tests can pin merge semantics on constructed corpora."""
-    from pyspark import StorageLevel
-
     spark = docs.sparkSession
+    merges = train_merge_list(docs, rounds)
+    return spark.createDataFrame(merges, "step long, a string, b string, n_pair long")
+
+
+def train_merge_list(docs: DataFrame, rounds: int) -> list[tuple[int, str, str, int]]:
+    """Run the training loop and return the learned merges as driver-side
+    rows (one per round — the bounded artifact; ``bpe_encode`` folds them
+    back into map-side column expressions)."""
+    from pyspark import StorageLevel
     base = (
         docs.select(
             F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 0).alias("t")
@@ -425,4 +438,81 @@ def bpe_train_frames(docs: DataFrame, rounds: int) -> DataFrame:
             )
     finally:
         base.unpersist()
-    return spark.createDataFrame(merges, "step long, a string, b string, n_pair long")
+    return merges
+
+
+# --------------------------------------------------------------------------
+# bpe_encode — APPLY the trained merges: tokenize the corpus with the
+# learned BPE vocabulary (the inference half of the tokenizer lifecycle)
+# --------------------------------------------------------------------------
+
+
+def _encode_oracle() -> str:
+    """Training CTEs (shared with ``bpe_train_merges``) + an id-carrying
+    encode chain: e{r} applies round r's winning merge to every document,
+    so e{_TRAIN_ROUNDS} holds each doc's final token segmentation."""
+    parts = _train_ctes()
+    parts.append(
+        f"""e0 AS MATERIALIZED (
+        SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens_base, {_WRAP_SQL} AS s
+        FROM (SELECT doc_id, regexp_extract_all(text, '{_BPE_PATTERN}') AS t
+              FROM documents)
+    )"""
+    )
+    for r in range(1, _TRAIN_ROUNDS + 1):
+        parts.append(
+            f"e{r} AS MATERIALIZED (SELECT doc_id, n_tokens_base, "
+            f"replace(s, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ') AS s "
+            f"FROM e{r - 1} CROSS JOIN b{r})"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT doc_id, n_tokens_base,
+           CAST(CASE WHEN trim(s) = '' THEN 0
+                     ELSE len(string_split(trim(s), '  ')) END AS BIGINT)
+               AS n_tokens_bpe
+    FROM e{_TRAIN_ROUNDS}"""
+    )
+
+
+@register("bpe_encode", oracle=_encode_oracle())
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize every document with the BPE merges learned by
+    ``bpe_train_merges`` — the inference half of the tokenizer
+    lifecycle (Sennrich et al. 2016 apply_bpe): greedy left-to-right
+    application of the merge list IN TRAINING ORDER to each doc's
+    base-symbol sequence. Returns per-doc (n_tokens_base, n_tokens_bpe),
+    the compression audit a tokenizer rollout needs.
+
+    100-TB design: training collects exactly one row per round (see
+    ``train_merge_list``); encoding then folds the merge table into a
+    chain of map-side literal ``replace`` expressions over the wrapped
+    corpus — zero shuffle, whole-stage codegen, and the merge list rides
+    the closure (it IS the broadcast artifact). The same shape holds for
+    a real 50k-merge vocabulary: the chain becomes an Arrow-batched
+    pandas UDF applying the merge dict per batch, still shuffle-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_merge_list(docs, _TRAIN_ROUNDS)
+    enc = docs.select(
+        "doc_id",
+        F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 0).alias("t"),
+    ).select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens_base"),
+        F.when(F.size("t") == 0, F.lit(""))
+        .otherwise(F.concat(F.lit(" "), F.array_join("t", "  "), F.lit(" ")))
+        .alias("s"),
+    )
+    s = F.col("s")
+    for _step, a, b, _n in merges:
+        s = F.replace(s, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+    return enc.select(
+        "doc_id",
+        "n_tokens_base",
+        F.when(F.length(F.trim(s)) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim(s), "  ")))
+        .cast("long")
+        .alias("n_tokens_bpe"),
+    )

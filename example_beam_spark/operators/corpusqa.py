@@ -710,3 +710,65 @@ def term_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_b").cast("long").alias("n_b"),
         "lift", "rk",
     )
+
+
+# --------------------------------------------------------------------------
+# docs_perplexity_buckets — CCNet-style head/middle/tail tercile split
+# --------------------------------------------------------------------------
+
+# CCNet (Wenzek et al., "CCNet: Extracting High Quality Monolingual
+# Datasets from Web Crawl Data", LREC 2020) buckets each language's
+# corpus into head/middle/tail TERCILES of LM perplexity and trains on
+# the head. Here the score is doc_lm_predictability's mean corpus-bigram
+# probability (higher = more predictable), so head = top tercile of
+# predictability. Cut points are value-based (exact percentile at 1/3
+# and 2/3), and assignment compares each doc's score to the cuts — no
+# global sort of the corpus.
+#
+# Cross-engine exactness: the per-doc score is already bit-identical
+# (decimal-avg convention, hash-compared by doc_lm_predictability); the
+# interpolated cut either lands ON a data value (integer rank: both
+# engines return it exactly) or STRICTLY BETWEEN two adjacent distinct
+# values (no doc value can fall between the two engines' ulp-close
+# cuts), so value-comparison bucketing cannot flip across engines.
+
+_PPLX_BUCKET_ORACLE = f"""
+    WITH per AS MATERIALIZED (
+        SELECT doc_id, predictability FROM ({_LM_ORACLE})
+    ),
+    cuts AS (
+        SELECT quantile_cont(predictability, [CAST(1 AS DOUBLE)/3, CAST(2 AS DOUBLE)/3]) AS c FROM per
+    )
+    SELECT per.doc_id, per.predictability,
+           CASE WHEN predictability <= c[1] THEN 'tail'
+                WHEN predictability <= c[2] THEN 'middle'
+                ELSE 'head' END AS bucket
+    FROM per CROSS JOIN cuts
+"""
+
+
+@register("docs_perplexity_buckets", oracle=_PPLX_BUCKET_ORACLE)
+def docs_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tercile split of the corpus by LM predictability (see section
+    comment): (doc_id, predictability, bucket in head/middle/tail).
+
+    100-TB design: the cuts are ONE broadcast row (exact ``percentile``
+    aggregate here; at petabyte scale swap for ``approx_percentile`` —
+    same plan shape, documented trade) and assignment is a map-side
+    comparison, so the only corpus-wide movement is the percentile
+    aggregate's partial+final pass. No global sort, no NTILE single
+    partition."""
+    per = doc_lm_predictability(spark, sf_dir).select("doc_id", "predictability")
+    cuts = F.broadcast(
+        per.agg(
+            F.expr("percentile(predictability, array(CAST(1 AS DOUBLE)/3, CAST(2 AS DOUBLE)/3))").alias("c")
+        )
+    )
+    return per.crossJoin(cuts).select(
+        "doc_id",
+        "predictability",
+        F.when(F.col("predictability") <= F.col("c")[0], F.lit("tail"))
+        .when(F.col("predictability") <= F.col("c")[1], F.lit("middle"))
+        .otherwise(F.lit("head"))
+        .alias("bucket"),
+    )
