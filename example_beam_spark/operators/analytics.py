@@ -471,3 +471,129 @@ def drift_from_weekly(weekly: DataFrame, baseline_events: DataFrame) -> DataFram
         )
         .select("week", F.col("n_w").alias("n_events"), "l1_drift")
     )
+
+
+# --------------------------------------------------------------------------
+# events_attribution_position — U-shaped multi-touch attribution
+# --------------------------------------------------------------------------
+
+# Position-based (U-shaped) credit: with k clicks in the purchase's
+# 7-day lookback, the first and last get 40% each and the middles share
+# the remaining 20% (k=1 → 100%, k=2 → 50/50) — the standard multi-touch
+# companion to events_attribution_last_touch. Unattributed purchases
+# (zero clicks in window) are exactly last_touch's attributed=false set
+# and are not re-emitted here.
+
+_POS_ATTR_ORACLE = f"""
+    WITH carried AS (
+        SELECT event_id, user_id, ts, value, event_type,
+               list(CASE WHEN event_type = 'click'
+                         THEN {{'cts': ts, 'cid': event_id}} END) OVER w AS raw
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    pur AS (
+        SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, value,
+               list_sort(list_filter(raw, c -> c IS NOT NULL
+                   AND epoch_us(ts) - epoch_us(c.cts) <= {_ATTR_WINDOW_US})) AS wins
+        FROM carried WHERE event_type = 'purchase'
+    ),
+    cred AS (
+        SELECT purchase_id, user_id, purchase_ts, value,
+               CAST(len(wins) AS BIGINT) AS n_touches,
+               CAST(i AS BIGINT) AS touch_pos,
+               wins[i].cid AS click_id
+        FROM pur CROSS JOIN UNNEST(generate_series(1, len(wins))) AS u(i)
+    )
+    SELECT purchase_id, user_id, click_id, n_touches, touch_pos,
+           CASE WHEN n_touches = 1 THEN CAST(1 AS DOUBLE)
+                WHEN n_touches = 2 THEN CAST(0.5 AS DOUBLE)
+                WHEN touch_pos = 1 OR touch_pos = n_touches THEN CAST(0.4 AS DOUBLE)
+                ELSE CAST(0.2 AS DOUBLE) / (n_touches - 2) END AS weight,
+           value * (CASE WHEN n_touches = 1 THEN CAST(1 AS DOUBLE)
+                WHEN n_touches = 2 THEN CAST(0.5 AS DOUBLE)
+                WHEN touch_pos = 1 OR touch_pos = n_touches THEN CAST(0.4 AS DOUBLE)
+                ELSE CAST(0.2 AS DOUBLE) / (n_touches - 2) END) AS credited_value
+    FROM cred
+"""
+
+
+@register("events_attribution_position", oracle=_POS_ATTR_ORACLE)
+def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped multi-touch attribution (see section comment): one credit
+    row per (purchase, click-in-7-day-lookback) with position weights
+    40/20/40.
+
+    100-TB design: same single-pass shape as
+    ``events_attribution_last_touch`` — NO purchases⋈clicks range join
+    (whose candidate volume scales with clicks-per-window). One window
+    per user carries the click list forward (collect_list over
+    rows-unbounded-preceding — per-key state bounded by per-user click
+    history, which the growth model keeps constant as users scale), the
+    lookback filter and position weighting are map-side HOFs, and the
+    credit fan-out is explode geometry planned before any per-credit
+    work. The carried list is explicitly sorted by (cts, cid) in both
+    engines so no frame-order assumption is load-bearing."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "event_type",
+        F.collect_list(
+            F.when(
+                F.col("event_type") == "click",
+                F.struct(F.col("ts").alias("cts"), F.col("event_id").alias("cid")),
+            )
+        ).over(w).alias("raw"),
+    )
+    pur = carried.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "value",
+        F.sort_array(
+            F.filter(
+                "raw",
+                lambda c: F.unix_micros(F.col("ts")) - F.unix_micros(c["cts"])
+                <= _ATTR_WINDOW_US,
+            )
+        ).alias("wins"),
+    )
+    cred = pur.select(
+        "purchase_id",
+        "user_id",
+        "value",
+        F.size("wins").cast("long").alias("n_touches"),
+        F.posexplode("wins").alias("pos", "c"),
+    ).select(
+        "purchase_id",
+        "user_id",
+        "value",
+        "n_touches",
+        (F.col("pos") + 1).cast("long").alias("touch_pos"),
+        F.col("c.cid").alias("click_id"),
+    )
+    k, i = F.col("n_touches"), F.col("touch_pos")
+    weight = (
+        F.when(k == 1, F.lit(1.0))
+        .when(k == 2, F.lit(0.5))
+        .when((i == 1) | (i == k), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (k - 2).cast("double"))
+    )
+    return cred.select(
+        "purchase_id",
+        "user_id",
+        "click_id",
+        "n_touches",
+        "touch_pos",
+        weight.alias("weight"),
+        (F.col("value") * weight).alias("credited_value"),
+    )

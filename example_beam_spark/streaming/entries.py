@@ -128,7 +128,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     readStream schema, so batch and streaming reads cannot drift."""
     _prepare_stream_session(spark)
     schema, shim = events_read_schema(spark, sf_dir)
-    df = spark.readStream.schema(schema).parquet(_stage_dir(sf_dir, "events"))
+    df = (
+        spark.readStream.schema(schema)
+        # one file per micro-batch: a no-op for the standard single-file
+        # fixture, but it makes the multi-chunk convergence lane
+        # (tools/multibatch.py) feed REAL multi-batch schedules to the
+        # entries built on this reader (funnel, drift), same as the
+        # flushed reader below
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_stage_dir(sf_dir, "events"))
+    )
     return apply_ns_shim(df) if shim else df
 
 
@@ -724,3 +733,37 @@ def events_weekly_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "week", "event_type", "n_wt"
     )
     return drift_from_weekly(weekly, load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# events_funnel_stream — the behavior funnel as per-user streaming state
+# --------------------------------------------------------------------------
+
+from example_beam_spark.operators.behavior import _FUNNEL_ORACLE as _FUNNEL_ORACLE_BATCH
+
+
+@register("events_funnel_stream", oracle=_FUNNEL_ORACLE_BATCH)
+def events_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ordered signup→view→click→purchase funnel on a REAL
+    applyInPandasWithState stream (see streaming/funnel_stream.py for
+    why exact funnels need buffered-recompute state): per-user chain
+    state updates every micro-batch, the drain takes each user's LAST
+    emitted chain, and the final rollup is the same four-count aggregate
+    as the batch twin — gated by the SAME value oracle
+    (operators/behavior.events_funnel). Converges under any batch
+    split/arrival order because the chain is a pure function of the
+    buffered event set."""
+    from example_beam_spark.streaming.funnel_stream import funnel_stream
+
+    ev = read_events_stream(spark, sf_dir)
+    keyed = ev.select(
+        "user_id", F.col("ts").alias("event_time"), "event_type"
+    )
+    per_user = run_to_final(funnel_stream(keyed), ["user_id"], spark)
+    return per_user.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.count("s1").cast("long").alias("n_signup"),
+        F.count("s2").cast("long").alias("n_signup_view"),
+        F.count("s3").cast("long").alias("n_signup_view_click"),
+        F.count("s4").cast("long").alias("n_full_funnel"),
+    )

@@ -37,12 +37,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
 
 def test_corpus_lane_all_entries_converge(spark, tmp_path):
-    """All four stateful entries over the sf0.001 corpus split into 8
+    """All five stateful entries over the sf0.001 corpus split into 8
     time-ordered chunks (10 micro-batches with the sentinels): exact
     oracle / simulator match per entry, delta classes enforced inside
     run_lane."""
     results = run_lane(SF_DIR, 8, spark)
-    assert len(results) == 4
+    assert len(results) == 5
     for r in results:
         assert r["match"], r
     by = {r["entry"]: r for r in results}
@@ -167,3 +167,69 @@ def test_lookup_cache_within_ttl_after_dim_still_matches(spark, tmp_path):
         )
     ]
     assert sorted(simulate_lookup_cache(event_batches(derived))) == got
+
+
+def _ordered_chunks_dir(tmp_path, rows) -> str:
+    """Like _tiny_events_dir but DELIVERY order == the given row order
+    (one row per chunk, increasing mtimes, NO time sort) — builds the
+    out-of-order arrival schedules chunked_sf_dir's sort can't."""
+    import time as _t
+
+    out = tmp_path / "ooo"
+    ev_dir = out / "events.parquet"
+    ev_dir.mkdir(parents=True)
+    now = _t.time()
+    for i, r in enumerate(rows):
+        table = pa.table(
+            {
+                "event_id": pa.array([r[0]], pa.int64()),
+                "ts": pa.array([r[1]], pa.timestamp("us")),
+                "user_id": pa.array([r[2]], pa.int64()),
+                "event_type": pa.array([r[3]], pa.string()),
+                "value": pa.array([0.0], pa.float64()),
+                "props": pa.array([r[4]], pa.string()),
+            }
+        )
+        f = ev_dir / f"chunk-{i:04d}.parquet"
+        pq.write_table(table, str(f))
+        mt = now - 86400 + i * 10
+        os.utime(str(f), (mt, mt))
+    return str(out)
+
+
+def test_funnel_stream_rewrites_chain_on_late_early_event(spark, tmp_path):
+    """CONVERGENCE PIN (constructed, out-of-order): the user's later
+    funnel stages arrive FIRST; the signup — the chain's root — arrives
+    in the LAST batch. An incremental chain would have discarded the
+    view/click/purchase as unreachable; the buffered-recompute state
+    (streaming/funnel_stream.py) rebuilds the full chain, so the final
+    emission reports a complete funnel."""
+    from example_beam_spark.registry import load_registry
+
+    rows = [
+        (1, _us("2024-01-01 12:10:00"), 1, "view", None),
+        (2, _us("2024-01-01 12:15:00"), 1, "click", None),
+        (3, _us("2024-01-01 12:20:00"), 1, "purchase", None),
+        (4, _us("2024-01-01 12:00:00"), 1, "signup", None),  # late root
+    ]
+    derived = _ordered_chunks_dir(tmp_path, rows)
+    got = load_registry()["events_funnel_stream"].fn(spark, derived).collect()
+    assert [tuple(r) for r in got] == [(1, 1, 1, 1, 1)]
+
+
+def test_funnel_stream_strictly_after_semantics(spark, tmp_path):
+    """Chain comparisons are STRICT (ts > prev, same as the batch
+    MIN-CASE windows): a view at exactly the signup timestamp does not
+    advance the funnel."""
+    from example_beam_spark.registry import load_registry
+
+    rows = [
+        (1, _us("2024-01-01 12:00:00"), 1, "signup", None),
+        (2, _us("2024-01-01 12:00:00"), 1, "view", None),  # ties: NOT after
+        (3, _us("2024-01-01 12:30:00"), 2, "signup", None),
+        (4, _us("2024-01-01 12:31:00"), 2, "view", None),
+    ]
+    derived = _ordered_chunks_dir(tmp_path, rows)
+    got = load_registry()["events_funnel_stream"].fn(spark, derived).collect()
+    # 2 users signed up; only user 2's view is strictly after their signup
+    assert [tuple(r) for r in got] == [(2, 2, 1, 0, 0)]

@@ -28,6 +28,10 @@ What each entry must show under the multi-batch drain:
   dim gap ≤ TTL (before or after) MUST still match exactly: the timer
   threshold is ≥ fact_ts + TTL and the dim's batch begins while the
   watermark (lagging 1 h) is still below it.
+- ``events_funnel_stream``          → EXACT same oracle (the per-user
+  chain is a pure function of the buffered funnel-event set — arrival
+  order and batch boundaries cannot change it — and the drain keeps each
+  user's LAST emission, whose batch saw the full buffer).
 - ``ctr_custom_window_stream``      → DELTA by design: with the watermark
   advancing, a key's windows CLOSE mid-stream and later events open NEW
   windows — the TRUE merging-window semantics (the one-batch drain merges
@@ -369,7 +373,21 @@ def run_lane(sf_dir: str, n_chunks: int, spark) -> list[dict]:
     r = report("lookup_cache_join_stream", rows, sim, {"sec": round(time.time() - t0, 1)})
     r.update(lookup_delta_vs_converged_oracle(rows, reg, sf_dir))
 
-    # 4) custom window — simulator-exact; delta vs converged oracle is
+    # 4) funnel — exact oracle convergence: the per-user chain is a pure
+    #    function of the buffered event set, and run_to_final takes each
+    #    user's LAST emission (their final batch carries the full buffer)
+    t0 = time.time()
+    df = reg["events_funnel_stream"].fn(spark, derived)
+    rows = [tuple(r) for r in df.select(sorted(df.columns)).collect()]
+    cols, orc = run_oracle(reg["events_funnel_stream"].oracle, sf_dir)
+    report(
+        "events_funnel_stream",
+        rows,
+        _project(cols, orc),
+        {"sec": round(time.time() - t0, 1)},
+    )
+
+    # 5) custom window — simulator-exact; delta vs converged oracle is
     #    the window count (multi-window keys)
     t0 = time.time()
     df = reg["ctr_custom_window_stream"].fn(spark, derived)
