@@ -22,6 +22,7 @@ import glob
 import os
 import shutil
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -61,6 +62,59 @@ def _stage_dir(sf_dir: str, name: str, variant: str = "") -> str:
 _STAGE_CACHE: dict[tuple[str, str], str] = {}
 
 
+def _staged_files_time_ordered(d: str) -> bool:
+    """True iff the streaming file source's processing order over ``d``
+    is provably event-time-ordered, so ``maxFilesPerTrigger=1`` cannot
+    make the advancing watermark drop in-order rows as late.
+
+    Spark's file source picks oldest-modification-time-first (Hadoop
+    reports ms-granularity mtimes of the symlink TARGET), so the check
+    requires both (a) a deterministic order — ms-truncated mtimes
+    strictly increase — and (b) content order — each file's min ``ts``
+    (parquet footer stats, no data read) is >= every earlier file's max
+    ``ts``. A single data file passes trivially. Any missing statistic
+    reads as unordered (conservative). Sentinel files (far-future rows,
+    mtimes forced above all members by the flushed staging) satisfy both
+    legs by construction."""
+    import pyarrow.parquet as _pq
+
+    files = sorted(
+        os.path.join(d, f) for f in os.listdir(d) if not f.startswith(".")
+    )
+    if len(files) <= 1:
+        return True
+    metas = []
+    for path in files:
+        mtime_ms = os.stat(path).st_mtime_ns // 1_000_000  # follows symlink
+        try:
+            pf = _pq.ParquetFile(path)
+            idx = pf.schema_arrow.get_field_index("ts")
+            if idx < 0:
+                return False
+            lo = hi = None
+            for rg in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    return False
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if lo is None:  # zero row groups
+                return False
+        except Exception:
+            return False
+        metas.append((mtime_ms, lo, hi))
+    metas.sort(key=lambda m: m[0])
+    try:
+        for (mt_a, _, hi_a), (mt_b, lo_b, _) in zip(metas, metas[1:]):
+            if mt_b <= mt_a:  # tied ms mtimes: order is undefined
+                return False
+            if lo_b < hi_a:
+                return False
+    except TypeError:  # mixed tz-aware/naive stats across files
+        return False
+    return True
+
+
 def _prepare_stream_session(spark: SparkSession) -> None:
     """Session prep shared by every streaming entry. Besides UTC, size
     ``spark.sql.shuffle.partitions`` — which fixes the state-store
@@ -95,10 +149,21 @@ def _prepare_stream_session(spark: SparkSession) -> None:
             _SAVED_PROVIDER = None
     from example_beam_spark.streaming.tws import ROCKSDB_PROVIDER
 
-    spark.conf.set(_PROVIDER_KEY, ROCKSDB_PROVIDER)
+    # EBS_STATE_PROVIDER=hdfs pins the in-memory HDFS-backed default
+    # instead — the kill/resume suite runs the corpus entries under BOTH
+    # providers (the provider binds at checkpoint creation, so recovery
+    # must be proven per provider).
+    if os.environ.get("EBS_STATE_PROVIDER") == "hdfs":
+        spark.conf.set(_PROVIDER_KEY, _HDFS_PROVIDER)
+    else:
+        spark.conf.set(_PROVIDER_KEY, ROCKSDB_PROVIDER)
 
 
 _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+_HDFS_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "HDFSBackedStateStoreProvider"
+)
 _UNSET = object()
 _SAVED_SHUFFLE: str | None = None
 _SAVED_PROVIDER: object = _UNSET
@@ -122,22 +187,98 @@ def _restore_session(spark: SparkSession) -> None:
         _SAVED_PROVIDER = _UNSET
 
 
+# Per-micro-batch StreamingQueryProgress dicts of the LAST drained query
+# (run_to_final / run_to_append overwrite it per drain). The state-size
+# lane (tools/multibatch.py) and tests/test_state_metrics.py read the
+# `stateOperators` entries (numRowsTotal / numRowsUpdated /
+# numRowsRemoved / numRowsDroppedByWatermark) to turn the bounded-state
+# design claims into per-batch MEASUREMENTS — eviction observed, not
+# argued. Negligible cost: availableNow drains keep <100 progress
+# objects and the capture is a driver-side JSON parse.
+LAST_PROGRESS: list[dict] = []
+
+# Test-harness knobs for the kill/resume suite
+# (tests/test_multibatch_resume.py): when set, the drain helpers reuse
+# the given sink/checkpoint dirs across entry invocations (so a second
+# call RESUMES the availableNow drain from the checkpoint instead of
+# starting fresh) and inject a failure — the foreachBatch sink raises
+# BEFORE writing when its batch id reaches ``fail_at_batch``, the
+# mid-flight crash Structured Streaming's restart contract must absorb.
+# Empty in every production / registered-query path.
+DRAIN_OVERRIDES: dict = {}
+
+
+def _drain_dirs(kind: str) -> tuple[str, str, bool]:
+    out_dir = DRAIN_OVERRIDES.get("out_dir") or tempfile.mkdtemp(
+        prefix=f"stream_{kind}_"
+    )
+    keep_ckpt = "ckpt" in DRAIN_OVERRIDES
+    ckpt = DRAIN_OVERRIDES.get("ckpt") or tempfile.mkdtemp(prefix="stream_ckpt_")
+    return out_dir, ckpt, keep_ckpt
+
+
+def _maybe_fail(bid: int) -> None:
+    fail_at = DRAIN_OVERRIDES.get("fail_at_batch")
+    if fail_at is not None and bid == fail_at:
+        raise RuntimeError(f"injected sink failure at batch {bid}")
+
+
+def _capture_progress(q) -> None:
+    global LAST_PROGRESS
+    try:
+        import json as _json
+
+        LAST_PROGRESS = [
+            p if isinstance(p, dict) else _json.loads(p.json)
+            for p in q.recentProgress
+        ]
+    except Exception:
+        LAST_PROGRESS = []
+
+
+def state_rows_series(progress: list[dict] | None = None) -> list[dict]:
+    """Summarize a drained query's per-batch state-store metrics: one
+    dict per micro-batch with total state rows, rows updated/removed and
+    rows dropped by the watermark, summed across stateful operators."""
+    out = []
+    for p in progress if progress is not None else LAST_PROGRESS:
+        ops = p.get("stateOperators") or []
+        out.append(
+            {
+                "batch": p.get("batchId"),
+                "input_rows": p.get("numInputRows"),
+                "state_rows": sum(o.get("numRowsTotal", 0) for o in ops),
+                "updated": sum(o.get("numRowsUpdated", 0) for o in ops),
+                "removed": sum(o.get("numRowsRemoved", 0) for o in ops),
+                "dropped_late": sum(
+                    o.get("numRowsDroppedByWatermark", 0) for o in ops
+                ),
+            }
+        )
+    return out
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming read of the events table — the footer-negotiated encoding
     branch (ns shim vs native TimestampType) is picked BEFORE building the
     readStream schema, so batch and streaming reads cannot drift."""
     _prepare_stream_session(spark)
     schema, shim = events_read_schema(spark, sf_dir)
-    df = (
-        spark.readStream.schema(schema)
-        # one file per micro-batch: a no-op for the standard single-file
-        # fixture, but it makes the multi-chunk convergence lane
-        # (tools/multibatch.py) feed REAL multi-batch schedules to the
-        # entries built on this reader (funnel, drift), same as the
-        # flushed reader below
-        .option("maxFilesPerTrigger", 1)
-        .parquet(_stage_dir(sf_dir, "events"))
-    )
+    d = _stage_dir(sf_dir, "events")
+    reader = spark.readStream.schema(schema)
+    # One file per micro-batch — a no-op for the standard single-file
+    # fixture, but it makes the multi-chunk convergence lane
+    # (tools/multibatch.py) feed REAL multi-batch schedules to the
+    # entries built on this reader (funnel, drift, dedup-within-
+    # watermark). GATED on a footer-stats proof that the file source's
+    # oldest-mtime-first order is event-time-ordered: a directory of
+    # part-files whose rows are NOT time-ordered across files would
+    # otherwise advance the watermark between batches and silently drop
+    # in-order rows as late. Unprovable order → all files in one batch
+    # (the safe pre-multibatch behavior).
+    if _staged_files_time_ordered(d):
+        reader = reader.option("maxFilesPerTrigger", 1)
+    df = reader.parquet(d)
     return apply_ns_shim(df) if shim else df
 
 
@@ -146,10 +287,10 @@ def run_to_final(
 ) -> DataFrame:
     """Drain a streaming aggregation with availableNow + update-mode
     foreachBatch into staging parquet; return last-update-per-key."""
-    out_dir = tempfile.mkdtemp(prefix="stream_out_")
-    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    out_dir, ckpt, keep_ckpt = _drain_dirs("out")
 
     def sink(bdf: DataFrame, bid: int) -> None:
+        _maybe_fail(bid)
         bdf.withColumn("_batch", F.lit(bid)).write.mode("append").parquet(out_dir)
 
     try:
@@ -161,6 +302,7 @@ def run_to_final(
             .start()
         )
         q.awaitTermination()
+        _capture_progress(q)
     finally:
         _restore_session(spark)
     out = spark.read.parquet(out_dir)
@@ -172,7 +314,8 @@ def run_to_final(
     )
     # staging dirs are left for the consumer's lifetime (tmp space); the
     # returned DataFrame lazily re-reads them on every action.
-    shutil.rmtree(ckpt, ignore_errors=True)
+    if not keep_ckpt:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return final
 
 
@@ -293,6 +436,7 @@ def _batch_overwrite_sink(out_dir: str):
     left — instead of appending a duplicate copy."""
 
     def sink(bdf: DataFrame, bid: int) -> None:
+        _maybe_fail(bid)
         bdf.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch-{bid:09d}")
         )
@@ -312,8 +456,7 @@ def run_to_append(agg: DataFrame, spark: SparkSession) -> DataFrame:
     per batch id; the sink must be idempotent per batch id to get
     exactly-once (pinned by tests/test_streaming.py::
     test_run_to_append_idempotent_under_batch_replay)."""
-    out_dir = tempfile.mkdtemp(prefix="stream_out_")
-    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    out_dir, ckpt, keep_ckpt = _drain_dirs("out")
     sink = _batch_overwrite_sink(out_dir)
     try:
         q = (
@@ -324,9 +467,11 @@ def run_to_append(agg: DataFrame, spark: SparkSession) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        _capture_progress(q)
     finally:
         _restore_session(spark)
-    shutil.rmtree(ckpt, ignore_errors=True)
+    if not keep_ckpt:
+        shutil.rmtree(ckpt, ignore_errors=True)
     batch_dirs = sorted(glob.glob(os.path.join(glob.escape(out_dir), "batch-*")))
     if not batch_dirs:
         return spark.createDataFrame([], agg.schema)
@@ -544,6 +689,14 @@ def read_events_stream_flushed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    member_max_mtime_ns = max(
+        (
+            os.stat(os.path.join(d, f)).st_mtime_ns
+            for f in os.listdir(d)
+            if not f.startswith("zz_sentinel_")
+        ),
+        default=0,
+    )
     for i in (0, 1):
         sentinel_file = os.path.join(d, f"zz_sentinel_{i}.parquet")
         if not os.path.exists(sentinel_file):
@@ -567,9 +720,34 @@ def read_events_stream_flushed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
             pq.write_table(table, sentinel_file)
+            # Force the sentinel files strictly NEWER (in Hadoop's ms
+            # granularity) than every member and than each other, so the
+            # file source always schedules them LAST and in order —
+            # whatever the member mtimes look like.
+            mt_ns = (
+                max(member_max_mtime_ns, time.time_ns())
+                + (i + 1) * 2_000_000_000
+            )
+            os.utime(sentinel_file, ns=(mt_ns, mt_ns))
+    n_members = sum(
+        1 for f in os.listdir(d) if not f.startswith("zz_sentinel_")
+    )
+    # The sentinel-flush mechanism REQUIRES each sentinel in its own
+    # micro-batch (a watermark update takes effect one batch later, and
+    # stateful eviction one batch after that). When the members are
+    # provably time-ordered, one file per trigger gives the full
+    # multi-batch schedule; when they are not, fall back to ALL members
+    # in the first batch (maxFilesPerTrigger = n_members picks the n
+    # oldest files, i.e. every member, since sentinels are forced
+    # newest) — the watermark then only advances after the whole corpus
+    # is processed, so no in-order row can be dropped as late, and the
+    # two sentinels still get their own flush batches.
+    trigger_files = (
+        1 if _staged_files_time_ordered(d) else max(n_members, 1)
+    )
     df = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", trigger_files)
         .parquet(d)
     )
     return apply_ns_shim(df) if shim else df

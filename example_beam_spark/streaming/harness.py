@@ -192,6 +192,7 @@ def assign_pane_info(
     captured,
     window_key: Callable[[Row], tuple],
     window_end: Callable[[Row], datetime],
+    append_mode: bool = False,
 ) -> list[tuple[int, Row, PaneInfo]]:
     """Tag every captured pane with Beam-style pane metadata, derived
     from the batch sequence vs the SCRIPTED (Beam) watermark timeline —
@@ -206,10 +207,14 @@ def assign_pane_info(
     - panes emitted while watermark < end: all but the last are EARLY
       (speculative firings), the last is ON_TIME — its row equals what
       Beam's at-watermark pane would contain under ACCUMULATING panes;
-    - panes emitted at watermark ≥ end are LATE firings — unless the
-      window never fired before the watermark passed (an append-mode
-      at-watermark flush, e.g. session windows), in which case the first
-      such pane IS the on-time pane.
+    - panes emitted at watermark ≥ end are LATE firings. When a window
+      never fired before the watermark passed, the caller's output mode
+      decides: under ``append_mode=True`` (at-watermark flushes, e.g.
+      session windows) the first post-watermark pane IS the on-time
+      pane; under update mode (the default) such a window was created
+      entirely by late-but-within-lateness data, and in Beam's PaneInfo
+      model its first pane is genuinely LATE (the default
+      FIRE_IF_NON_EMPTY on-time pane never fired) — every pane is LATE.
 
     ``window_key(row)`` identifies a window (key columns + window start);
     ``window_end(row)`` its end timestamp (tz-naive UTC, like collected
@@ -228,9 +233,15 @@ def assign_pane_info(
             for p in panes
             if p[1] is None or p[1].replace(tzinfo=None) < end.replace(tzinfo=None)
         )
-        on_time_idx = n_pre - 1 if n_pre else 0
+        if n_pre:
+            on_time_idx = n_pre - 1
+        elif append_mode:
+            on_time_idx = 0  # the at-watermark flush IS the on-time pane
+        else:
+            on_time_idx = None  # window born late: every pane is LATE
         for i, p in enumerate(panes):
             timing = (
+                "LATE" if on_time_idx is None else
                 "EARLY" if i < on_time_idx else
                 "ON_TIME" if i == on_time_idx else
                 "LATE"

@@ -37,18 +37,51 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
 
 def test_corpus_lane_all_entries_converge(spark, tmp_path):
-    """All five stateful entries over the sf0.001 corpus split into 8
+    """All twelve stateful entries over the sf0.001 corpus split into 8
     time-ordered chunks (10 micro-batches with the sentinels): exact
     oracle / simulator match per entry, delta classes enforced inside
-    run_lane."""
+    run_lane — plus the round-8 state-size measurements: eviction
+    OBSERVED (state rows rise then fall as the watermark advances) for
+    the watermark-evicting entries, constant-bounded state for the
+    sketches, and zero rows dropped as late on the time-ordered
+    schedule."""
     results = run_lane(SF_DIR, 8, spark)
-    assert len(results) == 5
+    assert len(results) == 12
     for r in results:
         assert r["match"], r
     by = {r["entry"]: r for r in results}
     # the lane is only meaningful if the custom window actually split
     # keys across windows (i.e. watermark-driven closes happened)
     assert by["ctr_custom_window_stream"]["extra_windows_vs_converged"] > 0
+
+    # eviction observed, not argued: final state rows well below the
+    # peak, with actual removals recorded by the state store
+    for name in [
+        "sessionize_events_stream",
+        "enrich_stream_stream_join",
+        "ctr_custom_window_stream",
+        "ctr_fixed_capped_stream",
+        "ctr_sliding_total_stream",
+        "dedup_stream_within_watermark",
+    ]:
+        r = by[name]
+        assert r["state_removed_total"] > 0, (name, r)
+        assert r["state_final"] <= r["state_peak"] // 4, (name, r)
+        # state is bounded by the watermark horizon, not by rows
+        # processed: the drain ends nearly empty
+        assert r["state_final"] <= 5, (name, r)
+
+    # sketch / unbounded-distinct entries: state size is a constant
+    # function of the sketch geometry (registers/bins/buckets), NOT of
+    # rows processed — "64 counters ever" as a measured number
+    assert by["hll_distinct_users_stream"]["state_peak"] <= 16
+    assert by["value_quantile_histogram_stream"]["state_peak"] <= 64
+    assert by["events_weekly_drift_stream"]["state_peak"] <= 40
+
+    # the time-ordered chunk schedule must never drop a row as late —
+    # the exact hazard the staging-order gate exists to prevent
+    for r in results:
+        assert r.get("state_dropped_late_total", 0) == 0, r
 
 
 def _tiny_events_dir(tmp_path, rows) -> str:

@@ -480,3 +480,47 @@ def test_pane_info_early_panes_before_watermark(spark):
         ("ON_TIME", 1, 0),
         ("LATE", 1, 1),
     ]
+
+
+def test_pane_info_window_born_late_is_late(spark):
+    """Round-7 advice: in update mode, a window created ENTIRELY by
+    late-but-within-lateness data (the watermark passed its end before
+    any element arrived) never had an on-time firing — Beam's default
+    FIRE_IF_NON_EMPTY on-time pane never fired, so its first pane is
+    genuinely LATE (pane_index 0, is_first), not ON_TIME. The
+    n_pre==0 -> ON_TIME rule only applies under append_mode (an
+    at-watermark flush, e.g. session windows)."""
+    from example_beam_spark.streaming.harness import assign_pane_info
+
+    delay = 600
+    sc = (
+        StreamScenario()
+        .advance_watermark_to("12:10:00")  # past [12:00, 12:10) BEFORE data
+        .add_elements_at("12:00:02", _click())  # within lateness (delay)
+        .advance_watermark_to_infinity()
+    )
+    captured = replay(
+        spark, sc, schemas.AD_EVENT, _ctr_query(delay), delay, with_watermarks=True
+    )
+    tagged = assign_pane_info(
+        captured,
+        window_key=lambda r: (r["screen_id"], r["ad_id"], r["window_start"]),
+        window_end=lambda r: r["window_end"],
+    )
+    panes = [
+        (p.timing, p.pane_index, p.is_first, r["clicks"])
+        for _, r, p in tagged
+        if r["window_start"].isoformat() == "1970-01-01T12:00:00"
+    ]
+    assert panes == [("LATE", 0, True, 1)]
+
+    # same capture under append_mode semantics: the first post-watermark
+    # pane is the flush, i.e. ON_TIME
+    flush_tagged = assign_pane_info(
+        captured,
+        window_key=lambda r: (r["screen_id"], r["ad_id"], r["window_start"]),
+        window_end=lambda r: r["window_end"],
+        append_mode=True,
+    )
+    assert [p.timing for _, r, p in flush_tagged
+            if r["window_start"].isoformat() == "1970-01-01T12:00:00"] == ["ON_TIME"]

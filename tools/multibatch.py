@@ -302,15 +302,73 @@ def canon(rows) -> list[tuple]:
     ratios so floats agree bit-for-bit)."""
 
     def norm(v):
+        import decimal
+
         if v is None or (isinstance(v, float) and pd.isna(v)):
             return ("null",)
         if hasattr(v, "isoformat"):
             return ("t", pd.Timestamp(v).tz_localize(None).isoformat())
+        if isinstance(v, decimal.Decimal):  # DuckDB literals (e.g. 0.95)
+            v = float(v)
         if isinstance(v, float):
             return ("f", repr(v))
         return (type(v).__name__, str(v))
 
     return sorted(tuple(norm(v) for v in r) for r in rows)
+
+
+def state_summary() -> dict:
+    """Per-batch state-store metrics of the LAST drained query
+    (streaming/entries.py:LAST_PROGRESS), compressed to the numbers the
+    bounded-state claims need: peak vs final total state rows (eviction
+    = final well below peak), total rows removed by state GC, and rows
+    dropped as late by the watermark (must stay 0 on the time-ordered
+    chunk schedule). `state_series` keeps the full per-batch trace."""
+    from example_beam_spark.streaming.entries import state_rows_series
+
+    series = state_rows_series()
+    if not series:
+        return {}
+    rows = [s["state_rows"] for s in series]
+    return {
+        "state_peak": max(rows),
+        "state_final": rows[-1],
+        "state_removed_total": sum(s["removed"] for s in series),
+        "state_dropped_late_total": sum(s["dropped_late"] for s in series),
+        "state_series": rows,
+    }
+
+
+# Entries beyond the original five whose multi-batch drain must be
+# EXACTLY the registered oracle, with the one-line proof of why batching
+# cannot change them (order-insensitive state, time-ordered arrival):
+#
+# - ctr_fixed_capped_stream / ctr_sliding_total_stream: pure windowed
+#   semigroup aggregates; time-ordered chunks mean a window only stops
+#   receiving rows after the watermark (lagging 1 h) passes it — no row
+#   is ever late, and run_to_final keeps each key's last (complete)
+#   accumulation.
+# - dedup_stream_distinct: dropDuplicates carries NO watermark — state
+#   only grows, so the batch boundaries are invisible to the result.
+# - dedup_stream_within_watermark: duplicates share an hour_bucket; all
+#   rows of bucket B arrive while max_ts <= B+1h, so the watermark
+#   (max_ts - 2h <= B - 1h) is still below B and B's dedup state is
+#   live — every duplicate is seen while its first occurrence is
+#   retained.
+# - hll_distinct_users_stream / value_quantile_histogram_stream:
+#   register-wise max / counter merges — commutative and associative,
+#   so any batching yields the same final sketch.
+# - events_weekly_drift_stream: weekly counts are windowed sums (the
+#   ctr argument), and the drift comparison runs on the drained finals.
+EXACT_EXTRA_ENTRIES = [
+    "ctr_fixed_capped_stream",
+    "ctr_sliding_total_stream",
+    "dedup_stream_distinct",
+    "dedup_stream_within_watermark",
+    "hll_distinct_users_stream",
+    "value_quantile_histogram_stream",
+    "events_weekly_drift_stream",
+]
 
 
 def run_lane(sf_dir: str, n_chunks: int, spark) -> list[dict]:
@@ -336,6 +394,7 @@ def run_lane(sf_dir: str, n_chunks: int, spark) -> list[dict]:
             "rows": len(got),
             "match": got == want,
             **(extra or {}),
+            **state_summary(),
         }
         if not r["match"]:
             diffs = [(a, b) for a, b in zip(got, want) if a != b]
@@ -406,6 +465,16 @@ def run_lane(sf_dir: str, n_chunks: int, spark) -> list[dict]:
             "extra_windows_vs_converged": len(rows) - len(orc),
         },
     )
+
+    # 6..12) the order-insensitive stateful streams — exact convergence
+    # to the registered oracle under the same chunked drain (proofs in
+    # the EXACT_EXTRA_ENTRIES comment above)
+    for name in EXACT_EXTRA_ENTRIES:
+        t0 = time.time()
+        df = reg[name].fn(spark, derived)
+        rows = [tuple(r) for r in df.select(sorted(df.columns)).collect()]
+        cols, orc = run_oracle(reg[name].oracle, sf_dir)
+        report(name, rows, _project(cols, orc), {"sec": round(time.time() - t0, 1)})
     return results
 
 

@@ -52,12 +52,15 @@ def planted_corpus(
     )
 
     os.makedirs(out_dir, exist_ok=True)
+    # zero-copy list<float32> construction (offsets + flat values) — the
+    # tolist() path allocates n python lists, which matters at the
+    # second-decade scale (2M vectors)
+    offsets = pa.array(np.arange(0, (n + 1) * dim, dim, dtype=np.int32))
+    emb = pa.ListArray.from_arrays(offsets, pa.array(vecs.reshape(-1)))
     table = pa.table(
         {
-            "vec_id": pa.array(range(n), type=pa.int64()),
-            "embedding": pa.array(
-                [v.tolist() for v in vecs], type=pa.list_(pa.float32())
-            ),
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": emb,
             "label": pa.array(cluster.astype("int32"), type=pa.int32()),
         }
     )

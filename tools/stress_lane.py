@@ -285,10 +285,20 @@ def lane_100x(out_dir: str) -> None:
 
     spark = get_spark(app_name="stress_lane_100x")
     reg = load_registry()
+    # corpus scale read back from the written parquet (round-7 advice:
+    # deriving it keeps the recorded numbers honest if the sf0.1 base or
+    # doc_copies ever changes)
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(os.path.join(out_dir, "documents.parquet")).num_rows
+    n_events = pq.read_metadata(os.path.join(out_dir, "events.parquet")).num_rows
+    base_docs = pq.read_metadata(
+        os.path.join(SRC_SF_DIR, "documents.parquet")
+    ).num_rows
     result: dict = {
-        "sf_equiv": 10.0,
-        "docs": 500_000,
-        "events": 10_000_000,
+        "sf_equiv": round(0.1 * n_docs / base_docs, 3),
+        "docs": n_docs,
+        "events": n_events,
         "queries": {},
     }
     for name in ("dedup_exact", "dedup_minhash_lsh", "events_funnel"):
@@ -317,18 +327,182 @@ def lane_100x(out_dir: str) -> None:
     print(json.dumps(result))
 
 
+def _semdedup_trained_cells(spark, sf_dir: str, cell_target: int = 500) -> dict:
+    """SemDeDup's documented 100-TB shape MEASURED: spherical-kmeans
+    cells with k = n / cell_target (k grows with the corpus so per-cell
+    pair work stays constant — total pairs ≈ n·cell_target/2, LINEAR in
+    n), then the same within-cell pairwise drop pass as the registered
+    ``semantic_dedup`` (operators/curation.py:118) with plain double
+    dots (no oracle parity needed on a lane). Returns wall, k, pair
+    volume and kept fraction."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from example_beam_spark.operators.curation import SEM_THRESHOLD
+    from example_beam_spark.operators.ivf import KMEANS_SEED, _fdot
+    from example_beam_spark.sources.parquet import load_table
+
+    t0 = time.time()
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).select("vec_id", "v", F.sqrt(_fdot("v", "v")).alias("nrm"))
+    unit = base.select(
+        "vec_id", F.transform("v", lambda x: x / F.col("nrm")).alias("u")
+    )
+    n = unit.count()
+    k = max(8, n // cell_target)
+    # deterministic hash-threshold sample (the ivf.py contract)
+    sample = unit
+    sample_cap = 100_000
+    if n > sample_cap:
+        denom = 1_000_000
+        thresh = -(-sample_cap * denom // n)
+        sample = unit.filter(
+            F.pmod(F.xxhash64("vec_id", F.lit(KMEANS_SEED)), F.lit(denom))
+            < F.lit(thresh)
+        )
+    model = KMeans(
+        k=k, seed=KMEANS_SEED, maxIter=5, featuresCol="features"
+    ).fit(sample.select(array_to_vector(F.col("u")).alias("features")))
+    centers = F.broadcast(
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+            "cell int, c array<double>",
+        ).select("cell", "c", F.sqrt(_fdot("c", "c")).alias("c_nrm"))
+    )
+    cells = (
+        unit.join(centers)
+        .select("vec_id", "u", "cell", (_fdot("u", "c") / F.col("c_nrm")).alias("cos_c"))
+        .withColumn(
+            "crk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), "cell")
+            ),
+        )
+        .filter(F.col("crk") == 1)
+        .select("vec_id", "cell", "u")
+    )
+    cells = cells.persist()
+    pair_volume = int(
+        cells.groupBy("cell")
+        .agg(F.count("*").alias("c"))
+        .agg(F.sum(F.expr("c * (c - 1) / 2")).alias("p"))
+        .collect()[0]["p"]
+    )
+    a = cells.select("cell", F.col("vec_id").alias("a"), F.col("u").alias("a_u"))
+    b = cells.select("cell", F.col("vec_id").alias("b"), F.col("u").alias("b_u"))
+    drops = (
+        a.join(b, "cell")
+        .filter(F.col("b") > F.col("a"))
+        .filter(_fdot("a_u", "b_u") >= SEM_THRESHOLD)  # unit vecs: dot == cosine
+        .select(F.col("b").alias("vec_id"))
+        .distinct()
+    )
+    n_dropped = drops.count()
+    cells.unpersist()
+    return {
+        "n": n,
+        "k": k,
+        "pairs": pair_volume,
+        "kept_frac": round(1.0 - n_dropped / n, 4),
+        "sec": round(time.time() - t0, 2),
+    }
+
+
+def ann_second_decade(out_dir: str) -> None:
+    """Round-7 verdict #3: push the ANN proofs through their second
+    decade. Planted-neighborhood corpora (tools/planted.py — constant
+    cluster size 100, so geometry is scale-invariant) at 10x (200k) and
+    100x (2M) vectors; at each scale measure:
+
+    - exact brute-force wall (the linear baseline the claim is judged
+      against),
+    - ``ann_topk_ivf_trained`` at its registered operating point (k=80,
+      nprobe=3): recall@10 vs brute force, scanned fraction, wall — the
+      verdict's gate is recall >= 0.8 at <= 5% scanned at 2M; if recall
+      degrades the lane re-measures at nprobe=6 and records the
+      recall/scan trade-off instead of hiding it,
+    - the SemDeDup scale path with k ∝ n (constant cell size — the
+      design claim 'k scales with corpus size to bound per-cell work'
+      from operators/curation.py, now a measured number).
+    """
+    from example_beam_spark.operators.ivf import ivf_trained_frames
+    from example_beam_spark.operators.similarity import N_QUERIES
+    from example_beam_spark.registry import drain_cleanups, load_registry
+    from example_beam_spark.session import get_spark
+    from example_beam_spark.sources.parquet import load_table
+    from tools.planted import planted_corpus
+
+    spark = get_spark(app_name="stress_lane_ann2m")
+    reg = load_registry()
+    result: dict = {"scales": []}
+    for n, tag in ((200_000, "10x"), (2_000_000, "100x")):
+        d = os.path.join(out_dir, f"planted_{tag}")
+        if not os.path.exists(os.path.join(d, "embeddings.parquet")):
+            t0 = time.time()
+            planted_corpus(d, n=n, n_clusters=n // 100)
+            print(f"# planted {n} vectors in {time.time() - t0:.1f}s -> {d}")
+
+        row: dict = {"n": n, "tag": tag}
+        t0 = time.time()
+        truth: dict[int, set[int]] = {}
+        for r in reg["ann_topk_bruteforce"].fn(spark, d).collect():
+            truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+        row["bruteforce_sec"] = round(time.time() - t0, 2)
+        drain_cleanups()
+
+        def trained_point(nprobe: int) -> dict:
+            t0 = time.time()
+            topk, cands = ivf_trained_frames(
+                load_table(spark, d, "embeddings"), nprobe=nprobe
+            )
+            got: dict[int, set[int]] = {}
+            for r in topk.collect():
+                got.setdefault(r.query_id, set()).add(r.neighbor_id)
+            recalls = [
+                len(got.get(q, set()) & t) / len(t) for q, t in truth.items()
+            ]
+            return {
+                "nprobe": nprobe,
+                "recall_at_10": round(sum(recalls) / len(recalls), 3),
+                "scanned_frac": round(
+                    cands.count() / (N_QUERIES * (n - 1)), 4
+                ),
+                "sec": round(time.time() - t0, 2),
+            }
+
+        row["ivf_trained"] = trained_point(3)
+        if row["ivf_trained"]["recall_at_10"] < 0.8:
+            row["ivf_trained_nprobe6"] = trained_point(6)
+        drain_cleanups()
+
+        row["semdedup_scaled_k"] = _semdedup_trained_cells(spark, d)
+        drain_cleanups()
+        result["scales"].append(row)
+        print(f"# {tag}: {json.dumps(row)}", flush=True)
+    print(json.dumps(result))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out-dir", default="/tmp/spark_graft_stress")
     ap.add_argument(
         "--lane",
-        choices=("10x", "100x"),
+        choices=("10x", "100x", "ann2m"),
         default="10x",
-        help="100x runs the core-dedup second-decade lane (own corpus dir)",
+        help="100x runs the core-dedup second-decade lane (own corpus "
+        "dir); ann2m runs the planted-ANN second decade (200k + 2M "
+        "vectors)",
     )
     args = ap.parse_args()
     if args.lane == "100x":
         lane_100x(args.out_dir.rstrip("/") + "_100x")
+        return
+    if args.lane == "ann2m":
+        ann_second_decade(args.out_dir.rstrip("/") + "_ann2m")
         return
 
     if not all(
