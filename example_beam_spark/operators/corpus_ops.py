@@ -516,3 +516,82 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_tokens_bpe"),
     )
+
+
+# --------------------------------------------------------------------------
+# bpe_decode_roundtrip — DECODE the encoded corpus and audit the
+# round-trip (the symmetry proof of the tokenizer lifecycle)
+# --------------------------------------------------------------------------
+
+
+def _decode_oracle() -> str:
+    """Training CTEs + the id-carrying encode chain, then the DECODE:
+    BPE tokens are concatenations of base symbols and the pre-tokenizer
+    alphabet (_BPE_PATTERN) can never emit a space inside a token, so
+    stripping the double-space delimiters of the final segmentation
+    reconstructs the normalized document exactly — decode(encode(doc))
+    must equal the base-symbol concatenation, per doc, corpus-wide."""
+    parts = _train_ctes()
+    parts.append(
+        f"""d0 AS MATERIALIZED (
+        SELECT doc_id, array_to_string(t, '') AS base_concat, {_WRAP_SQL} AS s
+        FROM (SELECT doc_id, regexp_extract_all(text, '{_BPE_PATTERN}') AS t
+              FROM documents)
+    )"""
+    )
+    for r in range(1, _TRAIN_ROUNDS + 1):
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT doc_id, base_concat, "
+            f"replace(s, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ') AS s "
+            f"FROM d{r - 1} CROSS JOIN b{r})"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT doc_id,
+           CAST(len(replace(trim(s), '  ', '')) AS BIGINT) AS n_decoded_chars,
+           replace(trim(s), '  ', '') = base_concat AS roundtrip_ok
+    FROM d{_TRAIN_ROUNDS}"""
+    )
+
+
+@register("bpe_decode_roundtrip", oracle=_decode_oracle())
+def bpe_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode the ``bpe_encode`` output back to text and audit
+    decode(encode(doc)) == normalized doc per document — the round-trip
+    symmetry a tokenizer rollout must hold (Sennrich et al. 2016: BPE
+    decoding is plain concatenation of the learned subword units, since
+    every merge only ever concatenates adjacent base symbols).
+
+    Decode needs no merge table at all: tokens in the wrapped-string
+    segmentation are separated by a double space and can never contain
+    one (see the _WRAP_SQL contract above), so stripping the delimiters
+    IS the decoder. The entry still runs the full train→encode chain so
+    the equality is an end-to-end lifecycle proof, not a tautology.
+
+    100-TB design: same zero-shuffle shape as ``bpe_encode`` — the merge
+    list rides the closure as a literal replace chain, decode adds one
+    more map-side replace, and the equality check is per-row columnar;
+    nothing but the 10 one-row training collects touches the driver."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_merge_list(docs, _TRAIN_ROUNDS)
+    enc = docs.select(
+        "doc_id",
+        F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 0).alias("t"),
+    ).select(
+        "doc_id",
+        F.array_join("t", "").alias("base_concat"),
+        F.when(F.size("t") == 0, F.lit(""))
+        .otherwise(F.concat(F.lit(" "), F.array_join("t", "  "), F.lit(" ")))
+        .alias("s"),
+    )
+    s = F.col("s")
+    for _step, a, b, _n in merges:
+        s = F.replace(s, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+    decoded = F.replace(F.trim(s), F.lit("  "), F.lit(""))
+    return enc.select(
+        "doc_id",
+        F.length(decoded).cast("long").alias("n_decoded_chars"),
+        (decoded == F.col("base_concat")).alias("roundtrip_ok"),
+    )

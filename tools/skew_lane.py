@@ -1,0 +1,355 @@
+"""Zipf-skewed event-key behavioral lane (round-7 verdict #4).
+
+The stress lanes' events tables grow users at CONSTANT per-user density
+— uniform keys. Real event streams are zipfian: one head user (bot,
+integration account, popular screen) owns 5-10% of all traffic. This
+lane generates a 10M-event corpus whose user ids follow a rank-1/r
+zipf law (head user ≈ 8% of events at 150k users) plus a same-volume
+uniform CONTROL, and measures the skew penalty on every operator class
+the verdict named:
+
+- linear per-key ops at FULL 10M volume (``sessionize_events``,
+  ``events_funnel``, ``events_attribution_last_touch`` — running
+  windows with O(1)-per-row state): claim is wall within ~2x of the
+  uniform control, the window sort of the 800k-row hot partition being
+  the only extra cost.
+- the attribution WINDOW CARRY distribution at 10M, computed EXACTLY
+  without materializing any list (running click-count window → the
+  carried-list length every ``events_attribution_position`` row would
+  hold): this is the one place skew hits a window carry — the head
+  user's full click history — and the measured fan-out numbers say
+  precisely where the carry form stops being viable.
+- quadratic-output ops at a RECORDED 1M slice (not a silent cap: the
+  head key's candidate/output volume is quadratic in its density —
+  clicks x views for the time-range join, purchases x carried-clicks
+  for position attribution — so their 10M cost is driven by the
+  measured fan-out above, and the 1M run pins the per-pair constants):
+  ``enrich_time_range_join`` under the AQE skew-split confs
+  (tests/test_plans.py:165's machinery on a REAL operator — the lane
+  records whether the final plan shows skew=true),
+  ``events_attribution_position``, and the stream-stream time-range
+  join both UNSALTED and SALTED (streaming/join_stream.py:69 — same
+  rows, state spread across (key, salt) partitions).
+
+CLI: ``python tools/skew_lane.py [--out-dir /tmp/spark_graft_skew]``
+prints one JSON line per section.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+SEED = 20260814
+N_EVENTS = 10_000_000
+N_USERS = 150_000
+SLICE_EVENTS = 1_000_000
+BASE_US = 1_704_067_200_000_000  # 2024-01-01 UTC, matches the fixture epoch
+SPAN_US = 30 * 86_400 * 1_000_000
+ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # analytics.py:_ATTR_WINDOW_US
+TYPES = ["view", "click", "signup", "purchase", "error"]
+
+
+def skew_corpus(
+    out_dir: str,
+    n_events: int,
+    n_users: int,
+    s: float = 1.0,
+    uniform: bool = False,
+    span_us: int = SPAN_US,
+    row_group_rows: int | None = None,
+) -> str:
+    """Write an events-only sf_dir. Zipf: user rank r drawn with
+    p(r) ∝ 1/r^s (s=1.0, 150k users → head ≈ 8% of events). The uniform
+    control differs ONLY in the user_id distribution (same volume, same
+    time span, same type mix, same seed family)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    f = os.path.join(out_dir, "events.parquet")
+    if os.path.exists(f):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(SEED + (1 if uniform else 0))
+    if uniform:
+        uids = rng.integers(0, n_users, n_events, dtype=np.int64)
+    else:
+        ranks = np.arange(1, n_users + 1, dtype=np.float64)
+        p = 1.0 / ranks**s
+        p /= p.sum()
+        uids = rng.choice(n_users, size=n_events, p=p).astype(np.int64)
+    ts_us = rng.integers(BASE_US, BASE_US + span_us, n_events, dtype=np.int64)
+    codes = rng.integers(0, len(TYPES), n_events, dtype=np.int32)
+    table = pa.table(
+        {
+            "event_id": pa.array(np.arange(n_events, dtype=np.int64)),
+            "ts": pa.array(ts_us).cast(pa.timestamp("us")),
+            "user_id": pa.array(uids),
+            "event_type": pa.DictionaryArray.from_arrays(
+                pa.array(codes), pa.array(TYPES)
+            ),
+            "value": pa.array(rng.exponential(50.0, n_events)),
+            "props": pa.nulls(n_events, pa.string()),
+        }
+    )
+    if row_group_rows:
+        pq.write_table(table, f, row_group_size=row_group_rows)
+    else:
+        pq.write_table(table, f)
+    return out_dir
+
+
+def slice_corpus(src_dir: str, out_dir: str, n: int) -> str:
+    """First n events (by event_id — a uniform random subsample, since
+    ids were assigned independently of user/time) as its own sf_dir."""
+    import pyarrow.parquet as pq
+
+    f = os.path.join(out_dir, "events.parquet")
+    if not os.path.exists(f):
+        os.makedirs(out_dir, exist_ok=True)
+        t = pq.read_table(os.path.join(src_dir, "events.parquet"))
+        # keep many row groups: a single-row-group file is one effective
+        # shuffle mapper, which makes AQE skew-split a no-op (see
+        # tests/test_plans.py::test_aqe_skew_split_on_time_range_join)
+        pq.write_table(t.slice(0, n), f, row_group_size=100_000)
+    return out_dir
+
+
+def timed_count(df) -> tuple[float, int]:
+    t0 = time.time()
+    n = df.count()
+    return round(time.time() - t0, 2), n
+
+
+def linear_ops(reg, spark, zipf_dir: str, unif_dir: str) -> dict:
+    out: dict = {"section": "linear_ops_10m", "queries": {}}
+    for name in ("sessionize_events", "events_funnel", "events_attribution_last_touch"):
+        row = {}
+        for tag, d in (("zipf", zipf_dir), ("uniform", unif_dir)):
+            sec, n = timed_count(reg[name].fn(spark, d))
+            row[tag] = {"sec": sec, "rows": n}
+        row["ratio"] = round(row["zipf"]["sec"] / max(row["uniform"]["sec"], 1e-9), 2)
+        out["queries"][name] = row
+        print(f"# {name}: {json.dumps(row)}", flush=True)
+    return out
+
+
+def carry_distribution(spark, sf_dir: str, tag: str) -> dict:
+    """The events_attribution_position carried-list length per row,
+    computed exactly with a running COUNT (O(1)/row — no list ever
+    materializes), plus the 7-day-lookback click count per purchase
+    (the credit fan-out). Together these are the operator's memory and
+    output volumes as pure numbers."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from example_beam_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    run_w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    look_w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-ATTR_WINDOW_US, 0)
+    )
+    is_click = F.when(F.col("event_type") == "click", 1)
+    base = ev.select(
+        "user_id",
+        "event_type",
+        F.count(is_click).over(run_w).alias("carried"),
+        F.count(is_click).over(look_w).alias("in_lookback"),
+    )
+    agg = base.agg(
+        F.sum("carried").alias("total_carry_elems"),
+        F.max("carried").alias("max_carried"),
+        F.expr("percentile(carried, array(0.5, 0.99))").alias("carried_pct"),
+        F.sum(F.when(F.col("event_type") == "purchase", F.col("in_lookback"))).alias(
+            "credit_fanout_rows"
+        ),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("in_lookback"))).alias(
+            "max_touches_per_purchase"
+        ),
+    ).collect()[0]
+    clicks_head = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    return {
+        "tag": tag,
+        "total_carry_elems": int(agg["total_carry_elems"]),
+        "max_carried": int(agg["max_carried"]),
+        "carried_p50": float(agg["carried_pct"][0]),
+        "carried_p99": float(agg["carried_pct"][1]),
+        "credit_fanout_rows": int(agg["credit_fanout_rows"]),
+        "max_touches_per_purchase": int(agg["max_touches_per_purchase"]),
+        "head_user_clicks": int(clicks_head),
+    }
+
+
+def quadratic_ops(reg, spark, zipf1m: str, unif1m: str) -> dict:
+    """The quadratic-in-head-key operators at the recorded 1M slice,
+    with the AQE skew confs of tests/test_plans.py:165 so the runtime
+    skew-split machinery is live on a REAL operator."""
+    from pyspark.sql import functions as F
+
+    out: dict = {"section": "quadratic_ops_1m", "queries": {}}
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        for name in ("enrich_time_range_join", "events_attribution_position"):
+            row = {}
+            for tag, d in (("zipf", zipf1m), ("uniform", unif1m)):
+                df = reg[name].fn(spark, d)
+                if name == "enrich_time_range_join":
+                    # collect a one-literal projection so THIS frame's
+                    # AdaptiveSparkPlan finalizes (the plan-pin pattern of
+                    # tests/test_plans.py:165) without hauling the
+                    # quadratic join payload to the driver
+                    probe = df.select(F.lit(1).alias("one"))
+                    t0 = time.time()
+                    n = len(probe.collect())
+                    row[tag] = {"sec": round(time.time() - t0, 2), "rows": n}
+                    if tag == "zipf":
+                        plan = (
+                            probe._jdf.queryExecution().executedPlan().toString()
+                        )
+                        row["skew_split_in_final_plan"] = "skew=true" in plan
+                else:
+                    t0 = time.time()
+                    n = df.count()
+                    row[tag] = {"sec": round(time.time() - t0, 2), "rows": n}
+            out["queries"][name] = row
+            print(f"# {name}: {json.dumps(row)}", flush=True)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return out
+
+
+def stream_join_salted_vs_not(spark, zipf1m: str) -> dict:
+    """The registered stream-stream time-range join vs a salted twin
+    (n_salts=8, salted on the fact id) over the zipf slice: identical
+    result rows — the salt only spreads the hot key's state — and the
+    wall-clock delta is the measured price/benefit at this volume."""
+    from pyspark.sql import functions as F
+
+    from example_beam_spark.registry import load_registry
+    from example_beam_spark.streaming.entries import (
+        read_events_stream_flushed,
+        run_to_append,
+    )
+    from example_beam_spark.streaming.join_stream import (
+        salted_stream_stream_time_range_join,
+    )
+
+    reg = load_registry()
+    t0 = time.time()
+    plain = reg["enrich_stream_stream_join"].fn(spark, zipf1m)
+    n_plain = plain.count()
+    sec_plain = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    ev = read_events_stream_flushed(spark, zipf1m).withColumnRenamed(
+        "ts", "event_time"
+    )
+    wm = ev.withWatermark("event_time", "1 hour")
+    clicks = wm.filter(
+        F.when(F.col("event_type") == "click", F.col("event_time")).isNotNull()
+    )
+    views = wm.filter(
+        F.when(F.col("event_type") == "view", F.col("event_time")).isNotNull()
+    )
+    facts = clicks.select("event_id", "user_id", "event_time")
+    dims = views.select(
+        F.col("user_id").alias("user_id_dim"),
+        F.col("event_id").alias("view_event_id"),
+        F.col("event_time").alias("dim_event_time"),
+        F.col("value").alias("view_value"),
+    )
+    joined = salted_stream_stream_time_range_join(
+        facts,
+        dims,
+        key="user_id",
+        ttl_seconds=6 * 3600,
+        n_salts=8,
+        salt_cols=["event_id"],
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("event_time").alias("ts"),
+        "view_event_id",
+        F.col("dim_event_time").alias("view_ts"),
+        "view_value",
+    )
+    salted = run_to_append(joined, spark)
+    n_salted = salted.count()
+    sec_salted = round(time.time() - t0, 2)
+    return {
+        "section": "stream_join_1m",
+        "unsalted": {"sec": sec_plain, "rows": n_plain},
+        "salted_8": {"sec": sec_salted, "rows": n_salted},
+        "rows_equal": n_plain == n_salted,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out-dir", default="/tmp/spark_graft_skew")
+    ap.add_argument("--events", type=int, default=N_EVENTS)
+    args = ap.parse_args()
+
+    from example_beam_spark.registry import drain_cleanups, load_registry
+    from example_beam_spark.session import get_spark
+
+    zipf_dir = skew_corpus(
+        os.path.join(args.out_dir, "zipf"), args.events, N_USERS,
+        row_group_rows=100_000,
+    )
+    unif_dir = skew_corpus(
+        os.path.join(args.out_dir, "uniform"), args.events, N_USERS,
+        uniform=True, row_group_rows=100_000,
+    )
+    zipf1m = slice_corpus(zipf_dir, os.path.join(args.out_dir, "zipf_1m"), SLICE_EVENTS)
+    unif1m = slice_corpus(
+        unif_dir, os.path.join(args.out_dir, "uniform_1m"), SLICE_EVENTS
+    )
+
+    spark = get_spark(app_name="skew_lane")
+    reg = load_registry()
+
+    print(json.dumps(linear_ops(reg, spark, zipf_dir, unif_dir)))
+    drain_cleanups()
+    for tag, d in (("zipf", zipf_dir), ("uniform", unif_dir)):
+        print(json.dumps({"section": "carry_distribution_10m", **carry_distribution(spark, d, tag)}))
+    drain_cleanups()
+    print(json.dumps(quadratic_ops(reg, spark, zipf1m, unif1m)))
+    drain_cleanups()
+    print(json.dumps(stream_join_salted_vs_not(spark, zipf1m)))
+
+
+if __name__ == "__main__":
+    main()
