@@ -337,7 +337,6 @@ def _semdedup_trained_cells(spark, sf_dir: str, cell_target: int = 500) -> dict:
     volume and kept fraction."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from example_beam_spark.operators.curation import SEM_THRESHOLD
@@ -354,9 +353,13 @@ def _semdedup_trained_cells(spark, sf_dir: str, cell_target: int = 500) -> dict:
     )
     n = unit.count()
     k = max(8, n // cell_target)
-    # deterministic hash-threshold sample (the ivf.py contract)
+    # deterministic hash-threshold sample (the ivf.py contract); the
+    # sample and iteration budget SHRINK as k grows — a k-cell coarse
+    # quantizer needs ~tens of points per cell, and kmeans cost is
+    # k x sample x dim x iters (the training bill would otherwise grow
+    # QUADRATICALLY with corpus size under k ∝ n)
     sample = unit
-    sample_cap = 100_000
+    sample_cap = min(100_000, 25 * k)
     if n > sample_cap:
         denom = 1_000_000
         thresh = -(-sample_cap * denom // n)
@@ -364,27 +367,38 @@ def _semdedup_trained_cells(spark, sf_dir: str, cell_target: int = 500) -> dict:
             F.pmod(F.xxhash64("vec_id", F.lit(KMEANS_SEED)), F.lit(denom))
             < F.lit(thresh)
         )
+    print(f"# semdedup n={n} k={k} sample<={sample_cap}", flush=True)
     model = KMeans(
-        k=k, seed=KMEANS_SEED, maxIter=5, featuresCol="features"
+        k=k, seed=KMEANS_SEED, maxIter=3, featuresCol="features"
     ).fit(sample.select(array_to_vector(F.col("u")).alias("features")))
-    centers = F.broadcast(
-        spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-            "cell int, c array<double>",
-        ).select("cell", "c", F.sqrt(_fdot("c", "c")).alias("c_nrm"))
-    )
-    cells = (
-        unit.join(centers)
-        .select("vec_id", "u", "cell", (_fdot("u", "c") / F.col("c_nrm")).alias("cos_c"))
-        .withColumn(
-            "crk",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), "cell")
-            ),
-        )
-        .filter(F.col("crk") == 1)
-        .select("vec_id", "cell", "u")
-    )
+    print(f"# semdedup kmeans fitted at {round(time.time()-t0,1)}s", flush=True)
+
+    # Cell assignment as a broadcast-centers GEMM (Arrow-batched
+    # mapInPandas): at k ∝ n the declarative n x k join explodes to n·k
+    # rows (8e9 at 2M vectors / k=4000), each paying a per-row HOF dot —
+    # the one place SURVEY §7's "vectorized pandas where built-ins can't
+    # express it" rule applies. The k x dim centers matrix is ~2 MB
+    # broadcast; each Arrow batch does one X @ C.T argmax in BLAS.
+    import numpy as np
+    import pandas as pd
+
+    C = np.array(model.clusterCenters(), dtype=np.float64)
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast(C)
+
+    def assign(batches):
+        CC = bc.value
+        for pdf in batches:
+            X = np.stack(pdf["u"].to_numpy())
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cell": (X @ CC.T).argmax(axis=1).astype("int32"),
+                    "u": pdf["u"],
+                }
+            )
+
+    cells = unit.mapInPandas(assign, "vec_id long, cell int, u array<double>")
     cells = cells.persist()
     pair_volume = int(
         cells.groupBy("cell")
@@ -392,15 +406,30 @@ def _semdedup_trained_cells(spark, sf_dir: str, cell_target: int = 500) -> dict:
         .agg(F.sum(F.expr("c * (c - 1) / 2")).alias("p"))
         .collect()[0]["p"]
     )
-    a = cells.select("cell", F.col("vec_id").alias("a"), F.col("u").alias("a_u"))
-    b = cells.select("cell", F.col("vec_id").alias("b"), F.col("u").alias("b_u"))
-    drops = (
-        a.join(b, "cell")
-        .filter(F.col("b") > F.col("a"))
-        .filter(_fdot("a_u", "b_u") >= SEM_THRESHOLD)  # unit vecs: dot == cosine
-        .select(F.col("b").alias("vec_id"))
-        .distinct()
-    )
+    print(f"# semdedup pairs={pair_volume} at {round(time.time()-t0,1)}s", flush=True)
+
+    # Within-cell pairwise as a per-cell gram matrix (applyInPandas):
+    # the declarative self-join would MATERIALIZE n·c/2 rows each
+    # carrying two dim-64 arrays (~0.5 TB at 2M vectors) before any
+    # filtering; the shuffle-local kernel computes the same c x c
+    # cosines in one BLAS call per cell and emits only the dropped ids.
+    # Lowest-id keeper: a vector is dropped iff a lower-id cellmate
+    # exceeds the threshold — identical to curation.semantic_dedup.
+    def drop_in_cell(pdf):
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        X = np.stack(pdf["u"].to_numpy())[order]
+        c = len(ids)
+        dropped = np.zeros(c, dtype=bool)
+        blk = 1024  # row-blocked gram: bounded memory even if kmeans
+        for s in range(0, c, blk):  # hands one cell far more than c_target
+            G = X[s : s + blk] @ X.T  # b x c
+            lower = np.arange(c)[None, :] < (s + np.arange(G.shape[0]))[:, None]
+            dropped[s : s + blk] = ((G >= SEM_THRESHOLD) & lower).any(axis=1)
+        return pd.DataFrame({"vec_id": ids[dropped]})
+
+    drops = cells.groupBy("cell").applyInPandas(drop_in_cell, "vec_id long")
     n_dropped = drops.count()
     cells.unpersist()
     return {
