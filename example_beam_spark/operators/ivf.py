@@ -340,10 +340,18 @@ def ann_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # 100-TB design: training runs on a bounded sample (KMEANS_SAMPLE rows —
 # a coarse quantizer needs only a sketch of the density), the fitted
-# centroids are k×dim doubles broadcast as a literal frame (MBs even at
-# k=√n for billions of rows), assignment is the same broadcast-join +
-# per-vector argmax as the seeded path, and the probed-cell exact scan
-# shuffles by cell id so each cell's work is shuffle-local.
+# centroids are k×dim doubles broadcast to every executor (MBs even at
+# k=√n for billions of rows), and cell assignment is a broadcast-centers
+# GEMM over Arrow batches (mapInPandas): each batch does one X @ Cᵀ and
+# an argmax/argpartition in BLAS — no shuffle, no per-row work. The
+# declarative alternative (broadcast join + per-vector argmax window,
+# the seeded path's shape) expands to n×k rows each paying an
+# interpreted higher-order-function dot: measured 541 s at 200k vectors
+# / k=80 on local[32] (stress lane, r8) vs seconds for the GEMM — the
+# one place SURVEY §7's "vectorized pandas where built-ins can't express
+# it efficiently" rule applies to a registered ANN entry. The
+# probed-cell exact scan still shuffles by cell id so each cell's work
+# is shuffle-local.
 
 IVF_TRAINED_K = 80
 IVF_TRAINED_NPROBE = 3
@@ -372,6 +380,7 @@ def ivf_trained_frames(
     The candidate frame is exposed so callers (recall lane, tests) can
     measure the scanned fraction |candidates| / (n_queries · (n−1))."""
     from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import Normalizer
     from pyspark.ml.functions import array_to_vector
 
     spark = emb.sparkSession
@@ -380,11 +389,17 @@ def ivf_trained_frames(
         F.col("embedding").cast("array<double>").alias("v"),
     ).select("vec_id", "v", F.sqrt(_fdot("v", "v")).alias("nrm"))
 
-    # spherical k-means: train on unit vectors so Euclidean == cosine
-    unit = base.select(
-        "vec_id",
-        F.transform("v", lambda x: x / F.col("nrm")).alias("u"),
-    )
+    # Spherical k-means trains on UNIT vectors (Euclidean == cosine).
+    # The normalization is deliberately NOT the HOF projection
+    # `transform(v, x / nrm)` with nrm from the projection below:
+    # CollapseProject inlines the nrm aggregate INTO the lambda, so the
+    # full dim-length dot is re-evaluated per ELEMENT — a dim× blowup
+    # measured at ~70 s for 200k×64 vectors (vs 1.2 s for the same
+    # normalize done batch-wise) on local[32]. Training normalizes
+    # JVM-side via ml.feature.Normalizer(p=2); assignment normalizes
+    # inside the Arrow kernel below. Both touch raw float32 embeddings,
+    # halving the scan/transfer bytes too.
+    #
     # DETERMINISM CONTRACT: the training sample is a pure function of
     # the data — a hash-threshold filter (like every sample in this
     # repo), never `limit` (which is not contractually deterministic
@@ -394,44 +409,90 @@ def ivf_trained_frames(
     # job; ~KMEANS_SAMPLE rows (binomial spread) is plenty for a
     # coarse quantizer, which needs a sketch of the density, not an
     # exact-k sample.
-    n_total = unit.count()
-    sample = unit
+    n_total = emb.count()
+    sample = emb
     if n_total > sample_cap:
         denom = 1_000_000
         thresh = -(-sample_cap * denom // n_total)  # ceil
-        sample = unit.filter(
+        sample = emb.filter(
             F.pmod(F.xxhash64("vec_id", F.lit(KMEANS_SEED)), F.lit(denom))
             < F.lit(thresh)
         )
-    train = sample.select(array_to_vector(F.col("u")).alias("features"))
+    # Cache the training frame (k-means runs ~2 jobs per iteration over
+    # it; uncached, every job re-scans parquet) and init RANDOM:
+    # k-means|| spends several extra passes buying an init quality a
+    # coarse quantizer cannot use — profiled at 200k vectors / k=80:
+    # 149 s (k-means||, uncached) → 8.5 s (cached + random init),
+    # identical recall through the tests/test_ann_trained.py gate.
+    # Deterministic: fixed seed, hash-threshold sample. Unpersist is
+    # synchronous-safe (fit has consumed the frame).
+    train = Normalizer(inputCol="raw", outputCol="features", p=2.0).transform(
+        sample.select(
+            array_to_vector(F.col("embedding").cast("array<double>")).alias("raw")
+        )
+    ).persist()
     model = KMeans(
-        k=k, seed=KMEANS_SEED, maxIter=KMEANS_MAXITER, featuresCol="features"
+        k=k,
+        seed=KMEANS_SEED,
+        maxIter=KMEANS_MAXITER,
+        featuresCol="features",
+        initMode="random",
     ).fit(train)
-    centers = F.broadcast(
-        spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-            "cell int, c array<double>",
-        ).select(
-            "cell", "c", F.sqrt(_fdot("c", "c")).alias("c_nrm")
-        )
-    )
+    train.unpersist()
 
-    # nearest / top-nprobe cells per vector: broadcast k centroids, one
-    # argmax window keyed by vec_id (bounded n×k map-local expansion)
+    # Nearest / top-nprobe cells per vector as a broadcast-centers GEMM
+    # (see section comment): one X @ Cᵀ + argmax per Arrow batch replaces
+    # the n×k join + window. Ties rank lowest cell first (np.argmax picks
+    # the first maximum; the lexsort key order below does the same), the
+    # exact tie rule the window's orderBy(desc(cos), cell) used.
+    import numpy as np
+    import pandas as pd
+
+    C = np.array(model.clusterCenters(), dtype=np.float64)
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast(C)
+    n_queries, n_probe = N_QUERIES, nprobe  # close over plain ints
+
+    def assign(batches):
+        CC = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            X /= np.linalg.norm(X, axis=1, keepdims=True)
+            S = X @ CC.T  # unit rows × unit centers: cosine
+            top1 = S.argmax(axis=1).astype("int32")
+            out = {"vec_id": ids, "cell": top1, "crk": np.ones(len(ids), "int32")}
+            q = np.flatnonzero(ids < n_queries)
+            if len(q) and n_probe > 1:
+                extra_id, extra_cell, extra_crk = [], [], []
+                for i in q:
+                    order = np.lexsort((np.arange(S.shape[1]), -S[i]))
+                    for r, cell in enumerate(order[1:n_probe], start=2):
+                        extra_id.append(ids[i])
+                        extra_cell.append(cell)
+                        extra_crk.append(r)
+                out = {
+                    "vec_id": np.concatenate([out["vec_id"], extra_id]),
+                    "cell": np.concatenate([out["cell"], extra_cell]).astype("int32"),
+                    "crk": np.concatenate([out["crk"], extra_crk]).astype("int32"),
+                }
+            yield pd.DataFrame(out)
+
+    # Persist the assignment: the index build is materialized ONCE and
+    # then consumed four times (probes broadcast, members side, and the
+    # caller's collect + candidate count each re-trigger the DAG) — at
+    # 100 TB this is "build the IVF index, then query it", not a
+    # recompute-per-action. Cleanup via the registry contract.
+    from example_beam_spark.registry import defer_cleanup
+
     ranked = (
-        unit.join(centers)
-        .select(
-            "vec_id",
-            "cell",
-            (_fdot("u", "c") / F.col("c_nrm")).alias("cos_c"),
-        )
-        .withColumn(
-            "crk",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), "cell")
-            ),
-        )
+        emb.select("vec_id", "embedding")
+        .mapInPandas(assign, "vec_id long, cell int, crk int")
+        .persist()
     )
+    defer_cleanup(lambda: ranked.unpersist())
     cells = ranked.filter(F.col("crk") == 1).select("vec_id", "cell")
     probes = ranked.filter(
         (F.col("vec_id") < N_QUERIES) & (F.col("crk") <= nprobe)

@@ -336,41 +336,48 @@ def _semdedup_trained_cells(spark, sf_dir: str, cell_target: int = 500) -> dict:
     dots (no oracle parity needed on a lane). Returns wall, k, pair
     volume and kept fraction."""
     from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import Normalizer
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql import functions as F
 
     from example_beam_spark.operators.curation import SEM_THRESHOLD
-    from example_beam_spark.operators.ivf import KMEANS_SEED, _fdot
+    from example_beam_spark.operators.ivf import KMEANS_SEED
     from example_beam_spark.sources.parquet import load_table
 
     t0 = time.time()
     emb = load_table(spark, sf_dir, "embeddings")
-    base = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).select("vec_id", "v", F.sqrt(_fdot("v", "v")).alias("nrm"))
-    unit = base.select(
-        "vec_id", F.transform("v", lambda x: x / F.col("nrm")).alias("u")
-    )
-    n = unit.count()
+    n = emb.count()
     k = max(8, n // cell_target)
     # deterministic hash-threshold sample (the ivf.py contract); the
     # sample and iteration budget SHRINK as k grows — a k-cell coarse
     # quantizer needs ~tens of points per cell, and kmeans cost is
     # k x sample x dim x iters (the training bill would otherwise grow
     # QUADRATICALLY with corpus size under k ∝ n)
-    sample = unit
+    sample = emb
     sample_cap = min(100_000, 25 * k)
     if n > sample_cap:
         denom = 1_000_000
         thresh = -(-sample_cap * denom // n)
-        sample = unit.filter(
+        sample = emb.filter(
             F.pmod(F.xxhash64("vec_id", F.lit(KMEANS_SEED)), F.lit(denom))
             < F.lit(thresh)
         )
     print(f"# semdedup n={n} k={k} sample<={sample_cap}", flush=True)
+    # JVM-side L2 normalize + random init: the HOF `transform(v, x/nrm)`
+    # projection re-evaluates the nrm aggregate per ELEMENT once
+    # CollapseProject inlines it (a dim x blowup, ~70 s per pass at
+    # 200k x 64 — see operators/ivf.py section comment), and k-means||
+    # init buys nothing for a coarse quantizer.
+    train = Normalizer(inputCol="raw", outputCol="features", p=2.0).transform(
+        sample.select(
+            array_to_vector(F.col("embedding").cast("array<double>")).alias("raw")
+        )
+    ).persist()
     model = KMeans(
-        k=k, seed=KMEANS_SEED, maxIter=3, featuresCol="features"
-    ).fit(sample.select(array_to_vector(F.col("u")).alias("features")))
+        k=k, seed=KMEANS_SEED, maxIter=3, featuresCol="features",
+        initMode="random",
+    ).fit(train)
+    train.unpersist()
     print(f"# semdedup kmeans fitted at {round(time.time()-t0,1)}s", flush=True)
 
     # Cell assignment as a broadcast-centers GEMM (Arrow-batched
@@ -389,16 +396,21 @@ def _semdedup_trained_cells(spark, sf_dir: str, cell_target: int = 500) -> dict:
     def assign(batches):
         CC = bc.value
         for pdf in batches:
-            X = np.stack(pdf["u"].to_numpy())
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            X /= np.linalg.norm(X, axis=1, keepdims=True)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(),
                     "cell": (X @ CC.T).argmax(axis=1).astype("int32"),
-                    "u": pdf["u"],
+                    "u": list(X),
                 }
             )
 
-    cells = unit.mapInPandas(assign, "vec_id long, cell int, u array<double>")
+    cells = emb.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id long, cell int, u array<double>"
+    )
     cells = cells.persist()
     pair_volume = int(
         cells.groupBy("cell")
