@@ -156,6 +156,8 @@ _MODULE_ORDER = [
     "example_beam_spark.operators.behavior",
     "example_beam_spark.operators.corpus_ops",
     "example_beam_spark.operators.olap",
+    # round 8
+    "example_beam_spark.operators.retrieval",
 ]
 
 

@@ -549,3 +549,41 @@ def test_moving_avg_window_runs_on_aggregate(spark):
 
     q = load_registry()["orders_moving_avg_7d"]
     assert num_exchanges(q.fn(spark, "/root/testdata/sf0.01")) == 2
+
+
+def test_bm25_stats_broadcast_bounded_exchanges(spark):
+    """bm25_search: the (n_docs, avgdl) corpus stats and the 3-row idf
+    table must broadcast onto the tf rows (no fact-side shuffle for
+    them), and the isin() query filter runs BEFORE the (doc, term)
+    aggregation so only query-term rows ever shuffle."""
+    q = load_registry()["bm25_search"]
+    df = q.fn(spark, SF)
+    assert has_broadcast_join(df)
+    assert num_exchanges(df) <= 6, num_exchanges(df)
+
+
+def test_dsir_model_broadcast(spark):
+    """dsir_importance_weights: the 256-bucket feature model is a
+    broadcast join against the exploded features — the fact side
+    shuffles only for the per-doc mean."""
+    q = load_registry()["dsir_importance_weights"]
+    df = q.fn(spark, SF)
+    assert has_broadcast_join(df)
+    assert num_exchanges(df) <= 5, num_exchanges(df)
+
+
+def test_substring_coverage_fanout_after_dup_filter(spark):
+    """substring_dup_coverage: the K-per-shingle position explode must
+    sit ABOVE the count>1 duplicate join in the plan (only duplicated
+    spans pay the fan-out), and the whole query is <= 3 exchanges
+    (shingle count agg, dup join, per-doc agg)."""
+    q = load_registry()["substring_dup_coverage"]
+    df = q.fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert num_exchanges(df) <= 3, num_exchanges(df)
+    # executedPlan prints root-first, so the position fan-out (a LATER
+    # op) must appear ABOVE the duplicate-count filter it consumes
+    fanout = plan.find("Generate explode(sequence(i#")
+    dup_filter = plan.find("Filter (cnt#")
+    assert fanout != -1 and dup_filter != -1, plan[:500]
+    assert fanout < dup_filter, (fanout, dup_filter)
