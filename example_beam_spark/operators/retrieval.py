@@ -412,3 +412,149 @@ def substring_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_tokens")
         ).alias("dup_coverage_frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# pagerank_term_graph — power-iteration PageRank over term co-occurrence
+# --------------------------------------------------------------------------
+
+_PR_D = 0.85  # damping (Brin & Page 1998)
+_PR_ITERS = 5  # fixed power-iteration budget (plan unrolled, no collect)
+_PR_MIN_SUP = 5  # co-occurrence support floor for an edge
+
+
+def _pr_oracle() -> str:
+    """Generated nested-CTE oracle: one CTE per power iteration (the
+    same generate-don't-handwrite move as bpe_train_merges)."""
+    its = []
+    for i in range(1, _PR_ITERS + 1):
+        its.append(
+            f"""r{i} AS (
+        SELECT e.dst AS term,
+               (1.0 - {_PR_D}) / (SELECT n FROM nn)
+               + {_PR_D} * CAST(SUM(
+                     CAST(r.pr * e.w / e.wdeg AS DECIMAL(38,6))) AS DOUBLE) AS pr
+        FROM ed e JOIN r{i - 1} r ON r.term = e.src
+        GROUP BY e.dst
+    )"""
+        )
+    chain = ",\n    ".join(its)
+    return f"""
+    WITH td AS (
+        SELECT DISTINCT doc_id, term FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ) WHERE term <> ''
+    ),
+    und AS (
+        SELECT a.term AS src, b.term AS dst,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM td a JOIN td b ON a.doc_id = b.doc_id AND a.term < b.term
+        GROUP BY a.term, b.term HAVING COUNT(*) >= {_PR_MIN_SUP}
+    ),
+    edges AS (
+        SELECT src, dst, w FROM und
+        UNION ALL
+        SELECT dst AS src, src AS dst, w FROM und
+    ),
+    deg AS (
+        SELECT src, CAST(SUM(w) AS BIGINT) AS wdeg FROM edges GROUP BY src
+    ),
+    ed AS (
+        SELECT e.src, e.dst, e.w, d.wdeg FROM edges e JOIN deg d ON d.src = e.src
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+    r0 AS (
+        SELECT src AS term, 1.0 / (SELECT n FROM nn) AS pr FROM deg
+    ),
+    {chain}
+    SELECT term, pr, CAST(rk AS BIGINT) AS rank FROM (
+        SELECT term, pr,
+               ROW_NUMBER() OVER (ORDER BY pr DESC, term) AS rk
+        FROM r{_PR_ITERS}
+    )
+"""
+
+
+@register("pagerank_term_graph", oracle=_pr_oracle())
+def pagerank_term_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (Brin & Page 1998 — the original retrieval ranking
+    algorithm) over the term co-occurrence graph: nodes are vocabulary
+    terms, undirected edges are term pairs co-occurring in >=
+    _PR_MIN_SUP distinct documents WEIGHTED by that co-occurrence count
+    (the standard weighted-PR extension — without weights this corpus's
+    dense co-occurrence graph is regular and PR collapses to the
+    uniform vector), and 5 damped power iterations run
+    as an UNROLLED DataFrame plan (no driver loop state, no collect —
+    the iteration count is a literal, so the whole computation is one
+    lazy plan, mirrored by a generated nested-CTE oracle).
+
+    Cross-engine exactness: each iteration's contribution sum passes
+    through the DECIMAL(38,6) quantized sum (order-independent); the
+    teleport term and the r*w/wdeg contributions are single IEEE
+    operations on
+    identical inputs, written with identical association in both
+    engines — so the doubles agree bit-for-bit, no ln anywhere.
+
+    100-TB design: this IS the edge-partitioned power-iteration shape
+    (Pregel-on-DataFrames): the weighted-degree column is folded into the edge
+    list ONCE before the loop and the edge frame is persisted (reused
+    by every iteration); each iteration is exactly one shuffle keyed by
+    dst (partial+final sum) plus a broadcast of the one-row node count.
+    At real scale ranks and edges co-partition by key (bucketing), and
+    the iteration count stays a fixed budget or a convergence check on
+    an aggregate — never per-node driver logic. Same round-budget
+    posture as dedup_cluster_canonical's large-star/small-star CC
+    (measured O(log n) across two decades in the stress lane)."""
+    from example_beam_spark.registry import defer_cleanup
+
+    docs = load_table(spark, sf_dir, "documents")
+    td = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    b = td.select(F.col("doc_id").alias("d2"), F.col("term").alias("t2"))
+    und = (
+        td.join(b, (F.col("doc_id") == F.col("d2")) & (F.col("term") < F.col("t2")))
+        .groupBy(F.col("term").alias("src"), F.col("t2").alias("dst"))
+        .agg(F.count("*").cast("long").alias("w"))
+        .filter(F.col("w") >= _PR_MIN_SUP)
+    )
+    edges = und.unionAll(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    deg = edges.groupBy("src").agg(F.sum("w").cast("long").alias("wdeg"))
+    ed = edges.join(deg, "src").persist()
+    defer_cleanup(lambda: ed.unpersist())
+    nn = F.broadcast(deg.agg(F.count("*").cast("long").alias("n")))
+    r = deg.crossJoin(nn).select(
+        F.col("src").alias("term"), (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(_PR_ITERS):
+        r = (
+            ed.join(r, ed.src == r.term)
+            .groupBy("dst")
+            .agg(
+                F.sum(
+                    (F.col("pr") * F.col("w") / F.col("wdeg")).cast(
+                        "decimal(38,6)"
+                    )
+                )
+                .cast("double")
+                .alias("s")
+            )
+            .crossJoin(nn)
+            .select(
+                F.col("dst").alias("term"),
+                (
+                    F.lit(1.0 - _PR_D) / F.col("n") + F.lit(_PR_D) * F.col("s")
+                ).alias("pr"),
+            )
+        )
+    w = Window.orderBy(F.desc("pr"), "term")
+    return r.select(
+        "term", "pr", F.row_number().over(w).cast("long").alias("rank")
+    )

@@ -587,3 +587,19 @@ def test_substring_coverage_fanout_after_dup_filter(spark):
     dup_filter = plan.find("Filter (cnt#")
     assert fanout != -1 and dup_filter != -1, plan[:500]
     assert fanout < dup_filter, (fanout, dup_filter)
+
+
+def test_pagerank_edges_cached_per_iteration(spark):
+    """pagerank_term_graph: every power iteration must read the
+    persisted (edge, weighted-degree) frame from cache — exactly
+    _PR_ITERS InMemoryTableScans, so the co-occurrence graph build is
+    never recomputed inside the loop. The node-count frame broadcasts."""
+    from example_beam_spark.operators.retrieval import _PR_ITERS
+
+    q = load_registry()["pagerank_term_graph"]
+    df = q.fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") == _PR_ITERS, plan.count(
+        "InMemoryTableScan"
+    )
+    assert has_broadcast_join(df)
