@@ -158,6 +158,7 @@ _MODULE_ORDER = [
     "example_beam_spark.operators.olap",
     # round 8
     "example_beam_spark.operators.retrieval",
+    "example_beam_spark.operators.graphtext",
 ]
 
 

@@ -603,3 +603,35 @@ def test_pagerank_edges_cached_per_iteration(spark):
         "InMemoryTableScan"
     )
     assert has_broadcast_join(df)
+
+
+def test_tf_cosine_query_postings_broadcast(spark):
+    """tf_cosine_topk: the query-doc postings side must broadcast (the
+    corpus postings never shuffle toward a tiny query set), and the
+    plan must contain no cartesian product — candidates come only from
+    the term equi-join."""
+    q = load_registry()["tf_cosine_topk"]
+    df = q.fn(spark, SF)
+    assert has_broadcast_join(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:500]
+
+
+def test_triangle_wedges_close_with_semi_join(spark):
+    """triangle_count_terms: wedges must close via a LEFT SEMI equi-join
+    on the oriented edge list (never a materializing inner join whose
+    duplicates would double-count), and the degree annotations must
+    ride broadcast joins."""
+    q = load_registry()["triangle_count_terms"]
+    df = q.fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan[:500]
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in plan, plan[:500]
+
+
+def test_markov_row_totals_broadcast(spark):
+    """events_markov_transitions: the per-from row-total join is a
+    <=|types|-row aggregate and must broadcast back onto the matrix."""
+    q = load_registry()["events_markov_transitions"]
+    assert has_broadcast_join(q.fn(spark, SF))
