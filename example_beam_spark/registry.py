@@ -159,6 +159,7 @@ _MODULE_ORDER = [
     # round 8
     "example_beam_spark.operators.retrieval",
     "example_beam_spark.operators.graphtext",
+    "example_beam_spark.streaming.markov_stream",
 ]
 
 

@@ -46,7 +46,7 @@ def test_corpus_lane_all_entries_converge(spark, tmp_path):
     sketches, and zero rows dropped as late on the time-ordered
     schedule."""
     results = run_lane(SF_DIR, 8, spark)
-    assert len(results) == 12
+    assert len(results) == 13
     for r in results:
         assert r["match"], r
     by = {r["entry"]: r for r in results}
@@ -77,6 +77,13 @@ def test_corpus_lane_all_entries_converge(spark, tmp_path):
     assert by["hll_distinct_users_stream"]["state_peak"] <= 16
     assert by["value_quantile_histogram_stream"]["state_peak"] <= 64
     assert by["events_weekly_drift_stream"]["state_peak"] <= 40
+
+    # events_markov_stream keeps ONE state row per user ever (last-event
+    # state, NoTimeout): peak == final == distinct users, no eviction —
+    # the O(1)-per-key posture as a measured number
+    mk = by["events_markov_stream"]
+    assert mk["state_peak"] == mk["state_final"], mk
+    assert mk["state_peak"] <= 15, mk  # sf0.001 has 15 distinct users
 
     # the time-ordered chunk schedule must never drop a row as late —
     # the exact hazard the staging-order gate exists to prevent

@@ -635,3 +635,24 @@ def test_markov_row_totals_broadcast(spark):
     <=|types|-row aggregate and must broadcast back onto the matrix."""
     q = load_registry()["events_markov_transitions"]
     assert has_broadcast_join(q.fn(spark, SF))
+
+
+def test_label_propagation_edges_cached_per_iteration(spark):
+    """label_propagation_terms: every LPA iteration must read the
+    persisted symmetrized (edge, weight) frame from cache, and the
+    converged labels must themselves be cached so the community-size
+    branch does not re-execute the iteration chain. Printed-tree
+    arithmetic: the top level scans the persisted LABELS relation twice
+    (final join + sizes branch), and each of those scans re-prints the
+    relation's build plan, which embeds the l0-init edge scan and the
+    _LP_ITERS per-iteration edge scans — print re-embeddings of the ONE
+    cached build (the pagerank_term_graph Exchange-count note), so the
+    string count is 2 * (1 + _LP_ITERS) + 2."""
+    from example_beam_spark.operators.graphtext import _LP_ITERS
+
+    q = load_registry()["label_propagation_terms"]
+    df = q.fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = plan.count("InMemoryTableScan")
+    assert n == 2 * (1 + _LP_ITERS) + 2, n
+    assert has_broadcast_join(df)

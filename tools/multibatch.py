@@ -360,6 +360,12 @@ def state_summary() -> dict:
 #   so any batching yields the same final sketch.
 # - events_weekly_drift_stream: weekly counts are windowed sums (the
 #   ctr argument), and the drift comparison runs on the drained finals.
+# - events_markov_stream: per-user LAST-EVENT state reconstructs the
+#   one cross-batch boundary pair; chunks are split on the global
+#   (ts, event_id) sort, so per-user cross-batch order equals the batch
+#   sort and every consecutive pair is emitted exactly once. Its state
+#   is ONE row per user ever (NoTimeout, no eviction): peak == final ==
+#   distinct users — the O(1)-state posture measured, not argued.
 EXACT_EXTRA_ENTRIES = [
     "ctr_fixed_capped_stream",
     "ctr_sliding_total_stream",
@@ -368,6 +374,7 @@ EXACT_EXTRA_ENTRIES = [
     "hll_distinct_users_stream",
     "value_quantile_histogram_stream",
     "events_weekly_drift_stream",
+    "events_markov_stream",
 ]
 
 
