@@ -141,12 +141,59 @@ def linear_ops(reg, spark, zipf_dir: str, unif_dir: str) -> dict:
     return out
 
 
+def _hist_percentiles(hist: list[tuple[int, int]], ps: list[float]) -> list[float]:
+    """Exact linear-interpolation percentiles from a (value, count)
+    histogram — the same definition as SQL percentile(), computed from
+    the distributed histogram instead of shipping every row to one
+    reducer."""
+    hist = sorted(hist)
+    n = sum(c for _, c in hist)
+    out = []
+    for p in ps:
+        pos = p * (n - 1)
+        lo_i, hi_i = int(pos), min(int(pos) + 1, n - 1)
+        frac = pos - int(pos)
+        vals = []
+        cum = 0
+        for v, c in hist:
+            if cum <= lo_i < cum + c:
+                vals.append(v)
+            if cum <= hi_i < cum + c:
+                vals.append(v)
+                if len(vals) == 2:
+                    break
+            cum += c
+        lo_v, hi_v = vals[0], vals[-1]
+        out.append(lo_v + (hi_v - lo_v) * frac)
+    return out
+
+
 def carry_distribution(spark, sf_dir: str, tag: str) -> dict:
     """The events_attribution_position carried-list length per row,
     computed exactly with a running COUNT (O(1)/row — no list ever
     materializes), plus the 7-day-lookback click count per purchase
     (the credit fan-out). Together these are the operator's memory and
-    output volumes as pure numbers."""
+    output volumes as pure numbers.
+
+    Two scale fixes this measurement itself needed on the zipf corpus
+    (found when the first full run DID NOT FINISH — the head key made
+    the lane's own plan quadratic):
+
+    - NO range-frame window. Spark's sliding range frame re-aggregates
+      the whole frame per row (SlidingWindowFunctionFrame is not
+      incremental), so ``count(...) over (range between -7d and now)``
+      on the 800k-row head user costs O(rows x frame) ~= 1.5e11
+      evaluations — it did not finish in 25 minutes. The lookback count
+      is instead computed with the PROBE-UNION running-count trick (the
+      as-of-join rewrite): per purchase, two probe rows (at t and at
+      t-7d) ride the user's click timeline, a running count (row frame
+      — incremental) prices each probe, and lookback = rc(t) -
+      rc(t-7d^-). All row frames, O(n log n) per key.
+    - NO single-reducer exact percentile. percentile() ships every row
+      into one ObjectHashAggregate buffer; the carried values are small
+      ints, so a distributed (value, count) histogram + driver-side
+      interpolation is exact and scan-shaped.
+    """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -158,28 +205,70 @@ def carry_distribution(spark, sf_dir: str, tag: str) -> dict:
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    look_w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.unix_micros(F.col("ts")))
-        .rangeBetween(-ATTR_WINDOW_US, 0)
-    )
     is_click = F.when(F.col("event_type") == "click", 1)
     base = ev.select(
         "user_id",
         "event_type",
         F.count(is_click).over(run_w).alias("carried"),
-        F.count(is_click).over(look_w).alias("in_lookback"),
     )
     agg = base.agg(
         F.sum("carried").alias("total_carry_elems"),
         F.max("carried").alias("max_carried"),
-        F.expr("percentile(carried, array(0.5, 0.99))").alias("carried_pct"),
-        F.sum(F.when(F.col("event_type") == "purchase", F.col("in_lookback"))).alias(
-            "credit_fanout_rows"
-        ),
-        F.max(F.when(F.col("event_type") == "purchase", F.col("in_lookback"))).alias(
-            "max_touches_per_purchase"
-        ),
+    ).collect()[0]
+    hist = [
+        (int(r["carried"]), int(r["cnt"]))
+        for r in base.groupBy("carried").agg(F.count("*").alias("cnt")).collect()
+    ]
+    p50, p99 = _hist_percentiles(hist, [0.5, 0.99])
+
+    # probe-union lookback: clicks (pri=1) + per-purchase lower probe at
+    # t-7d (pri=0: clicks AT t-7d are inside the inclusive frame, so the
+    # "strictly before" count must not include them) and upper probe at
+    # t (pri=2: same-instant clicks are inside the frame)
+    us = F.unix_micros(F.col("ts"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        us.alias("t_us"),
+        F.lit(1).alias("pri"),
+        F.lit(1).alias("is_click"),
+        F.lit(None).cast("long").alias("pid"),
+    )
+    pur = ev.filter(F.col("event_type") == "purchase")
+    lo = pur.select(
+        "user_id",
+        (us - ATTR_WINDOW_US).alias("t_us"),
+        F.lit(0).alias("pri"),
+        F.lit(0).alias("is_click"),
+        F.col("event_id").alias("pid"),
+    )
+    up = pur.select(
+        "user_id",
+        us.alias("t_us"),
+        F.lit(2).alias("pri"),
+        F.lit(0).alias("is_click"),
+        F.col("event_id").alias("pid"),
+    )
+    rc_w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "pri")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    timeline = clicks.unionAll(lo).unionAll(up).select(
+        "pid", "pri", F.sum("is_click").over(rc_w).alias("rc")
+    )
+    per_purchase = (
+        timeline.filter(F.col("pid").isNotNull())
+        .groupBy("pid")
+        .agg(
+            (
+                F.sum(F.when(F.col("pri") == 2, F.col("rc")))
+                - F.sum(F.when(F.col("pri") == 0, F.col("rc")))
+            ).alias("in_lookback")
+        )
+    )
+    fan = per_purchase.agg(
+        F.sum("in_lookback").alias("credit_fanout_rows"),
+        F.max("in_lookback").alias("max_touches_per_purchase"),
     ).collect()[0]
     clicks_head = (
         ev.filter(F.col("event_type") == "click")
@@ -192,10 +281,10 @@ def carry_distribution(spark, sf_dir: str, tag: str) -> dict:
         "tag": tag,
         "total_carry_elems": int(agg["total_carry_elems"]),
         "max_carried": int(agg["max_carried"]),
-        "carried_p50": float(agg["carried_pct"][0]),
-        "carried_p99": float(agg["carried_pct"][1]),
-        "credit_fanout_rows": int(agg["credit_fanout_rows"]),
-        "max_touches_per_purchase": int(agg["max_touches_per_purchase"]),
+        "carried_p50": float(p50),
+        "carried_p99": float(p99),
+        "credit_fanout_rows": int(fan["credit_fanout_rows"]),
+        "max_touches_per_purchase": int(fan["max_touches_per_purchase"]),
         "head_user_clicks": int(clicks_head),
     }
 
@@ -208,10 +297,20 @@ def quadratic_ops(reg, spark, zipf1m: str, unif1m: str) -> dict:
 
     out: dict = {"section": "quadratic_ops_1m", "queries": {}}
     confs = {
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256KB",
+        # 64KB, not 256KB: the hot user's COMPRESSED click partition at
+        # the 1M slice is a few hundred KB, and skew detection compares
+        # compressed MapStatus bytes — 256KB missed it, 64KB catches it
+        # (and the split then halves the zipf wall, recorded in NOTES)
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
         "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # AQE splits a skewed reduce partition by MAP-OUTPUT ranges, so
+        # the single-file 1M slice must scan as MANY mappers (the
+        # tests/test_plans.py real-operator pin's caveat): at the
+        # default 128MB split the whole file is one mapper and the hot
+        # partition is unsplittable no matter how skewed
+        "spark.sql.files.maxPartitionBytes": "1048576",
     }
     saved = {k: spark.conf.get(k, None) for k in confs}
     try:
