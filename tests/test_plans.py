@@ -656,3 +656,15 @@ def test_label_propagation_edges_cached_per_iteration(spark):
     n = plan.count("InMemoryTableScan")
     assert n == 2 * (1 + _LP_ITERS) + 2, n
     assert has_broadcast_join(df)
+
+
+def test_mad_median_tables_broadcast(spark):
+    """events_anomaly_mad: the per-type median/MAD tables are |types|-row
+    aggregates and must broadcast back onto the events scan — the only
+    fact-side shuffles are the two per-type sort windows."""
+    q = load_registry()["events_anomaly_mad"]
+    df = q.fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, plan[:800]
