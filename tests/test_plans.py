@@ -668,3 +668,16 @@ def test_mad_median_tables_broadcast(spark):
     assert has_broadcast_join(df)
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan, plan[:800]
+
+
+def test_pmi_topk_is_takeordered(spark):
+    """bigram_collocations_pmi: the top-50 cut must compile to
+    TakeOrdered (per-partition heaps) with the rank window running on
+    the 50-row result, and the unigram/total joins must broadcast."""
+    from example_beam_spark.plans import explain_formatted
+
+    q = load_registry()["bigram_collocations_pmi"]
+    df = q.fn(spark, SF)
+    plan = explain_formatted(df)
+    assert "TakeOrdered" in plan, plan[:800]
+    assert has_broadcast_join(df)
