@@ -109,11 +109,14 @@ def events_markov_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = pairs.groupBy("from_type", "to_type").agg(
         F.count("*").cast("long").alias("n")
     )
-    tot = cnt.groupBy("from_type").agg(F.sum("n").cast("long").alias("row_total"))
-    return cnt.join(F.broadcast(tot), "from_type").select(
+    # window-sum row totals (see the batch twin: a groupBy + join-back
+    # would re-execute the counting branch for the totals)
+    from pyspark.sql import Window
+
+    w_tot = Window.partitionBy("from_type")
+    return cnt.select(
         "from_type",
         "to_type",
         "n",
-        "row_total",
-        (F.col("n") / F.col("row_total").cast("double")).alias("p"),
-    )
+        F.sum("n").over(w_tot).cast("long").alias("row_total"),
+    ).withColumn("p", F.col("n") / F.col("row_total").cast("double"))

@@ -630,11 +630,17 @@ def test_triangle_wedges_close_with_semi_join(spark):
     assert "CartesianProduct" not in plan, plan[:500]
 
 
-def test_markov_row_totals_broadcast(spark):
-    """events_markov_transitions: the per-from row-total join is a
-    <=|types|-row aggregate and must broadcast back onto the matrix."""
+def test_markov_row_totals_are_window_sum(spark):
+    """events_markov_transitions: the per-from row totals must be a
+    window-sum OVER the matrix (a groupBy + join-back would re-embed
+    and re-execute the whole window+agg lineage for the totals branch).
+    Three exchanges: the user window, the partial+final matrix agg, and
+    the |types|-row totals window."""
     q = load_registry()["events_markov_transitions"]
-    assert has_broadcast_join(q.fn(spark, SF))
+    df = q.fn(spark, SF)
+    assert num_exchanges(df) <= 3, num_exchanges(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") >= 2  # lead() + totals window
 
 
 def test_label_propagation_edges_cached_per_iteration(spark):
