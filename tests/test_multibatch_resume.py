@@ -30,6 +30,10 @@ ENTRIES = [
     "enrich_stream_stream_join",
     "lookup_cache_join_stream",
     "ctr_custom_window_stream",
+    # O(1)-state append-mode entry: the replayed batch must OVERWRITE
+    # its own pair output (run_to_append's batch-id contract) and the
+    # last-event state must restore so the boundary pair is not doubled
+    "events_markov_stream",
 ]
 
 
