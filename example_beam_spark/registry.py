@@ -160,6 +160,7 @@ _MODULE_ORDER = [
     "example_beam_spark.operators.retrieval",
     "example_beam_spark.operators.graphtext",
     "example_beam_spark.streaming.markov_stream",
+    "example_beam_spark.streaming.cusum_stream",
 ]
 
 

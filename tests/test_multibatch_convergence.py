@@ -46,7 +46,7 @@ def test_corpus_lane_all_entries_converge(spark, tmp_path):
     sketches, and zero rows dropped as late on the time-ordered
     schedule."""
     results = run_lane(SF_DIR, 8, spark)
-    assert len(results) == 13
+    assert len(results) == 14
     for r in results:
         assert r["match"], r
     by = {r["entry"]: r for r in results}
@@ -84,6 +84,11 @@ def test_corpus_lane_all_entries_converge(spark, tmp_path):
     mk = by["events_markov_stream"]
     assert mk["state_peak"] == mk["state_final"], mk
     assert mk["state_peak"] <= 15, mk  # sf0.001 has 15 distinct users
+
+    # events_cusum_stream keeps one (R, minR, counters) row per event
+    # TYPE ever — constant state at any SF
+    cs = by["events_cusum_stream"]
+    assert cs["state_peak"] == cs["state_final"] == 5, cs
 
     # the time-ordered chunk schedule must never drop a row as late —
     # the exact hazard the staging-order gate exists to prevent

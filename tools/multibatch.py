@@ -366,6 +366,11 @@ def state_summary() -> dict:
 #   sort and every consecutive pair is emitted exactly once. Its state
 #   is ONE row per user ever (NoTimeout, no eviction): peak == final ==
 #   distinct users — the O(1)-state posture measured, not argued.
+# - events_cusum_stream: the (R, minR) carry is a pure function of the
+#   per-key (ts, event_id)-ordered prefix, which time-ordered chunks
+#   preserve across batches (the markov argument); arithmetic is exact
+#   integer micro-units, so no accumulation drift either. State is one
+#   row per event TYPE ever (5 rows at any SF).
 EXACT_EXTRA_ENTRIES = [
     "ctr_fixed_capped_stream",
     "ctr_sliding_total_stream",
@@ -375,6 +380,7 @@ EXACT_EXTRA_ENTRIES = [
     "value_quantile_histogram_stream",
     "events_weekly_drift_stream",
     "events_markov_stream",
+    "events_cusum_stream",
 ]
 
 
