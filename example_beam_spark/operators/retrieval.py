@@ -425,14 +425,21 @@ _PR_MIN_SUP = 5  # co-occurrence support floor for an edge
 
 def _pr_oracle() -> str:
     """Generated nested-CTE oracle: one CTE per power iteration (the
-    same generate-don't-handwrite move as bpe_train_merges)."""
+    same generate-don't-handwrite move as bpe_train_merges).
+
+    Literals are CAST to DOUBLE explicitly: DuckDB parses a bare 1.0 /
+    0.85 as DECIMAL and evaluates (1.0 - 0.85) EXACTLY as 0.15, while
+    Spark's lit(1.0 - 0.85) is the double 0.15000000000000002 — a 1-ulp
+    teleport difference that compounds through the iterations (found by
+    the full-precision comparator audit; the .9g normalizer hid it)."""
     its = []
     for i in range(1, _PR_ITERS + 1):
         its.append(
             f"""r{i} AS (
         SELECT e.dst AS term,
-               (1.0 - {_PR_D}) / (SELECT n FROM nn)
-               + {_PR_D} * CAST(SUM(
+               (CAST(1.0 AS DOUBLE) - CAST({_PR_D} AS DOUBLE))
+                   / (SELECT n FROM nn)
+               + CAST({_PR_D} AS DOUBLE) * CAST(SUM(
                      CAST(r.pr * e.w / e.wdeg AS DECIMAL(38,6))) AS DOUBLE) AS pr
         FROM ed e JOIN r{i - 1} r ON r.term = e.src
         GROUP BY e.dst
@@ -465,7 +472,7 @@ def _pr_oracle() -> str:
     ),
     nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
     r0 AS (
-        SELECT src AS term, 1.0 / (SELECT n FROM nn) AS pr FROM deg
+        SELECT src AS term, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS pr FROM deg
     ),
     {chain}
     SELECT term, pr, CAST(rk AS BIGINT) AS rank FROM (
