@@ -18,6 +18,10 @@ partly fiction). After timing, each query's Spark row count is checked
 against DuckDB running the registered oracle SQL on the same parquet;
 mismatches are listed in a "tainted_queries" field and the process exits
 non-zero so the driver can see the run is partially invalid.
+
+A "control" block (round 9) carries the run's own machine-noise bar:
+five warm re-runs of the plan-frozen q1_pricing_summary. Cross-round
+wall comparisons should be read relative to the control medians.
 """
 
 from __future__ import annotations
@@ -72,6 +76,30 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # Machine-noise control (round-9 verdict #5): the bench series crept
+    # 11.2 → 13.2 s cold over r6-r8 with zero code changes to the headline
+    # queries — attributed to machine load via ad-hoc old-commit re-runs
+    # recorded only in NOTES. Make the control part of the artifact: five
+    # warm re-runs of q1_pricing_summary (graded-window position 11,
+    # plan-frozen since round 1 — any cross-round wall change on it is
+    # environment, not code). A future round separates code from machine
+    # by comparing its control median against this one before reading
+    # anything into the headline totals.
+    control_runs: list[float] = []
+    q1 = reg["q1_pricing_summary"]
+    for _ in range(5):
+        t0 = time.perf_counter()
+        q1.fn(spark, sf_dir).count()
+        control_runs.append(round(time.perf_counter() - t0, 3))
+    control = {
+        "query": "q1_pricing_summary",
+        "runs": control_runs,
+        "min": min(control_runs),
+        "median": sorted(control_runs)[len(control_runs) // 2],
+        "max": max(control_runs),
+    }
+    print(f"# control q1_pricing_summary warm x5: {control_runs}", file=sys.stderr)
+
     # Taint guard (outside the timed section): a timing only counts if the
     # query computed the right thing — check each row count against DuckDB
     # running the same oracle SQL on the same parquet.
@@ -115,6 +143,7 @@ def main() -> None:
                 "queries": timings,
                 "queries_warm": warm,
                 "warm_total": round(sum(warm.values()), 3),
+                "control": control,
                 "sf": sf,
                 "tainted_queries": tainted,
             }

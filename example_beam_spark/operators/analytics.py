@@ -525,61 +525,75 @@ def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per (purchase, click-in-7-day-lookback) with position weights
     40/20/40.
 
-    100-TB design: same single-pass shape as
-    ``events_attribution_last_touch`` — NO purchases⋈clicks range join
-    (whose candidate volume scales with clicks-per-window). One window
-    per user carries the click list forward (collect_list over
-    rows-unbounded-preceding — per-key state bounded by per-user click
-    history, which the growth model keeps constant as users scale), the
-    lookback filter and position weighting are map-side HOFs, and the
-    credit fan-out is explode geometry planned before any per-credit
-    work. The carried list is explicitly sorted by (cts, cid) in both
-    engines so no frame-order assumption is load-bearing."""
+    100-TB design (the round-9 O(1)-state rewrite): a BUCKETED
+    purchases⋈clicks equi-join replaces the per-user carried click list.
+    The round-8 form carried the FULL per-user click history in a
+    collect_list window (rows-unbounded-preceding) — the skew lane
+    measured that carry at 159,796 elements for the zipf head user
+    (105.3B carried elements total, p99 139,749; NOTES r8 batch 6),
+    i.e. per-row state proportional to a user's lifetime clicks. Here
+    clicks and purchases are keyed by (user_id, 7-day time bucket);
+    every in-window click lies in the purchase's own bucket or the one
+    before (lookback = bucket width), so each purchase probes exactly
+    two bucket keys and candidate volume is ≤ 2× the true pair output —
+    the information-theoretic floor for an operator that EMITS one row
+    per pair. No per-row array anywhere: touch_pos / n_touches come
+    from row_number / count windows partitioned by purchase_id, whose
+    group size IS the output group size (bounded by clicks-per-window,
+    not lifetime history). Skew: the head user's events spread across
+    (user, bucket) keys — time parallelism the single-user window could
+    never have — and per-purchase windows are per-purchase-parallel.
+    The listform twin (``events_attribution_position_listform``,
+    operators/scaleops.py) keeps the round-8 plan registered against
+    the same oracle for comparison."""
     ev = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = ev.select(
-        "event_id",
+    clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id",
-        "ts",
-        "value",
-        "event_type",
-        F.collect_list(
-            F.when(
-                F.col("event_type") == "click",
-                F.struct(F.col("ts").alias("cts"), F.col("event_id").alias("cid")),
-            )
-        ).over(w).alias("raw"),
+        F.col("ts").alias("cts"),
+        F.col("event_id").alias("cid"),
+        F.floor(F.unix_micros("ts") / _ATTR_WINDOW_US).alias("tb"),
     )
-    pur = carried.filter(F.col("event_type") == "purchase").select(
+    pb = F.floor(F.unix_micros("ts") / _ATTR_WINDOW_US)
+    pur = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         "user_id",
         F.col("ts").alias("purchase_ts"),
         "value",
-        F.sort_array(
-            F.filter(
-                "raw",
-                lambda c: F.unix_micros(F.col("ts")) - F.unix_micros(c["cts"])
-                <= _ATTR_WINDOW_US,
-            )
-        ).alias("wins"),
+        F.explode(F.array(pb, pb - 1)).alias("tb"),
     )
-    cred = pur.select(
+    # In-window = before the purchase in the oracle's (ts, event_id)
+    # carry order AND within the 7-day lookback (same-µs clicks count
+    # only when their event_id sorts before the purchase's).
+    wins = pur.join(clicks, ["user_id", "tb"]).filter(
+        (
+            F.unix_micros("purchase_ts") - F.unix_micros("cts")
+            <= _ATTR_WINDOW_US
+        )
+        & (
+            (F.col("cts") < F.col("purchase_ts"))
+            | (
+                (F.col("cts") == F.col("purchase_ts"))
+                & (F.col("cid") < F.col("purchase_id"))
+            )
+        )
+    )
+    wp = Window.partitionBy("purchase_id")
+    cred = wins.select(
         "purchase_id",
         "user_id",
         "value",
-        F.size("wins").cast("long").alias("n_touches"),
-        F.posexplode("wins").alias("pos", "c"),
+        "cts",
+        F.col("cid").alias("click_id"),
     ).select(
         "purchase_id",
         "user_id",
         "value",
-        "n_touches",
-        (F.col("pos") + 1).cast("long").alias("touch_pos"),
-        F.col("c.cid").alias("click_id"),
+        "click_id",
+        F.count("*").over(wp).cast("long").alias("n_touches"),
+        F.row_number()
+        .over(wp.orderBy("cts", "click_id"))
+        .cast("long")
+        .alias("touch_pos"),
     )
     k, i = F.col("n_touches"), F.col("touch_pos")
     weight = (

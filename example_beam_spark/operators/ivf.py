@@ -424,8 +424,16 @@ def ivf_trained_frames(
     # coarse quantizer cannot use — profiled at 200k vectors / k=80:
     # 149 s (k-means||, uncached) → 8.5 s (cached + random init),
     # identical recall through the tests/test_ann_trained.py gate.
-    # Deterministic: fixed seed, hash-threshold sample. Unpersist is
-    # synchronous-safe (fit has consumed the frame).
+    # Determinism contract: fixed seed + hash-threshold sample pins the
+    # training SET, but initMode='random' draws its k init points
+    # per-partition — the resulting centroids (hence IVF cells and lane
+    # timings/recall) are only reproducible for a fixed partitioning of
+    # the sample. A different file layout / maxPartitionBytes /
+    # parallelism can shift the init and yield different (still
+    # recall-gated) cells; correctness is unaffected (oracle=None +
+    # recall gate), reproduction of recorded numbers requires the same
+    # layout. Unpersist is synchronous-safe (fit has consumed the
+    # frame).
     train = Normalizer(inputCol="raw", outputCol="features", p=2.0).transform(
         sample.select(
             array_to_vector(F.col("embedding").cast("array<double>")).alias("raw")

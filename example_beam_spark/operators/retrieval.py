@@ -49,7 +49,15 @@ compared output is integer columns + the rank (doc_id tie-break) —
 the raw ln()-bearing double score is deliberately NOT a compared
 column (ln rounding is not guaranteed identical across engines; same
 documented delta as ``doc_lm_predictability``'s mean-probability
-choice). DSIR's per-feature importance ratio is an exact integer-count
+choice). Residual hazard: the compared rank is still ORDERED by that
+score, so a 1-ulp ln() divergence landing exactly on a 0.5e-6
+DECIMAL(38,6) HALF_UP quantization boundary could flip a per-term
+contribution and, if two docs' sums then cross, the rank (~1e-10 per
+term; tools/strict_verify.py would surface it only on the fixture it
+runs). Accepted as-is: an ln-free monotone surrogate ordering (the
+bigram_collocations_pmi trick) does not compose across multi-term
+SUMS, so the fix would change the operator's semantics, not just its
+arithmetic. DSIR's per-feature importance ratio is an exact integer-count
 rational evaluated as one double division, and the per-doc mean uses
 the decimal-sum machinery (``sql_davg``) — bit-exact, no ln.
 """

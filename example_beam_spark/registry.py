@@ -161,6 +161,8 @@ _MODULE_ORDER = [
     "example_beam_spark.operators.graphtext",
     "example_beam_spark.streaming.markov_stream",
     "example_beam_spark.streaming.cusum_stream",
+    # round 9
+    "example_beam_spark.operators.scaleops",
 ]
 
 

@@ -133,8 +133,16 @@ def _prepare_stream_session(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if _SAVED_SHUFFLE is None:
         _SAVED_SHUFFLE = spark.conf.get("spark.sql.shuffle.partitions")
+    # EBS_STREAM_SHUFFLE overrides the cores default: state-store
+    # instances (and their per-micro-batch open/commit) scale with this
+    # count, so bounded-corpus drains are measured cheaper below cores
+    # (tools/time_surface.py lane) — production sizes it to state
+    # volume instead.
     spark.conf.set(
-        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+        "spark.sql.shuffle.partitions",
+        os.environ.get(
+            "EBS_STREAM_SHUFFLE", str(spark.sparkContext.defaultParallelism)
+        ),
     )
     # RocksDB state store: state lives off-heap/on-disk, so executor state
     # volume is bounded by disk, not memory — the provider production runs
@@ -736,15 +744,30 @@ def read_events_stream_flushed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # micro-batch (a watermark update takes effect one batch later, and
     # stateful eviction one batch after that). When the members are
     # provably time-ordered, one file per trigger gives the full
-    # multi-batch schedule; when they are not, fall back to ALL members
+    # multi-batch schedule. When they are not, fall back to ALL members
     # in the first batch (maxFilesPerTrigger = n_members picks the n
     # oldest files, i.e. every member, since sentinels are forced
     # newest) — the watermark then only advances after the whole corpus
-    # is processed, so no in-order row can be dropped as late, and the
-    # two sentinels still get their own flush batches.
-    trigger_files = (
-        1 if _staged_files_time_ordered(d) else max(n_members, 1)
-    )
+    # is processed, so no in-order row can be dropped as late. On THIS
+    # path, though, n_members ≥ 2 means the trigger admits BOTH sentinel
+    # files into one micro-batch, so the one-batch-per-sentinel invariant
+    # does not hold: the final eviction relies on Spark's post-watermark
+    # no-data micro-batch (noDataMicroBatches, default true) actually
+    # running before availableNow terminates — assert it is enabled so a
+    # session that disabled it fails loudly here, not with stranded state.
+    ordered = _staged_files_time_ordered(d)
+    if not ordered:
+        assert (
+            spark.conf.get(
+                "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+            ).lower()
+            == "true"
+        ), (
+            "unordered staging layout: final sentinel flush depends on the "
+            "post-watermark no-data micro-batch, but "
+            "spark.sql.streaming.noDataMicroBatches.enabled is false"
+        )
+    trigger_files = 1 if ordered else max(n_members, 1)
     df = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", trigger_files)

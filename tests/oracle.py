@@ -16,8 +16,15 @@ from example_beam_spark.schemas import TABLES
 
 
 def run_oracle(sql: str, sf_dir: str):
+    import os
+
     con = duckdb.connect()
     for name in TABLES:
+        # Lane corpora (tools/skew_lane.py) carry only the tables the
+        # lane's queries touch; skip absent files so events-only sf_dirs
+        # can be oracle-checked (full fixtures always have all tables).
+        if not os.path.exists(f"{sf_dir}/{name}.parquet"):
+            continue
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
         )

@@ -1,0 +1,226 @@
+"""Round-9 scale-rewrite pins.
+
+Three rewrites replaced (or twinned) operators whose round-8 plans broke
+at skewed/huge inputs; these tests pin the parts the sf-fixture oracle
+sweep can't see:
+
+* boundary semantics on CONSTRUCTED corpora — sessions/lookbacks placed
+  exactly ON bucket edges, gap edges, and same-microsecond ties, where
+  the bucketed forms could silently diverge from the single-window
+  forms (the oracle fixtures hit these edges only by luck);
+* physical-plan shape — the attribution rewrite must carry NO per-row
+  list (no collect_list anywhere in the plan), the salted sessionizer
+  must exchange on (user_id, bucket) — time-parallel — before its
+  summary pass;
+* the neardup band-width ladder — the Python ladder and the oracle's
+  SQL CASE must agree at every power-of-two boundary, or Spark and
+  DuckDB would bucket with different r and the driver compare would
+  explode in a way no small fixture reveals.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from example_beam_spark.operators.analytics import events_attribution_position
+from example_beam_spark.operators.relational import sessionize_events
+from example_beam_spark.operators.scaleops import (
+    _SESSION_BUCKET_US,
+    events_attribution_position_listform,
+    sessionize_events_salted,
+)
+from example_beam_spark.operators.similarity import (
+    _NEARDUP_MAX_R,
+    _NEARDUP_R_SQL,
+    NEARDUP_TARGET_BUCKET,
+    neardup_band_bits,
+)
+
+US = 1_000_000
+MIN = 60 * US
+HOUR = 3600 * US
+DAY = 24 * HOUR
+BASE = 1_704_067_200 * US  # 2024-01-01 UTC — a whole multiple of 6 h,
+# so bucket edges land at BASE + k * _SESSION_BUCKET_US exactly
+GAP = 30 * MIN
+
+assert BASE % _SESSION_BUCKET_US == 0
+
+
+def _write_events(tmp_path, rows):
+    """rows: (event_id, ts_us, user_id, event_type, value)."""
+    d = tmp_path / "corpus"
+    d.mkdir(exist_ok=True)
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([float(r[4]) for r in rows], pa.float64()),
+            "props": pa.nulls(len(rows), pa.string()),
+        }
+    )
+    pq.write_table(table, str(d / "events.parquet"))
+    return str(d)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# --------------------------------------------------------------------------
+# salted sessionization — bucket-edge and gap-edge scenarios
+# --------------------------------------------------------------------------
+
+
+def test_sessionize_salted_boundaries(spark, tmp_path):
+    """Constructed sessions placed exactly on the hazards: the salted
+    two-phase plan must equal the single-window plan row-for-row."""
+    B = _SESSION_BUCKET_US
+    rows = []
+    # user 1: two events 29m59.999999s apart STRADDLING a bucket edge
+    # (gap < 30 min across buckets -> ONE session, merged in phase 2)
+    rows += [(1, BASE + B - MIN, 1, "view", 1.0), (2, BASE + B + 29 * MIN - 1, 1, "view", 1.0)]
+    # user 2: gap EXACTLY 30 min across a bucket edge — oracle uses
+    # strict '>', so exactly-30min is the SAME session
+    rows += [(3, BASE + 2 * B - MIN, 2, "view", 1.0), (4, BASE + 2 * B - MIN + GAP, 2, "view", 1.0)]
+    # user 3: gap of 30 min + 1 µs across a bucket edge — NEW session
+    rows += [(5, BASE + 3 * B - MIN, 3, "view", 1.0), (6, BASE + 3 * B - MIN + GAP + 1, 3, "view", 1.0)]
+    # user 4: one session spanning FOUR buckets (events every 20 min
+    # for 20 h) — k-1 boundary merges must chain
+    rows += [
+        (100 + i, BASE + i * 20 * MIN, 4, "view", 0.5) for i in range(60)
+    ]
+    # user 5: silence of a full empty bucket (> 6 h) -> new session
+    rows += [(200, BASE + MIN, 5, "view", 1.0), (201, BASE + 2 * B + MIN, 5, "view", 1.0)]
+    # user 6: same-microsecond tie at a bucket edge (event_id breaks the
+    # order), then a third event within gap
+    rows += [
+        (300, BASE + 4 * B, 6, "view", 1.0),
+        (301, BASE + 4 * B, 6, "click", 2.0),
+        (302, BASE + 4 * B + GAP, 6, "view", 3.0),
+    ]
+    # user 7: multiple sessions inside ONE bucket plus a cross-edge merge
+    rows += [
+        (400, BASE + 5 * B + MIN, 7, "view", 1.0),
+        (401, BASE + 5 * B + MIN + GAP + 1, 7, "view", 1.0),  # new (intra)
+        (402, BASE + 6 * B - MIN, 7, "view", 1.0),  # new (intra)
+        (403, BASE + 6 * B + MIN, 7, "view", 1.0),  # merges across edge
+    ]
+    sf = _write_events(tmp_path, rows)
+    assert _rows(sessionize_events_salted(spark, sf)) == _rows(
+        sessionize_events(spark, sf)
+    )
+
+
+def test_sessionize_salted_plan_is_time_parallel(spark, sf_dir):
+    """The event-sorting window must be keyed by (user_id, bucket) — the
+    head user's events sort on many cores. A (user_id, bucket) exchange
+    must exist, and the only full-events window sort must carry bucket
+    in its partition spec (the user_id-alone window runs over bucket
+    SUMMARIES, and the final groupBy exchange is on (user_id,
+    session_id) — both fine)."""
+    plan = (
+        sessionize_events_salted(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    spots = [
+        plan[i : i + 80]
+        for i in range(len(plan))
+        if plan.startswith("hashpartitioning(user_id", i)
+    ]
+    assert any("bucket" in s for s in spots), spots
+    # every Window over (ts, event_id) — the full-events island pass —
+    # is partitioned by both user_id and bucket
+    import re
+
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\], \[ts#\d+ ASC", plan):
+        assert "bucket" in m.group(1), m.group(0)[:120]
+
+
+# --------------------------------------------------------------------------
+# attribution rewrite — lookback-edge scenarios + no-list plan pin
+# --------------------------------------------------------------------------
+
+
+def test_attribution_rewrite_boundaries(spark, tmp_path):
+    """The bucketed-join rewrite vs the carried-list form on constructed
+    lookback edges: both must agree row-for-row."""
+    W = 7 * DAY
+    rows = []
+    # user 1: click exactly AT pts - 7d (inclusive — counted), click at
+    # pts - 7d - 1µs (outside), click in the PREVIOUS bucket, click
+    # same-µs as the purchase with smaller/larger event_id
+    p_ts = BASE + 10 * DAY
+    rows += [
+        (1, p_ts - W, 1, "click", 0.0),        # exactly on the edge: in
+        (2, p_ts - W - 1, 1, "click", 0.0),    # 1µs outside: out
+        (3, p_ts - 1 * DAY, 1, "click", 0.0),  # same bucket as purchase
+        (4, p_ts, 1, "click", 0.0),            # same µs, id < purchase: in
+        (9, p_ts, 1, "purchase", 100.0),
+        (10, p_ts, 1, "click", 0.0),           # same µs, id > purchase: out
+    ]
+    # user 2: purchase with zero clicks in window -> not emitted
+    rows += [(20, BASE, 2, "click", 0.0), (21, BASE + 8 * DAY, 2, "purchase", 50.0)]
+    # user 3: two purchases sharing clicks; clicks straddle the
+    # purchase's bucket edge (bucket width == lookback width)
+    rows += [
+        (30, BASE + 6 * DAY, 3, "click", 0.0),
+        (31, BASE + 7 * DAY + HOUR, 3, "click", 0.0),
+        (32, BASE + 8 * DAY, 3, "purchase", 10.0),
+        (33, BASE + 13 * DAY, 3, "purchase", 20.0),
+    ]
+    sf = _write_events(tmp_path, rows)
+    got = _rows(events_attribution_position(spark, sf))
+    want = _rows(events_attribution_position_listform(spark, sf))
+    assert got == want
+    # spot-check the inclusion set for user 1's purchase: clicks 1, 3, 4
+    u1 = [r for r in got if r[0] == 9]
+    assert sorted(r[2] for r in u1) == [1, 3, 4]
+    assert all(r[3] == 3 for r in u1)  # n_touches
+
+
+def test_attribution_plan_carries_no_list(spark, sf_dir):
+    """The registered plan must contain NO collect_list (the r8 carried
+    list hit 159,796 elements at the zipf head) and must exchange on
+    (user_id, tb) — the time-parallel join key."""
+    plan = (
+        events_attribution_position(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "collect_list" not in plan
+    # the purchases⋈clicks join is keyed by (user_id, tb) — realized as
+    # a broadcast-hash join when one side is fixture-small (even
+    # better), a (user_id, tb)-exchanged sort-merge join at scale
+    import re
+
+    assert re.search(r"Join \[user_id#\d+L?, tb#", plan), plan[:400]
+    # the per-credit windows group by purchase_id (output-sized groups)
+    assert "hashpartitioning(purchase_id" in plan
+
+
+# --------------------------------------------------------------------------
+# neardup band-width ladder — Python vs SQL CASE at every boundary
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("r", range(6, _NEARDUP_MAX_R + 1))
+def test_neardup_ladder_matches_sql(r):
+    con = duckdb.connect()
+    for n in (
+        NEARDUP_TARGET_BUCKET << r,        # last n at width r (or cap)
+        (NEARDUP_TARGET_BUCKET << r) + 1,  # first n at width r+1
+    ):
+        got_sql = con.execute(
+            f"SELECT {_NEARDUP_R_SQL} FROM (SELECT {n} AS cnt)"
+        ).fetchone()[0]
+        assert got_sql == neardup_band_bits(n), (n, got_sql)
+    con.close()

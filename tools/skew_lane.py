@@ -130,7 +130,12 @@ def timed_count(df) -> tuple[float, int]:
 
 def linear_ops(reg, spark, zipf_dir: str, unif_dir: str) -> dict:
     out: dict = {"section": "linear_ops_10m", "queries": {}}
-    for name in ("sessionize_events", "events_funnel", "events_attribution_last_touch"):
+    for name in (
+        "sessionize_events",
+        "sessionize_events_salted",
+        "events_funnel",
+        "events_attribution_last_touch",
+    ):
         row = {}
         for tag, d in (("zipf", zipf_dir), ("uniform", unif_dir)):
             sec, n = timed_count(reg[name].fn(spark, d))
@@ -169,10 +174,14 @@ def _hist_percentiles(hist: list[tuple[int, int]], ps: list[float]) -> list[floa
 
 
 def carry_distribution(spark, sf_dir: str, tag: str) -> dict:
-    """The events_attribution_position carried-list length per row,
-    computed exactly with a running COUNT (O(1)/row — no list ever
-    materializes), plus the 7-day-lookback click count per purchase
-    (the credit fan-out). Together these are the operator's memory and
+    """The carried-list length per row of the carried-list attribution
+    plan (events_attribution_position_listform since round 9 — these
+    numbers are what forced the registered plan's bucketed-join
+    rewrite), computed exactly with a running COUNT (O(1)/row — no
+    list ever materializes), plus the 7-day-lookback click count per
+    purchase (the credit fan-out; this is ALSO the rewrite's per-
+    purchase window group size, i.e. the rewrite's worst-case per-key
+    working set). Together these are the operator's memory and
     output volumes as pure numbers.
 
     Two scale fixes this measurement itself needed on the zipf corpus
@@ -316,7 +325,16 @@ def quadratic_ops(reg, spark, zipf1m: str, unif1m: str) -> dict:
     try:
         for k, v in confs.items():
             spark.conf.set(k, v)
-        for name in ("enrich_time_range_join", "events_attribution_position"):
+        # events_attribution_position is the round-9 bucketed-join
+        # rewrite (O(1) per-row state); _listform is the retired
+        # carried-list plan — same oracle, same output, so their zipf
+        # walls here are a like-for-like plan comparison on an output
+        # that is inherently quadratic in head density.
+        for name in (
+            "enrich_time_range_join",
+            "events_attribution_position",
+            "events_attribution_position_listform",
+        ):
             row = {}
             for tag, d in (("zipf", zipf1m), ("uniform", unif1m)):
                 df = reg[name].fn(spark, d)
@@ -346,6 +364,40 @@ def quadratic_ops(reg, spark, zipf1m: str, unif1m: str) -> dict:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+    return out
+
+
+def oracle_on_skew(reg, spark, zipf100k: str) -> dict:
+    """Round-9 verdict #7: the graded corpus is uniform — prove the
+    affected REGISTERED entries stay value-exact on zipf-skewed input,
+    not just fast. Runs each events-only entry against its own DuckDB
+    oracle on a 100k zipf slice (small enough that the collect-compare
+    and the attribution pair fan-out stay driver-safe) and records the
+    wall next to the verdict."""
+    from tests.oracle import assert_matches_oracle
+
+    out: dict = {"section": "oracle_on_zipf_100k", "queries": {}}
+    for name in (
+        "sessionize_events",
+        "sessionize_events_salted",
+        "events_funnel",
+        "events_attribution_last_touch",
+        "events_attribution_position",
+        "events_attribution_position_listform",
+        "events_markov_transitions",
+        "events_cusum_alarms",
+        "enrich_time_range_join",
+        "session_path_topk",
+    ):
+        q = reg[name]
+        t0 = time.time()
+        try:
+            assert_matches_oracle(q.fn(spark, zipf100k), q.oracle, zipf100k, name)
+            row = {"match": True, "sec": round(time.time() - t0, 2)}
+        except AssertionError as e:
+            row = {"match": False, "err": str(e)[:200]}
+        out["queries"][name] = row
+        print(f"# oracle_zipf {name}: {json.dumps(row)}", flush=True)
     return out
 
 
@@ -436,6 +488,9 @@ def main() -> None:
     unif1m = slice_corpus(
         unif_dir, os.path.join(args.out_dir, "uniform_1m"), SLICE_EVENTS
     )
+    zipf100k = slice_corpus(
+        zipf_dir, os.path.join(args.out_dir, "zipf_100k"), 100_000
+    )
 
     spark = get_spark(app_name="skew_lane")
     reg = load_registry()
@@ -446,6 +501,8 @@ def main() -> None:
         print(json.dumps({"section": "carry_distribution_10m", **carry_distribution(spark, d, tag)}))
     drain_cleanups()
     print(json.dumps(quadratic_ops(reg, spark, zipf1m, unif1m)))
+    drain_cleanups()
+    print(json.dumps(oracle_on_skew(reg, spark, zipf100k)))
     drain_cleanups()
     print(json.dumps(stream_join_salted_vs_not(spark, zipf1m)))
 

@@ -193,7 +193,11 @@ def candidate_volumes(spark, sf_dir: str) -> dict[str, int]:
         shingles,
         shingles_raw,
     )
-    from example_beam_spark.operators.similarity import _bucket_expr_spark
+    from example_beam_spark.operators.similarity import (
+        NEARDUP_BANDS,
+        _band_key_expr,
+        neardup_band_bits,
+    )
     from example_beam_spark.sources.parquet import load_table
 
     docs = load_table(spark, sf_dir, "documents")
@@ -228,9 +232,17 @@ def candidate_volumes(spark, sf_dir: str) -> dict[str, int]:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # banded form (round 9): candidate PROBES = Σ over (band, key) of
+    # c(c-1)/2 — an upper bound on distinct candidate pairs (a pair
+    # agreeing in k bands is probed k times, deduped before verify)
+    r = neardup_band_bits(emb.count())
     eb = (
-        emb.select(_bucket_expr_spark().alias("bucket"))
-        .groupBy("bucket")
+        emb.select(
+            F.posexplode(
+                F.array(*[_band_key_expr(b, r) for b in range(NEARDUP_BANDS)])
+            ).alias("band", "bkey")
+        )
+        .groupBy("band", "bkey")
         .agg(F.count("*").alias("c"))
         .agg(F.sum(F.expr("c * (c - 1) / 2")).alias("pairs"))
         .collect()[0]["pairs"]
@@ -258,6 +270,7 @@ def candidate_volumes(spark, sf_dir: str) -> dict[str, int]:
         "minhash_bucket_pairs": int(mh),
         "ppjoin_prefix_pairs": int(pp),
         "embedding_bucket_pairs": int(eb),
+        "neardup_band_bits": r,
         "ivf_cells": int(cell_sizes["n_cells"]),
         "ivf_max_cell": int(cell_sizes["mx"]),
         "ivf_avg_cell": round(float(cell_sizes["avg"]), 1),
@@ -521,6 +534,46 @@ def ann_second_decade(out_dir: str) -> None:
         drain_cleanups()
 
         row["semdedup_scaled_k"] = _semdedup_trained_cells(spark, d)
+        drain_cleanups()
+
+        # round-9: embedding_neardup_pairs through its second decade —
+        # the banded-LSH acceptance criterion is candidate probes and
+        # found pairs growing ~linearly with n (bucket occupancy held
+        # constant by the band-width ladder), the same criterion
+        # dedup_minhash_lsh passed at 500k docs.
+        from example_beam_spark.operators.similarity import (
+            NEARDUP_BANDS,
+            _band_key_expr,
+            neardup_band_bits,
+        )
+        from pyspark.sql import functions as F
+
+        emb = load_table(spark, d, "embeddings")
+        r_bits = neardup_band_bits(n)
+        t0 = time.time()
+        probes = (
+            emb.select(
+                F.posexplode(
+                    F.array(
+                        *[_band_key_expr(b, r_bits) for b in range(NEARDUP_BANDS)]
+                    )
+                ).alias("band", "bkey")
+            )
+            .groupBy("band", "bkey")
+            .agg(F.count("*").alias("c"))
+            .agg(F.sum(F.expr("c * (c - 1) / 2")).alias("pairs"))
+            .collect()[0]["pairs"]
+        )
+        probe_sec = round(time.time() - t0, 2)
+        t0 = time.time()
+        found = reg["embedding_neardup_pairs"].fn(spark, d).count()
+        row["neardup"] = {
+            "band_bits": r_bits,
+            "candidate_probes": int(probes),
+            "probe_count_sec": probe_sec,
+            "found_pairs": int(found),
+            "full_op_sec": round(time.time() - t0, 2),
+        }
         drain_cleanups()
         result["scales"].append(row)
         print(f"# {tag}: {json.dumps(row)}", flush=True)
