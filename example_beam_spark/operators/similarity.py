@@ -421,37 +421,44 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a parquet-footer count, not a data scan.
     r = neardup_band_bits(emb.count())
     base = emb.select("vec_id", "embedding", norm_dec("embedding").alias("nrm"))
-    keys = base.select(
+    # Embeddings RIDE the band explode (4n signature rows carrying the
+    # array), the self-join is keyed (band, bkey), and the cosine is a
+    # map-side projection on the streamed join output — probe rows are
+    # never sorted or shuffled with arrays attached. The first shape of
+    # this rewrite deduped id-only pairs FIRST and joined the arrays
+    # back per side: each join re-sorted tens of millions of
+    # array-laden rows and spilled the disk dry at the 200k lane
+    # (UnsafeExternalSorter, no-space-left) — here the only array sorts
+    # are the 4n-row join SIDES, and the pair-dedup shuffle carries
+    # near-DUPS (post-threshold skinny rows), not candidates.
+    banded = base.select(
         "vec_id",
+        "embedding",
+        "nrm",
         F.posexplode(
             F.array(*[_band_key_expr(b, r) for b in range(NEARDUP_BANDS)])
         ).alias("band", "bkey"),
     )
-    cand = (
-        keys.withColumnRenamed("vec_id", "vec_a")
-        .join(keys.select(F.col("vec_id").alias("vec_b"), "band", "bkey"),
-              ["band", "bkey"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .groupBy("vec_a", "vec_b")
-        .agg(F.count("*").cast("long").alias("n_bands"))
-    )
-    a = base.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"),
-    )
-    b = base.select(
+    right = banded.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
+        "band",
+        "bkey",
     )
-    cos = dot_dec("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b"))
-    return (
-        cand.join(a, "vec_a")
-        .join(b, "vec_b")
-        .select("vec_a", "vec_b", "n_bands", cos.alias("cosine"))
-        .filter(F.col("cosine") >= NEARDUP_THRESHOLD)
+    probes = banded.withColumnRenamed("vec_id", "vec_a").join(
+        right, ["band", "bkey"]
+    ).filter(F.col("vec_a") < F.col("vec_b"))
+    cos = dot_dec("embedding", "emb_b") / (F.col("nrm") * F.col("nrm_b"))
+    scored = probes.select("vec_a", "vec_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= NEARDUP_THRESHOLD
     )
+    # a pair agreeing in k bands was scored k times with the identical
+    # quantized cosine; count the bands, keep one value
+    return scored.groupBy("vec_a", "vec_b").agg(
+        F.count("*").cast("long").alias("n_bands"),
+        F.min("cosine").alias("cosine"),
+    ).select("vec_a", "vec_b", "n_bands", "cosine")
 
 
 # --------------------------------------------------------------------------

@@ -163,6 +163,7 @@ _MODULE_ORDER = [
     "example_beam_spark.streaming.cusum_stream",
     # round 9
     "example_beam_spark.operators.scaleops",
+    "example_beam_spark.streaming.repeat_stream",
 ]
 
 

@@ -115,7 +115,9 @@ def _staged_files_time_ordered(d: str) -> bool:
     return True
 
 
-def _prepare_stream_session(spark: SparkSession) -> None:
+def _prepare_stream_session(
+    spark: SparkSession, shuffle_partitions: int | None = None
+) -> None:
     """Session prep shared by every streaming entry. Besides UTC, size
     ``spark.sql.shuffle.partitions`` — which fixes the state-store
     partition count at checkpoint creation — to the available cores: the
@@ -133,15 +135,22 @@ def _prepare_stream_session(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if _SAVED_SHUFFLE is None:
         _SAVED_SHUFFLE = spark.conf.get("spark.sql.shuffle.partitions")
-    # EBS_STREAM_SHUFFLE overrides the cores default: state-store
+    # Partition sizing per the tools/drain_tuning.py matrix: state-store
     # instances (and their per-micro-batch open/commit) scale with this
-    # count, so bounded-corpus drains are measured cheaper below cores
-    # (tools/time_surface.py lane) — production sizes it to state
-    # volume instead.
+    # count. PYTHON-stateful drains (applyInPandasWithState — custom
+    # window, lookup cache, funnel, markov, cusum, repeat) are
+    # CPU-bound in the Arrow/Python kernel and want all cores (8
+    # partitions measured 14.8 → 29.9 s on the custom window);
+    # JVM-stateful drains on this bounded corpus (stream-stream join,
+    # session_window) are store-machinery-bound and want FEW instances
+    # (12.9 → 4.6 s and 5.0 → 2.5 s at 8) — those entries pass
+    # shuffle_partitions explicitly. EBS_STREAM_SHUFFLE overrides both
+    # for lane sweeps; production sizes to state volume, not cores.
     spark.conf.set(
         "spark.sql.shuffle.partitions",
         os.environ.get(
-            "EBS_STREAM_SHUFFLE", str(spark.sparkContext.defaultParallelism)
+            "EBS_STREAM_SHUFFLE",
+            str(shuffle_partitions or spark.sparkContext.defaultParallelism),
         ),
     )
     # RocksDB state store: state lives off-heap/on-disk, so executor state
@@ -266,11 +275,15 @@ def state_rows_series(progress: list[dict] | None = None) -> list[dict]:
     return out
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, shuffle_partitions: int | None = None
+) -> DataFrame:
     """Streaming read of the events table — the footer-negotiated encoding
     branch (ns shim vs native TimestampType) is picked BEFORE building the
-    readStream schema, so batch and streaming reads cannot drift."""
-    _prepare_stream_session(spark)
+    readStream schema, so batch and streaming reads cannot drift.
+    ``shuffle_partitions`` sizes the state-store instance count for this
+    drain (see _prepare_stream_session)."""
+    _prepare_stream_session(spark, shuffle_partitions)
     schema, shim = events_read_schema(spark, sf_dir)
     d = _stage_dir(sf_dir, "events")
     reader = spark.readStream.schema(schema)
@@ -673,7 +686,9 @@ _SENTINEL_USER = -1
 _SENTINEL_TS_SECONDS = 4102444800
 
 
-def read_events_stream_flushed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream_flushed(
+    spark: SparkSession, sf_dir: str, shuffle_partitions: int | None = None
+) -> DataFrame:
     """Like :func:`read_events_stream`, but the staging dir also carries a
     far-future *sentinel* event (user_id = -1, ts = year 2100). Session
     windows only support append output, which emits a session when the
@@ -683,7 +698,7 @@ def read_events_stream_flushed(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark past everything; availableNow's multi-batch executor then
     runs the extra flush batch. Callers must drop sentinel rows AFTER
     withWatermark (unsplittable CASE predicate — see harness module doc)."""
-    _prepare_stream_session(spark)
+    _prepare_stream_session(spark, shuffle_partitions)
     schema, shim = events_read_schema(spark, sf_dir)
     d = _stage_dir(sf_dir, "events", variant="+sentinel")
     # TWO sentinel files at increasing times, read as separate micro-batches
@@ -800,9 +815,11 @@ def enrich_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_stream_time_range_join,
     )
 
-    ev = read_events_stream_flushed(spark, sf_dir).withColumnRenamed(
-        "ts", "event_time"
-    )
+    # JVM-stateful drain: store machinery, not CPU, is the cost — 8
+    # store instances measured 12.9 → 4.6 s (tools/drain_tuning.py)
+    ev = read_events_stream_flushed(
+        spark, sf_dir, shuffle_partitions=min(8, spark.sparkContext.defaultParallelism)
+    ).withColumnRenamed("ts", "event_time")
     # ONE shared watermark node, then watermark-anchored CASE filters fork
     # the two sides. Two separate withWatermark calls would create two
     # watermark operators whose maxes must BOTH advance for the global
@@ -871,9 +888,11 @@ def sessionize_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     two events exactly gap apart start a NEW session (windows [t, t+gap)
     merge only when they properly overlap), hence the >= in the oracle's
     session-break predicate."""
-    ev = read_events_stream_flushed(spark, sf_dir).withColumnRenamed(
-        "ts", "event_time"
-    )
+    # JVM-stateful drain: 8 store instances measured 5.0 → 2.5 s
+    # (tools/drain_tuning.py; same reasoning as enrich_stream_stream_join)
+    ev = read_events_stream_flushed(
+        spark, sf_dir, shuffle_partitions=min(8, spark.sparkContext.defaultParallelism)
+    ).withColumnRenamed("ts", "event_time")
     ev = ev.withWatermark("event_time", "1 hour")
     # Drop the sentinel AFTER the watermark node; the CASE-shaped predicate
     # is watermark-anchored so Catalyst can't push it below EventTimeWatermark.

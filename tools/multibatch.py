@@ -371,6 +371,15 @@ def state_summary() -> dict:
 #   preserve across batches (the markov argument); arithmetic is exact
 #   integer micro-units, so no accumulation drift either. State is one
 #   row per event TYPE ever (5 rows at any SF).
+# - enrich_repeat_stream: the emission schedule is a pure function of
+#   the per-key (ts, event_id)-ordered element sequence (chain anchors,
+#   tick grid, deaths — streaming/repeat_stream.py's determinism
+#   contract). Time-ordered chunks preserve that order; in-batch ticks
+#   fire eagerly (final under in-order delivery) and tail ticks fire on
+#   the event-time timeout as the watermark advances between batches —
+#   neither depends on WHERE the batch boundaries fall. State is four
+#   scalars per live chain, and every chain dies within ttl of its last
+#   element, so the drain ends at zero state rows.
 EXACT_EXTRA_ENTRIES = [
     "ctr_fixed_capped_stream",
     "ctr_sliding_total_stream",
@@ -381,6 +390,7 @@ EXACT_EXTRA_ENTRIES = [
     "events_weekly_drift_stream",
     "events_markov_stream",
     "events_cusum_stream",
+    "enrich_repeat_stream",
 ]
 
 
