@@ -43,6 +43,8 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -388,6 +390,64 @@ _NEARDUP_ORACLE = f"""
 """
 
 
+# HOF-vs-kernel crossover for the signature computation: the literal-
+# array zip_with/aggregate form wins at fixture scale (no Python worker,
+# no Arrow transfer), but its per-element interpreted cost dominates at
+# lane scale — the ann2m lane measured the 2M-vector signature pass at
+# 681 s (60 hyperplanes × 64 dims × 2M rows of HOF lambda steps). Above
+# _KERNEL_MIN_ROWS the band keys come from an Arrow-batched numpy
+# kernel instead: FLOOR((x·s)·1e12) summed in int64 is the SAME exact
+# integer arithmetic (float64 ops are IEEE-identical, the sum is
+# integer), so the two paths are bit-equal — pinned by
+# tests/test_scaleops.py::test_neardup_kernel_equals_hof and by the
+# lane running the kernel against the md5-in-SQL oracle derivation.
+_KERNEL_MIN_ROWS = 100_000
+
+
+def _band_keys_kernel(r: int):
+    """Arrow pandas_udf: embedding → array<long> of NEARDUP_BANDS band
+    keys (hyperplane j = band·r + bit, same md5 signs, same quantized
+    projection as :func:`_band_key_expr`)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    total = NEARDUP_BANDS * r
+    S = np.array(
+        [[_sign(j, i) for i in range(1, _MAX_DIM + 1)] for j in range(total)]
+    )
+    scale = float(_SCALE.rstrip("D"))
+
+    @pandas_udf("array<long>")
+    def keys(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack(emb.to_numpy()).astype(np.float64)
+        d = X.shape[1]
+        out = np.zeros((len(X), NEARDUP_BANDS), dtype=np.int64)
+        for j in range(total):
+            # ((x * s) * 1e12) floored — the HOF's exact op order; every
+            # step is an IEEE double op, the sum is exact int64
+            p = (
+                np.floor((X * S[j, :d]) * scale)
+                .astype(np.int64)
+                .sum(axis=1)
+            )
+            band, bit = divmod(j, r)
+            out[:, band] |= (p >= 0).astype(np.int64) << bit
+        return pd.Series(list(out))
+
+    return keys
+
+
+def band_keys_array(r: int, n_rows: int) -> Column:
+    """array<long> of the NEARDUP_BANDS band keys for the ``embedding``
+    column — HOF literal-array form below _KERNEL_MIN_ROWS, Arrow numpy
+    kernel above (bit-equal; see crossover comment)."""
+    if n_rows >= _KERNEL_MIN_ROWS:
+        return _band_keys_kernel(r)(F.col("embedding"))
+    return F.array(*[_band_key_expr(b, r) for b in range(NEARDUP_BANDS)])
+
+
 def _band_key_expr(band: int, r: int) -> Column:
     """r-bit band key from hyperplanes band·r .. band·r+r-1 (literal
     sign arrays; same quantized projection as _bucket_expr_spark)."""
@@ -419,7 +479,8 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread_small_input(load_table(spark, sf_dir, "embeddings"), spark)
     # One count job prices the band-width ladder; at real scale this is
     # a parquet-footer count, not a data scan.
-    r = neardup_band_bits(emb.count())
+    n_rows = emb.count()
+    r = neardup_band_bits(n_rows)
     base = emb.select("vec_id", "embedding", norm_dec("embedding").alias("nrm"))
     # Embeddings RIDE the band explode (4n signature rows carrying the
     # array), the self-join is keyed (band, bkey), and the cosine is a
@@ -435,9 +496,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "embedding",
         "nrm",
-        F.posexplode(
-            F.array(*[_band_key_expr(b, r) for b in range(NEARDUP_BANDS)])
-        ).alias("band", "bkey"),
+        F.posexplode(band_keys_array(r, n_rows)).alias("band", "bkey"),
     )
     right = banded.select(
         F.col("vec_id").alias("vec_b"),

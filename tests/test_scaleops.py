@@ -224,3 +224,29 @@ def test_neardup_ladder_matches_sql(r):
         ).fetchone()[0]
         assert got_sql == neardup_band_bits(n), (n, got_sql)
     con.close()
+
+
+def test_neardup_kernel_equals_hof(spark):
+    """The Arrow numpy band-key kernel must be BIT-EQUAL to the HOF
+    literal-array form — FLOOR((x·s)·1e12) int64 sums are the same IEEE
+    double ops in both, so any mismatch is a real encoding bug (sign
+    indexing, op order, dim slicing)."""
+    from pyspark.sql import functions as F
+
+    from example_beam_spark.operators.similarity import (
+        NEARDUP_BANDS,
+        _band_key_expr,
+        _band_keys_kernel,
+    )
+    from example_beam_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    for r in (6, 13):  # fixture width and a lane-regime width
+        hof = F.array(*[_band_key_expr(b, r) for b in range(NEARDUP_BANDS)])
+        both = emb.select(
+            "vec_id",
+            hof.alias("hof"),
+            _band_keys_kernel(r)(F.col("embedding")).alias("kern"),
+        )
+        bad = both.filter(F.col("hof") != F.col("kern")).count()
+        assert bad == 0, f"r={r}: {bad} rows diverge"

@@ -194,8 +194,7 @@ def candidate_volumes(spark, sf_dir: str) -> dict[str, int]:
         shingles_raw,
     )
     from example_beam_spark.operators.similarity import (
-        NEARDUP_BANDS,
-        _band_key_expr,
+        band_keys_array,
         neardup_band_bits,
     )
     from example_beam_spark.sources.parquet import load_table
@@ -235,12 +234,11 @@ def candidate_volumes(spark, sf_dir: str) -> dict[str, int]:
     # banded form (round 9): candidate PROBES = Σ over (band, key) of
     # c(c-1)/2 — an upper bound on distinct candidate pairs (a pair
     # agreeing in k bands is probed k times, deduped before verify)
-    r = neardup_band_bits(emb.count())
+    n_vecs = emb.count()
+    r = neardup_band_bits(n_vecs)
     eb = (
         emb.select(
-            F.posexplode(
-                F.array(*[_band_key_expr(b, r) for b in range(NEARDUP_BANDS)])
-            ).alias("band", "bkey")
+            F.posexplode(band_keys_array(r, n_vecs)).alias("band", "bkey")
         )
         .groupBy("band", "bkey")
         .agg(F.count("*").alias("c"))
@@ -542,8 +540,7 @@ def ann_second_decade(out_dir: str) -> None:
         # constant by the band-width ladder), the same criterion
         # dedup_minhash_lsh passed at 500k docs.
         from example_beam_spark.operators.similarity import (
-            NEARDUP_BANDS,
-            _band_key_expr,
+            band_keys_array,
             neardup_band_bits,
         )
         from pyspark.sql import functions as F
@@ -553,11 +550,7 @@ def ann_second_decade(out_dir: str) -> None:
         t0 = time.time()
         probes = (
             emb.select(
-                F.posexplode(
-                    F.array(
-                        *[_band_key_expr(b, r_bits) for b in range(NEARDUP_BANDS)]
-                    )
-                ).alias("band", "bkey")
+                F.posexplode(band_keys_array(r_bits, n)).alias("band", "bkey")
             )
             .groupBy("band", "bkey")
             .agg(F.count("*").alias("c"))
