@@ -34,6 +34,11 @@ ENTRIES = [
     # its own pair output (run_to_append's batch-id contract) and the
     # last-event state must restore so the boundary pair is not doubled
     "events_markov_stream",
+    # timer-grid entry: the crash lands with live chains (next_tick +
+    # cached element in state, an event-time timeout registered); the
+    # resumed drain must replay the failed batch's eager ticks exactly
+    # once and re-arm the timeout so tail ticks still fire
+    "enrich_repeat_stream",
 ]
 
 
