@@ -388,6 +388,7 @@ def oracle_on_skew(reg, spark, zipf100k: str) -> dict:
         "events_cusum_alarms",
         "enrich_time_range_join",
         "session_path_topk",
+        "enrich_repeat_stream",
     ):
         q = reg[name]
         t0 = time.time()
@@ -471,6 +472,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out-dir", default="/tmp/spark_graft_skew")
     ap.add_argument("--events", type=int, default=N_EVENTS)
+    ap.add_argument(
+        "--sections",
+        nargs="*",
+        default=["linear", "carry", "quadratic", "oracle", "stream"],
+        help="subset of lane sections to run (corpora are cached, so a "
+        "single section re-runs in minutes)",
+    )
     args = ap.parse_args()
 
     from example_beam_spark.registry import drain_cleanups, load_registry
@@ -495,16 +503,21 @@ def main() -> None:
     spark = get_spark(app_name="skew_lane")
     reg = load_registry()
 
-    print(json.dumps(linear_ops(reg, spark, zipf_dir, unif_dir)))
-    drain_cleanups()
-    for tag, d in (("zipf", zipf_dir), ("uniform", unif_dir)):
-        print(json.dumps({"section": "carry_distribution_10m", **carry_distribution(spark, d, tag)}))
-    drain_cleanups()
-    print(json.dumps(quadratic_ops(reg, spark, zipf1m, unif1m)))
-    drain_cleanups()
-    print(json.dumps(oracle_on_skew(reg, spark, zipf100k)))
-    drain_cleanups()
-    print(json.dumps(stream_join_salted_vs_not(spark, zipf1m)))
+    if "linear" in args.sections:
+        print(json.dumps(linear_ops(reg, spark, zipf_dir, unif_dir)))
+        drain_cleanups()
+    if "carry" in args.sections:
+        for tag, d in (("zipf", zipf_dir), ("uniform", unif_dir)):
+            print(json.dumps({"section": "carry_distribution_10m", **carry_distribution(spark, d, tag)}))
+        drain_cleanups()
+    if "quadratic" in args.sections:
+        print(json.dumps(quadratic_ops(reg, spark, zipf1m, unif1m)))
+        drain_cleanups()
+    if "oracle" in args.sections:
+        print(json.dumps(oracle_on_skew(reg, spark, zipf100k)))
+        drain_cleanups()
+    if "stream" in args.sections:
+        print(json.dumps(stream_join_salted_vs_not(spark, zipf1m)))
 
 
 if __name__ == "__main__":
