@@ -199,3 +199,47 @@ def sessionize_events_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         dsum("value", "session_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Stats-driven sessionize dispatch
+# --------------------------------------------------------------------------
+# The round-9 skew lane left the plan choice to documentation: the
+# registered single-window form is ~2.2x faster on uniform users but
+# 3.98x slower on a zipf head (the head user's sort serializes on one
+# core); the salted two-phase form holds 1.47x on zipf but pays the
+# summary merge on uniform. The dispatch probe below prices the choice
+# with ONE summary-sized job — a column-pruned scan of user_id with a
+# map-side-combined count (shuffle rows = distinct users per partition,
+# like the neardup r-ladder count pre-pass) — and picks the salted plan
+# only when the heaviest user owns more than _SKEW_HEAD_SHARE of all
+# events (i.e. when a single core would serialize >1% of the sort).
+
+_SKEW_HEAD_SHARE = 0.01
+
+
+def sessionize_head_share(ev: DataFrame) -> float:
+    """max per-user event share — the dispatch statistic."""
+    row = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("c"))
+        .agg(F.max("c").alias("head"), F.sum("c").alias("total"))
+        .collect()[0]
+    )
+    if not row.total:
+        return 0.0
+    return row.head / row.total
+
+
+@register("sessionize_events_auto", oracle=_SESSION_ORACLE)
+def sessionize_events_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with automatic skew dispatch (see section
+    comment): value-identical to both plans it chooses between —
+    ``sessionize_events`` (operators/relational.py) on uniform inputs,
+    ``sessionize_events_salted`` past the head-share threshold."""
+    from example_beam_spark.operators.relational import sessionize_events
+
+    ev = load_table(spark, sf_dir, "events")
+    if sessionize_head_share(ev) > _SKEW_HEAD_SHARE:
+        return sessionize_events_salted(spark, sf_dir)
+    return sessionize_events(spark, sf_dir)

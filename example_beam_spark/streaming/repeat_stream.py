@@ -217,15 +217,29 @@ _REPEAT_ORACLE = f"""
             ORDER BY e.et, e.event_id LIMIT 1
         ) nx ON TRUE
     ),
+    -- a chain alive past the ks grid would make its death subquery
+    -- MIN over an empty set = NULL, silently dropping its ticks AND
+    -- every successor chain (the recursive join e.et > c.death never
+    -- matches NULL); fail LOUDLY instead — the grid is 2000 intervals,
+    -- far past any fixture/lane chain lifetime (chains die within ttl
+    -- of their last element)
+    chains_ok AS (
+        SELECT user_id, a_t, a_id,
+               CASE WHEN death IS NULL THEN CAST(error(
+                        'repeat oracle: chain alive past the 2000-interval '
+                        || 'tick grid — raise the ks bound') AS BIGINT)
+                    ELSE death END AS death
+        FROM chains
+    ),
     initials AS (
         SELECT c.user_id, c.a_t AS emit_us, e.event_id AS src_event_id,
                e.et AS src_us, e.value, 'initial' AS kind
-        FROM chains c JOIN ev e
+        FROM chains_ok c JOIN ev e
           ON e.user_id = c.user_id AND e.event_id = c.a_id
     ),
     ticks AS (
         SELECT c.user_id, c.a_t, c.a_t + ks.k * {_I_US} AS tick_us
-        FROM chains c JOIN ks ON c.a_t + ks.k * {_I_US} <= c.death
+        FROM chains_ok c JOIN ks ON c.a_t + ks.k * {_I_US} <= c.death
     ),
     tick_src AS (
         SELECT user_id, tick_us AS emit_us, event_id AS src_event_id,

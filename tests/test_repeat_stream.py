@@ -111,3 +111,22 @@ def test_repeat_death_uses_last_seen_not_anchor(spark, tmp_path):
     # ticks at 36h+ re-emit element 2
     assert [e for t, e, k in got if k == "repeat"] == [1, 1, 2, 2, 2, 2]
     assert _TTL_US == 36 * HOUR  # the scenario arithmetic above assumes it
+
+
+def test_repeat_oracle_guards_grid_overflow(tmp_path):
+    """A chain alive past the oracle's 2000-interval tick grid must
+    fail LOUDLY (error() in the death CTE), never silently drop the
+    chain's ticks and its successors. Elements every 24 h (inside the
+    36 h ttl) for 1001 days keep one chain alive for > 2000 ticks."""
+    import duckdb
+    import pytest
+
+    from example_beam_spark.streaming.repeat_stream import _REPEAT_ORACLE
+    from tests.oracle import run_oracle
+
+    rows = [
+        (i, BASE + i * 24 * HOUR, 1, 1.0) for i in range(1001)
+    ]
+    sf = _write(tmp_path, rows)
+    with pytest.raises(duckdb.Error, match="chain alive past"):
+        run_oracle(_REPEAT_ORACLE, sf)

@@ -250,3 +250,119 @@ def test_neardup_kernel_equals_hof(spark):
         )
         bad = both.filter(F.col("hof") != F.col("kern")).count()
         assert bad == 0, f"r={r}: {bad} rows diverge"
+
+
+def test_neardup_bucket_verify_equals_join(spark):
+    """The bucket-grouped Arrow verify (scale path) must produce the
+    IDENTICAL (vec_a, vec_b, n_bands, cosine) set as the pure-JVM
+    self-join + DECIMAL-HOF path (graded path) — the kernel's
+    FLOOR((x*y)*1e12) int64 sums and cosine division are the same IEEE
+    double ops, so any mismatch is a real bug (pair enumeration, run
+    boundaries, norm plumbing)."""
+    from pyspark.sql import functions as F
+
+    from example_beam_spark.operators.similarity import (
+        NEARDUP_BANDS,
+        NEARDUP_THRESHOLD,
+        _bucket_verify_frame,
+        band_keys_array,
+        dot_dec,
+        neardup_band_bits,
+        norm_dec,
+    )
+    from example_beam_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    n = emb.count()
+    r = neardup_band_bits(n)
+    base = emb.select("vec_id", "embedding", norm_dec("embedding").alias("nrm"))
+    banded = base.select(
+        "vec_id", "embedding", "nrm",
+        F.posexplode(band_keys_array(r, n)).alias("band", "bkey"),
+    )
+
+    def dedup(scored):
+        return scored.groupBy("vec_a", "vec_b").agg(
+            F.count("*").cast("long").alias("n_bands"),
+            F.min("cosine").alias("cosine"),
+        )
+
+    right = banded.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"), "band", "bkey",
+    )
+    probes = banded.withColumnRenamed("vec_id", "vec_a").join(
+        right, ["band", "bkey"]
+    ).filter(F.col("vec_a") < F.col("vec_b"))
+    cos = dot_dec("embedding", "emb_b") / (F.col("nrm") * F.col("nrm_b"))
+    join_form = dedup(
+        probes.select("vec_a", "vec_b", cos.alias("cosine")).filter(
+            F.col("cosine") >= NEARDUP_THRESHOLD
+        )
+    )
+    kernel_form = dedup(_bucket_verify_frame(banded))
+    a = sorted(tuple(x) for x in join_form.collect())
+    b = sorted(tuple(x) for x in kernel_form.collect())
+    assert len(a) > 0
+    assert a == b
+
+
+def test_neardup_bucket_verify_ragged(spark):
+    """Ragged embeddings are in-domain: same-dim pairs verify exactly
+    as the HOF (which slices signs to size(embedding)); mismatched-dim
+    pairs are DROPPED by both paths (zip_with null-pads -> NULL dot ->
+    failed threshold). Constructed corpus: two identical 3-dim vectors
+    (cosine 1), two identical 2-dim vectors (cosine 1), and the cross
+    pairs — every vector pair shares every band key by construction
+    only if their projections agree, so use exact duplicates."""
+    from pyspark.sql import functions as F
+
+    from example_beam_spark.operators.similarity import (
+        _bucket_verify_frame,
+        band_keys_array,
+        norm_dec,
+    )
+
+    rows = [
+        (1, [0.5, -0.25, 0.125]),
+        (2, [0.5, -0.25, 0.125]),
+        (3, [1.0, 2.0]),
+        (4, [1.0, 2.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = df.select("vec_id", "embedding", norm_dec("embedding").alias("nrm"))
+    banded = base.select(
+        "vec_id", "embedding", "nrm",
+        F.posexplode(band_keys_array(6, 0)).alias("band", "bkey"),
+    )
+    got = sorted(
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in _bucket_verify_frame(banded).distinct().collect()
+    )
+    # exact duplicates share every band key -> 4 agreeing bands each;
+    # distinct() collapses them here; cross-dim pairs never emit.
+    # Quantized cosine of identical vectors is ~1 but not exactly 1
+    # (floor-sum dot vs squared quantized norm differ in the last ulp)
+    # so pin pairs exactly and cosine against the JVM HOF value.
+    assert [(a, b) for a, b, _ in got] == [(1, 2), (3, 4)]
+    from example_beam_spark.operators.similarity import dot_dec
+
+    pairs = df.alias("a").join(
+        df.select(
+            F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+        ),
+        F.col("vec_id") < F.col("vec_b"),
+    ).filter(F.size("embedding") == F.size("emb_b"))
+    hof = {
+        (r.vec_id, r.vec_b): r.c
+        for r in pairs.select(
+            "vec_id",
+            "vec_b",
+            (
+                dot_dec("embedding", "emb_b")
+                / (norm_dec("embedding") * norm_dec("emb_b"))
+            ).alias("c"),
+        ).collect()
+    }
+    for a, b, c in got:
+        assert c == hof[(a, b)], (a, b, c, hof[(a, b)])

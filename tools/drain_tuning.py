@@ -55,6 +55,11 @@ def main() -> None:
     spark = get_spark(app_name="drain_tuning")
     reg = load_registry()
     names = [n for n in args.entries if n in reg]
+    unknown = set(args.entries) - set(names)
+    if unknown:
+        raise SystemExit(f"unknown entries (not in registry): {sorted(unknown)}")
+    if not names:
+        raise SystemExit("--entries filtered to zero known names")
 
     # one untimed warmup drain so JVM/codegen/Python-worker startup does
     # not land on the first matrix cell
@@ -62,29 +67,39 @@ def main() -> None:
     drain_cleanups()
 
     out: dict = {"section": "drain_tuning", "sf_dir": args.sf_dir, "cells": []}
-    for shuffle in ("32", "8"):
-        for provider in ("rocksdb", "hdfs"):
-            os.environ["EBS_STREAM_SHUFFLE"] = shuffle
-            if provider == "hdfs":
-                os.environ["EBS_STATE_PROVIDER"] = "hdfs"
+    saved_env = {
+        k: os.environ.get(k) for k in ("EBS_STREAM_SHUFFLE", "EBS_STATE_PROVIDER")
+    }
+    try:
+        for shuffle in ("32", "8"):
+            for provider in ("rocksdb", "hdfs"):
+                os.environ["EBS_STREAM_SHUFFLE"] = shuffle
+                if provider == "hdfs":
+                    os.environ["EBS_STATE_PROVIDER"] = "hdfs"
+                else:
+                    os.environ.pop("EBS_STATE_PROVIDER", None)
+                cell = {"shuffle": int(shuffle), "provider": provider, "queries": {}}
+                for name in names:
+                    t0 = time.time()
+                    n = reg[name].fn(spark, args.sf_dir).count()
+                    cell["queries"][name] = {
+                        "sec": round(time.time() - t0, 2),
+                        "rows": n,
+                    }
+                    drain_cleanups()
+                cell["total"] = round(
+                    sum(q["sec"] for q in cell["queries"].values()), 2
+                )
+                out["cells"].append(cell)
+                print(f"# {shuffle}/{provider}: {json.dumps(cell)}", flush=True)
+    finally:
+        # a mid-matrix failure must not leak the override into any
+        # subsequent use of the process
+        for k, v in saved_env.items():
+            if v is None:
+                os.environ.pop(k, None)
             else:
-                os.environ.pop("EBS_STATE_PROVIDER", None)
-            cell = {"shuffle": int(shuffle), "provider": provider, "queries": {}}
-            for name in names:
-                t0 = time.time()
-                n = reg[name].fn(spark, args.sf_dir).count()
-                cell["queries"][name] = {
-                    "sec": round(time.time() - t0, 2),
-                    "rows": n,
-                }
-                drain_cleanups()
-            cell["total"] = round(
-                sum(q["sec"] for q in cell["queries"].values()), 2
-            )
-            out["cells"].append(cell)
-            print(f"# {shuffle}/{provider}: {json.dumps(cell)}", flush=True)
-    os.environ.pop("EBS_STREAM_SHUFFLE", None)
-    os.environ.pop("EBS_STATE_PROVIDER", None)
+                os.environ[k] = v
 
     # row-count agreement across cells — a tuning knob must never change
     # the answer

@@ -46,80 +46,13 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-SEED = 20260814
 N_EVENTS = 10_000_000
 N_USERS = 150_000
 SLICE_EVENTS = 1_000_000
-BASE_US = 1_704_067_200_000_000  # 2024-01-01 UTC, matches the fixture epoch
-SPAN_US = 30 * 86_400 * 1_000_000
 ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # analytics.py:_ATTR_WINDOW_US
-TYPES = ["view", "click", "signup", "purchase", "error"]
 
-
-def skew_corpus(
-    out_dir: str,
-    n_events: int,
-    n_users: int,
-    s: float = 1.0,
-    uniform: bool = False,
-    span_us: int = SPAN_US,
-    row_group_rows: int | None = None,
-) -> str:
-    """Write an events-only sf_dir. Zipf: user rank r drawn with
-    p(r) ∝ 1/r^s (s=1.0, 150k users → head ≈ 8% of events). The uniform
-    control differs ONLY in the user_id distribution (same volume, same
-    time span, same type mix, same seed family)."""
-    import numpy as np
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    f = os.path.join(out_dir, "events.parquet")
-    if os.path.exists(f):
-        return out_dir
-    os.makedirs(out_dir, exist_ok=True)
-    rng = np.random.default_rng(SEED + (1 if uniform else 0))
-    if uniform:
-        uids = rng.integers(0, n_users, n_events, dtype=np.int64)
-    else:
-        ranks = np.arange(1, n_users + 1, dtype=np.float64)
-        p = 1.0 / ranks**s
-        p /= p.sum()
-        uids = rng.choice(n_users, size=n_events, p=p).astype(np.int64)
-    ts_us = rng.integers(BASE_US, BASE_US + span_us, n_events, dtype=np.int64)
-    codes = rng.integers(0, len(TYPES), n_events, dtype=np.int32)
-    table = pa.table(
-        {
-            "event_id": pa.array(np.arange(n_events, dtype=np.int64)),
-            "ts": pa.array(ts_us).cast(pa.timestamp("us")),
-            "user_id": pa.array(uids),
-            "event_type": pa.DictionaryArray.from_arrays(
-                pa.array(codes), pa.array(TYPES)
-            ),
-            "value": pa.array(rng.exponential(50.0, n_events)),
-            "props": pa.nulls(n_events, pa.string()),
-        }
-    )
-    if row_group_rows:
-        pq.write_table(table, f, row_group_size=row_group_rows)
-    else:
-        pq.write_table(table, f)
-    return out_dir
-
-
-def slice_corpus(src_dir: str, out_dir: str, n: int) -> str:
-    """First n events (by event_id — a uniform random subsample, since
-    ids were assigned independently of user/time) as its own sf_dir."""
-    import pyarrow.parquet as pq
-
-    f = os.path.join(out_dir, "events.parquet")
-    if not os.path.exists(f):
-        os.makedirs(out_dir, exist_ok=True)
-        t = pq.read_table(os.path.join(src_dir, "events.parquet"))
-        # keep many row groups: a single-row-group file is one effective
-        # shuffle mapper, which makes AQE skew-split a no-op (see
-        # tests/test_plans.py::test_aqe_skew_split_on_time_range_join)
-        pq.write_table(t.slice(0, n), f, row_group_size=100_000)
-    return out_dir
+# corpus generators shared across lanes — tools/corpora.py
+from tools.corpora import skew_corpus, slice_corpus  # noqa: E402
 
 
 def timed_count(df) -> tuple[float, int]:
@@ -133,6 +66,10 @@ def linear_ops(reg, spark, zipf_dir: str, unif_dir: str) -> dict:
     for name in (
         "sessionize_events",
         "sessionize_events_salted",
+        # round-10: the stats-driven dispatch — acceptance is matching
+        # the better fixed plan's wall on BOTH input shapes (<= ~1.2x
+        # of the per-shape winner; the probe job is the only overhead)
+        "sessionize_events_auto",
         "events_funnel",
         "events_attribution_last_touch",
     ):
@@ -171,6 +108,65 @@ def _hist_percentiles(hist: list[tuple[int, int]], ps: list[float]) -> list[floa
         lo_v, hi_v = vals[0], vals[-1]
         out.append(lo_v + (hi_v - lo_v) * frac)
     return out
+
+
+def _lookback_per_purchase(ev):
+    """Per-purchase 7-day-lookback click count via the probe-union
+    running-count trick (all ROW frames — incremental, O(n log n) per
+    key; see carry_distribution's docstring for why no range frame),
+    EXACT to the registered operator's tie semantics: a click at the
+    purchase's own microsecond counts iff its event_id sorts before
+    the purchase's (analytics.py's carry-order filter). Sort key is
+    (t_us, sk): clicks carry sk=event_id; the t-7d lower probe carries
+    sk=-1 so clicks AT exactly t-7d stay inside the inclusive window;
+    the upper probe carries sk=purchase event_id."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    us = F.unix_micros(F.col("ts"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        us.alias("t_us"),
+        F.col("event_id").alias("sk"),
+        F.lit(1).alias("is_click"),
+        F.lit(None).cast("long").alias("pid"),
+    )
+    pur = ev.filter(F.col("event_type") == "purchase")
+    lo = pur.select(
+        "user_id",
+        (us - ATTR_WINDOW_US).alias("t_us"),
+        F.lit(-1).alias("sk"),
+        F.lit(0).alias("is_click"),
+        F.col("event_id").alias("pid"),
+    )
+    up = pur.select(
+        "user_id",
+        us.alias("t_us"),
+        F.col("event_id").alias("sk"),
+        F.lit(0).alias("is_click"),
+        F.col("event_id").alias("pid"),
+    )
+    rc_w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "sk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    timeline = clicks.unionAll(lo).unionAll(up).select(
+        "pid",
+        F.col("t_us").alias("probe_t"),
+        "sk",
+        F.sum("is_click").over(rc_w).alias("rc"),
+    )
+    # per purchase: rc(upper probe) - rc(lower probe) = clicks in the
+    # inclusive 7-day window that precede the purchase in carry order.
+    # The two probes of a purchase are distinguished by probe ORDER
+    # (lower sorts 7 days earlier; same-pid rows never collide because
+    # the window is > 0)
+    return (
+        timeline.filter(F.col("pid").isNotNull())
+        .groupBy("pid")
+        .agg((F.max("rc") - F.min("rc")).alias("in_lookback"))
+    )
 
 
 def carry_distribution(spark, sf_dir: str, tag: str) -> dict:
@@ -230,51 +226,9 @@ def carry_distribution(spark, sf_dir: str, tag: str) -> dict:
     ]
     p50, p99 = _hist_percentiles(hist, [0.5, 0.99])
 
-    # probe-union lookback: clicks (pri=1) + per-purchase lower probe at
-    # t-7d (pri=0: clicks AT t-7d are inside the inclusive frame, so the
-    # "strictly before" count must not include them) and upper probe at
-    # t (pri=2: same-instant clicks are inside the frame)
-    us = F.unix_micros(F.col("ts"))
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id",
-        us.alias("t_us"),
-        F.lit(1).alias("pri"),
-        F.lit(1).alias("is_click"),
-        F.lit(None).cast("long").alias("pid"),
-    )
-    pur = ev.filter(F.col("event_type") == "purchase")
-    lo = pur.select(
-        "user_id",
-        (us - ATTR_WINDOW_US).alias("t_us"),
-        F.lit(0).alias("pri"),
-        F.lit(0).alias("is_click"),
-        F.col("event_id").alias("pid"),
-    )
-    up = pur.select(
-        "user_id",
-        us.alias("t_us"),
-        F.lit(2).alias("pri"),
-        F.lit(0).alias("is_click"),
-        F.col("event_id").alias("pid"),
-    )
-    rc_w = (
-        Window.partitionBy("user_id")
-        .orderBy("t_us", "pri")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    timeline = clicks.unionAll(lo).unionAll(up).select(
-        "pid", "pri", F.sum("is_click").over(rc_w).alias("rc")
-    )
-    per_purchase = (
-        timeline.filter(F.col("pid").isNotNull())
-        .groupBy("pid")
-        .agg(
-            (
-                F.sum(F.when(F.col("pri") == 2, F.col("rc")))
-                - F.sum(F.when(F.col("pri") == 0, F.col("rc")))
-            ).alias("in_lookback")
-        )
-    )
+    # probe-union lookback — shared with attribution_10m (exact tie
+    # semantics; see _lookback_per_purchase)
+    per_purchase = _lookback_per_purchase(ev)
     fan = per_purchase.agg(
         F.sum("in_lookback").alias("credit_fanout_rows"),
         F.max("in_lookback").alias("max_touches_per_purchase"),
@@ -367,6 +321,57 @@ def quadratic_ops(reg, spark, zipf1m: str, unif1m: str) -> dict:
     return out
 
 
+def attribution_10m(reg, spark, zipf_dir: str, unif_dir: str) -> dict:
+    """Round-10 verdict #4: the bucketed attribution rewrite at the
+    FULL 10M lane (the r9 60x measurement ran on the 1M slice). The
+    listform control is infeasible at 10M zipf — its carried list is
+    the head user's full click history, the very thing the rewrite
+    removed — so the zipf row is validated against an INDEPENDENT
+    exact expected-row count: the probe-union sum of per-purchase
+    lookback clicks (O(n log n) per key, exact to the operator's
+    (ts, event_id) tie semantics). The uniform row runs BOTH plans for
+    rows_equal, and the rewrite's zipf/uniform wall ratio is the
+    skew-immunity number (expect ~1x: the bucketed join has no head
+    serialization; output volume itself is larger on zipf because the
+    credit fan-out is quadratic in head density)."""
+    from pyspark.sql import functions as F
+
+    from example_beam_spark.sources.parquet import load_table
+
+    out: dict = {"section": "attribution_10m"}
+    ev = load_table(spark, zipf_dir, "events")
+    t0 = time.time()
+    expected = int(
+        _lookback_per_purchase(ev)
+        .agg(F.sum("in_lookback").alias("s"))
+        .collect()[0]["s"]
+    )
+    probe_sec = round(time.time() - t0, 2)
+    sec_z, n_z = timed_count(reg["events_attribution_position"].fn(spark, zipf_dir))
+    out["zipf"] = {
+        "rewrite_sec": sec_z,
+        "rows": n_z,
+        "expected_rows": expected,
+        "rows_equal_expected": n_z == expected,
+        "expected_probe_sec": probe_sec,
+    }
+    print(f"# attribution_10m zipf: {json.dumps(out['zipf'])}", flush=True)
+    sec_u, n_u = timed_count(reg["events_attribution_position"].fn(spark, unif_dir))
+    sec_l, n_l = timed_count(
+        reg["events_attribution_position_listform"].fn(spark, unif_dir)
+    )
+    out["uniform"] = {
+        "rewrite_sec": sec_u,
+        "rows": n_u,
+        "listform_sec": sec_l,
+        "listform_rows": n_l,
+        "rows_equal": n_u == n_l,
+    }
+    out["rewrite_zipf_uniform_ratio"] = round(sec_z / max(sec_u, 1e-9), 2)
+    print(f"# attribution_10m uniform: {json.dumps(out['uniform'])}", flush=True)
+    return out
+
+
 def oracle_on_skew(reg, spark, zipf100k: str) -> dict:
     """Round-9 verdict #7: the graded corpus is uniform — prove the
     affected REGISTERED entries stay value-exact on zipf-skewed input,
@@ -389,14 +394,17 @@ def oracle_on_skew(reg, spark, zipf100k: str) -> dict:
         "enrich_time_range_join",
         "session_path_topk",
         "enrich_repeat_stream",
+        "sessionize_events_auto",
     ):
         q = reg[name]
         t0 = time.time()
         try:
             assert_matches_oracle(q.fn(spark, zipf100k), q.oracle, zipf100k, name)
             row = {"match": True, "sec": round(time.time() - t0, 2)}
-        except AssertionError as e:
-            row = {"match": False, "err": str(e)[:200]}
+        except Exception as e:  # noqa: BLE001 — a runtime error must
+            # record a failed row, not abort the section and lose the
+            # already-collected results
+            row = {"match": False, "err": f"{type(e).__name__}: {str(e)[:200]}"}
         out["queries"][name] = row
         print(f"# oracle_zipf {name}: {json.dumps(row)}", flush=True)
     return out
@@ -475,7 +483,7 @@ def main() -> None:
     ap.add_argument(
         "--sections",
         nargs="*",
-        default=["linear", "carry", "quadratic", "oracle", "stream"],
+        default=["linear", "carry", "quadratic", "oracle", "stream", "attr10m"],
         help="subset of lane sections to run (corpora are cached, so a "
         "single section re-runs in minutes)",
     )
@@ -518,6 +526,9 @@ def main() -> None:
         drain_cleanups()
     if "stream" in args.sections:
         print(json.dumps(stream_join_salted_vs_not(spark, zipf1m)))
+        drain_cleanups()
+    if "attr10m" in args.sections:
+        print(json.dumps(attribution_10m(reg, spark, zipf_dir, unif_dir)))
 
 
 if __name__ == "__main__":

@@ -35,150 +35,15 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import random
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N_DOC_COPIES = 10
-N_EMB_COPIES = 10
-NEAR_DUP_DOC_RATE = 0.03
-NEAR_DUP_EMB_RATE = 0.02
-SEED = 20260814
-
 SRC_SF_DIR = "/root/testdata/sf0.1"
 
-
-def generate(
-    out_dir: str,
-    doc_copies: int = N_DOC_COPIES,
-    emb_copies: int = N_EMB_COPIES,
-    event_copies: int | None = None,
-) -> None:
-    """Write the scaled corpus. ``doc_copies``/``event_copies`` multiply
-    the sf0.1 base (event copies default to doc copies); ``emb_copies=0``
-    skips embeddings (the 100x lane doesn't use them)."""
-    import numpy as np
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    event_copies = doc_copies if event_copies is None else event_copies
-    os.makedirs(out_dir, exist_ok=True)
-
-    base = pq.read_table(os.path.join(SRC_SF_DIR, "documents.parquet"))
-    texts = base["text"].to_pylist()
-    langs = base["lang"].to_pylist()
-    sources = base["source"].to_pylist()
-    nb = len(texts)
-    vocab = list({w for t in texts[:500] for w in t.split()})
-    vocab.sort()
-
-    doc_ids, out_texts, out_langs, out_sources = [], [], [], []
-    for i in range(nb * doc_copies):
-        b = i % nb
-        rng = random.Random(SEED * 1_000_003 + i)
-        if i < nb:
-            txt = texts[b]  # keep the original corpus as-is
-        elif rng.random() < NEAR_DUP_DOC_RATE:
-            # near-duplicate: 5% token dropout of the base text
-            toks = [w for w in texts[b].split() if rng.random() >= 0.05]
-            txt = " ".join(toks)
-        else:
-            # remix: shuffle + 30% vocabulary swaps -> ~zero shared shingles
-            toks = texts[b].split()
-            rng.shuffle(toks)
-            toks = [
-                rng.choice(vocab) if rng.random() < 0.30 else w for w in toks
-            ]
-            txt = " ".join(toks)
-        doc_ids.append(i)
-        out_texts.append(txt)
-        out_langs.append(langs[b])
-        out_sources.append(sources[b])
-    pq.write_table(
-        pa.table(
-            {
-                "doc_id": pa.array(doc_ids, pa.int64()),
-                "text": pa.array(out_texts, pa.string()),
-                "lang": pa.array(out_langs, pa.string()),
-                "source": pa.array(out_sources, pa.string()),
-                "n_chars": pa.array([len(t) for t in out_texts], pa.int64()),
-            }
-        ),
-        os.path.join(out_dir, "documents.parquet"),
-    )
-
-    if emb_copies:
-        _write_embeddings(out_dir, emb_copies)
-    _write_events(out_dir, event_copies)
-
-
-def _write_embeddings(out_dir: str, emb_copies: int) -> None:
-    import numpy as np
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    emb_t = pq.read_table(os.path.join(SRC_SF_DIR, "embeddings.parquet"))
-    emb = np.array(emb_t["embedding"].to_pylist(), dtype=np.float32)
-    labels = emb_t["label"].to_pylist()
-    ne, dim = emb.shape
-    g = np.random.default_rng(SEED)
-    rows = np.empty((ne * emb_copies, dim), dtype=np.float32)
-    rows[:ne] = emb
-    out_labels = list(labels)
-    for i in range(ne, ne * emb_copies):
-        b = i % ne
-        if g.random() < NEAR_DUP_EMB_RATE:
-            rows[i] = emb[b] + g.normal(0.0, 0.05 * np.abs(emb[b]).mean(), dim).astype(
-                np.float32
-            )
-        else:
-            rows[i] = g.normal(0.0, 1.0, dim).astype(np.float32)
-        out_labels.append(labels[b])
-    pq.write_table(
-        pa.table(
-            {
-                "vec_id": pa.array(range(ne * emb_copies), pa.int64()),
-                "embedding": pa.array([r.tolist() for r in rows], pa.list_(pa.float32())),
-                "label": pa.array(out_labels, pa.int32()),
-            }
-        ),
-        os.path.join(out_dir, "embeddings.parquet"),
-    )
-
-
-
-def _write_events(out_dir: str, event_copies: int) -> None:
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    # scaled events: replicate with SHIFTED user ids (N x the users, same
-    # per-user event density — the realistic growth model for the
-    # behavior ops: funnel/cohort/inter-arrival state is per-user, so
-    # the per-key working set must NOT grow with corpus size)
-    ev = pq.read_table(os.path.join(SRC_SF_DIR, "events.parquet"))
-    # stride by max+1, not row count: a regenerated fixture with sparse
-    # or non-zero-based ids would otherwise silently collide across copies
-    max_event = pa.compute.max(ev["event_id"]).as_py() + 1
-    max_user = pa.compute.max(ev["user_id"]).as_py() + 1
-    copies = []
-    for copy in range(event_copies):
-        t = ev.set_column(
-            ev.schema.get_field_index("event_id"),
-            "event_id",
-            pa.compute.add(ev["event_id"], copy * max_event),
-        )
-        t = t.set_column(
-            t.schema.get_field_index("user_id"),
-            "user_id",
-            pa.compute.add(ev["user_id"], copy * max_user),
-        )
-        copies.append(t)
-    pq.write_table(
-        pa.concat_tables(copies).combine_chunks(),
-        os.path.join(out_dir, "events.parquet"),
-    )
+# corpus generators shared across lanes — tools/corpora.py
+from tools.corpora import generate_scaled as generate  # noqa: E402
 
 
 def candidate_volumes(spark, sf_dir: str) -> dict[str, int]:
@@ -573,16 +438,47 @@ def ann_second_decade(out_dir: str) -> None:
     print(json.dumps(result))
 
 
+def neardup_lane(out_dir: str) -> None:
+    """Round-10 verdict #1: just the embedding_neardup_pairs block of
+    the ann2m lane (found-pairs + wall at 200k and 2M planted vectors)
+    — the acceptance bar for the Arrow dot-kernel verify stage is
+    found_pairs BIT-IDENTICAL to the r9 HOF run (5,342,019 / 46,297,377)
+    with the 2M wall materially under 261 s."""
+    from example_beam_spark.registry import drain_cleanups, load_registry
+    from example_beam_spark.session import get_spark
+    from tools.planted import planted_corpus
+
+    spark = get_spark(app_name="stress_lane_neardup")
+    reg = load_registry()
+    result: dict = {"scales": []}
+    for n, tag in ((200_000, "10x"), (2_000_000, "100x")):
+        d = os.path.join(out_dir, f"planted_{tag}")
+        if not os.path.exists(os.path.join(d, "embeddings.parquet")):
+            planted_corpus(d, n=n, n_clusters=n // 100)
+        t0 = time.time()
+        found = reg["embedding_neardup_pairs"].fn(spark, d).count()
+        row = {
+            "n": n,
+            "tag": tag,
+            "found_pairs": int(found),
+            "full_op_sec": round(time.time() - t0, 2),
+        }
+        drain_cleanups()
+        result["scales"].append(row)
+        print(f"# {tag}: {json.dumps(row)}", flush=True)
+    print(json.dumps(result))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out-dir", default="/tmp/spark_graft_stress")
     ap.add_argument(
         "--lane",
-        choices=("10x", "100x", "ann2m"),
+        choices=("10x", "100x", "ann2m", "neardup2m"),
         default="10x",
         help="100x runs the core-dedup second-decade lane (own corpus "
         "dir); ann2m runs the planted-ANN second decade (200k + 2M "
-        "vectors)",
+        "vectors); neardup2m runs only the neardup block of ann2m",
     )
     args = ap.parse_args()
     if args.lane == "100x":
@@ -590,6 +486,9 @@ def main() -> None:
         return
     if args.lane == "ann2m":
         ann_second_decade(args.out_dir.rstrip("/") + "_ann2m")
+        return
+    if args.lane == "neardup2m":
+        neardup_lane(args.out_dir.rstrip("/") + "_ann2m")
         return
 
     if not all(

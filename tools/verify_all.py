@@ -21,6 +21,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated query names to check (default: all)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -40,6 +45,13 @@ def main() -> int:
     from example_beam_spark.registry import drain_cleanups
 
     qs, oracles = mod.queries(), mod.oracle_sql()
+    if args.only:
+        keep = {n.strip() for n in args.only.split(",")}
+        unknown = keep - set(qs)
+        if unknown:
+            print(f"unknown query names: {sorted(unknown)}")
+            return 1
+        qs = {n: f for n, f in qs.items() if n in keep}
     fails: list[str] = []
     for i, (name, fn) in enumerate(qs.items(), 1):
         try:
