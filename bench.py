@@ -38,6 +38,14 @@ from example_beam_spark.registry import drain_cleanups, load_registry
 from example_beam_spark.session import get_spark
 
 
+_LEGACY14 = (
+    "ann_topk_bruteforce ann_topk_lsh ctr_fixed_capped ctr_sliding_total "
+    "dedup_exact dedup_minhash_lsh enrich_broadcast_latest "
+    "enrich_lookup_ttl_asof enrich_time_range_join q1_pricing_summary "
+    "q3_top_revenue_orders q5_revenue_by_nation sessionize_events text_stats"
+).split()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
@@ -143,6 +151,13 @@ def main() -> None:
                 "queries": timings,
                 "queries_warm": warm,
                 "warm_total": round(sum(warm.values()), 3),
+                # the r1-r9 series totaled these 14; the round-10
+                # additions (attribution/neardup/sessionize twins/repeat
+                # drain) grow "value" additively, so the cross-round
+                # series continues on this sub-total
+                "legacy14_total": round(
+                    sum(timings[n] for n in _LEGACY14 if n in timings), 3
+                ),
                 "control": control,
                 "sf": sf,
                 "tainted_queries": tainted,

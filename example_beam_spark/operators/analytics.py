@@ -519,7 +519,7 @@ _POS_ATTR_ORACLE = f"""
 """
 
 
-@register("events_attribution_position", oracle=_POS_ATTR_ORACLE)
+@register("events_attribution_position", oracle=_POS_ATTR_ORACLE, headline=True)
 def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U-shaped multi-touch attribution (see section comment): one credit
     row per (purchase, click-in-7-day-lookback) with position weights

@@ -135,7 +135,7 @@ _SESSION_GAP_US = 1800 * 1_000_000
 _SESSION_BUCKET_US = 12 * _SESSION_GAP_US  # 6 hours
 
 
-@register("sessionize_events_salted", oracle=_SESSION_ORACLE)
+@register("sessionize_events_salted", oracle=_SESSION_ORACLE, headline=True)
 def sessionize_events_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase sessionization (see section comment): value-identical
     to ``sessionize_events`` — same 30-min gap, same (user_id,
@@ -231,7 +231,7 @@ def sessionize_head_share(ev: DataFrame) -> float:
     return row.head / row.total
 
 
-@register("sessionize_events_auto", oracle=_SESSION_ORACLE)
+@register("sessionize_events_auto", oracle=_SESSION_ORACLE, headline=True)
 def sessionize_events_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization with automatic skew dispatch (see section
     comment): value-identical to both plans it chooses between —

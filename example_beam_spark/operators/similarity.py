@@ -588,7 +588,7 @@ def _band_key_expr(band: int, r: int) -> Column:
     return out.cast("long")
 
 
-@register("embedding_neardup_pairs", oracle=_NEARDUP_ORACLE)
+@register("embedding_neardup_pairs", oracle=_NEARDUP_ORACLE, headline=True)
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs over the FULL corpus (see
     section comment): candidates = pairs agreeing on ALL bits of ANY of

@@ -260,7 +260,7 @@ _REPEAT_ORACLE = f"""
 """
 
 
-@register("enrich_repeat_stream", oracle=_REPEAT_ORACLE)
+@register("enrich_repeat_stream", oracle=_REPEAT_ORACLE, headline=True)
 def enrich_repeat_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RepeatDoFn fidelity twin as a REAL streaming job over the corpus's
     signup stream (key = user_id, interval 12 h, ttl 36 h — sparse
