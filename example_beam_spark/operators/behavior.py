@@ -335,3 +335,60 @@ def zscore_frame(ev: DataFrame) -> DataFrame:
             z.alias("zscore"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# events_user_sample_k — deterministic per-key fixed-size sample
+# --------------------------------------------------------------------------
+# The per-KEY companion to docs_sample_fixed_k (corpus-level): cap every
+# user's event history at K events for a training-data extract, chosen
+# by a deterministic hash order (md5 of the event id) — an
+# order-statistics reservoir: rank-by-hash ≤ K IS a uniform K-sample
+# per key, it is stable under reruns AND under re-partitioning (no RNG,
+# no seed plumbing), and incremental re-extraction keeps prior picks
+# unless displaced by a lower hash. 100-TB design: one user-keyed
+# exchange + per-key window top-K (group size = user's events, the
+# same bound as any per-user op); no sort of the full table, no
+# sampleBy approximation.
+
+_USER_SAMPLE_K = 5
+
+_USER_SAMPLE_ORACLE = f"""
+    SELECT user_id, event_id, ts, event_type,
+           CAST(rk AS BIGINT) AS sample_rank
+    FROM (
+        SELECT user_id, event_id, ts, event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+               ) AS rk
+        FROM events
+    ) WHERE rk <= {_USER_SAMPLE_K}
+"""
+
+
+@register("events_user_sample_k", oracle=_USER_SAMPLE_ORACLE)
+def events_user_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic K-per-user event sample (section comment): hash-rank
+    window, identical md5 order in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "event_type",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= _USER_SAMPLE_K)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "event_type",
+            F.col("rk").cast("long").alias("sample_rank"),
+        )
+    )

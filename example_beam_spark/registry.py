@@ -164,6 +164,8 @@ _MODULE_ORDER = [
     # round 9
     "example_beam_spark.operators.scaleops",
     "example_beam_spark.streaming.repeat_stream",
+    # round 10
+    "example_beam_spark.streaming.neardup_stream",
 ]
 
 

@@ -1,0 +1,224 @@
+"""Streaming neardup pins the fixture oracle sweep can't see: the TTL
+co-occurrence boundary (pairs at exactly the window edge) and the
+cross-micro-batch state contract of the bucket kernel (state persists,
+window evicts)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pandas as pd
+import pytest
+
+from example_beam_spark.streaming.neardup_stream import (
+    NEARDUP_STREAM_TTL_ARRIVALS,
+    _NEARDUP_STREAM_ORACLE,
+    _TTL_US,
+    _bucket_pairs_fn,
+    embedding_neardup_stream,
+)
+from tests.oracle import assert_matches_oracle
+
+US = 1_000_000
+
+
+def _write_embeddings(tmp_path, vec_ids, vectors):
+    d = tmp_path / "corpus"
+    d.mkdir(exist_ok=True)
+    dim = len(vectors[0])
+    flat = np.asarray(vectors, dtype=np.float32).reshape(-1)
+    offsets = pa.array(
+        np.arange(0, (len(vectors) + 1) * dim, dim, dtype=np.int32)
+    )
+    table = pa.table(
+        {
+            "vec_id": pa.array(vec_ids, pa.int64()),
+            "embedding": pa.ListArray.from_arrays(offsets, pa.array(flat)),
+            "label": pa.array([0] * len(vec_ids), pa.int32()),
+        }
+    )
+    pq.write_table(table, str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_ttl_boundary(spark, tmp_path):
+    """Identical vectors at arrival deltas TTL and TTL+1: the pair at
+    exactly the window edge is IN (<=), one past it is OUT — pinned
+    against the oracle AND by direct inspection."""
+    v = [0.5, -0.25, 0.75, 0.125]
+    other = [0.9, 0.1, -0.4, 0.3]
+    t = NEARDUP_STREAM_TTL_ARRIVALS
+    ids = [0, t, 2 * t + 1, 3 * t + 1]
+    # 0 <-> t: delta == TTL -> in; t <-> 2t+1: delta == TTL+1 -> out;
+    # 3t+1 is a non-dup spectator
+    sf = _write_embeddings(tmp_path, ids, [v, v, v, other])
+    got = sorted(
+        (r.vec_a, r.vec_b, r.n_bands) for r in
+        embedding_neardup_stream(spark, sf).collect()
+    )
+    assert got == [(0, t, 4)]
+    assert_matches_oracle(
+        embedding_neardup_stream(spark, sf),
+        _NEARDUP_STREAM_ORACLE,
+        sf,
+        "embedding_neardup_stream/constructed",
+    )
+
+
+class _FakeState:
+    """Minimal GroupState double for direct kernel calls."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def test_kernel_cross_batch_state():
+    """Two sequential batches through one bucket: the pair spanning the
+    batch boundary is emitted by the SECOND batch (state persisted),
+    and members beyond the TTL are evicted, not paired."""
+    st = _FakeState()
+    base = 1_704_067_200 * US
+
+    def batch(rows):
+        pdf = pd.DataFrame(
+            {
+                "vec_id": [r[0] for r in rows],
+                "ts_us": [base + r[1] * US for r in rows],
+            }
+        )
+        out = list(_bucket_pairs_fn((3, 17), iter([pdf]), st))
+        return (
+            sorted(zip(out[0]["vec_a"], out[0]["vec_b"])) if out else []
+        )
+
+    ttl_s = _TTL_US // US
+    assert batch([(1, 0), (2, 10)]) == [(1, 2)]
+    # batch 2: id 3 arrives inside TTL of both; id 4 arrives after
+    # ids 1 and 2 expired but inside TTL of 3
+    assert batch([(3, ttl_s), (4, ttl_s + 50)]) == [
+        (1, 3),
+        (2, 3),
+        (3, 4),
+    ]
+    ids, tss = st.get
+    assert list(ids) == [3, 4]  # 1 and 2 evicted from state
+
+
+def test_oracle_anchor_guard():
+    """The stream oracle is derived from the batch oracle by string
+    surgery; the co-occurrence predicate must actually be present."""
+    assert (
+        f"b.vec_id - a.vec_id <= {NEARDUP_STREAM_TTL_ARRIVALS}"
+        in _NEARDUP_STREAM_ORACLE
+    )
+
+
+def test_two_microbatch_drain_equals_single(spark, tmp_path):
+    """REAL multi-micro-batch run: the same corpus split into two
+    time-ordered staged files with maxFilesPerTrigger=1 must produce
+    the identical pair set as the single-batch entry — state carries
+    the TTL window across the batch boundary."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from example_beam_spark.streaming.entries import run_to_append
+    from example_beam_spark.streaming.neardup_stream import (
+        _BASE_TS_SECONDS,
+        _VEC_GAP_SECONDS,
+        _bucket_pairs_fn,
+    )
+    from example_beam_spark.operators.similarity import (
+        band_keys_array,
+        neardup_band_bits,
+    )
+    from example_beam_spark.sources import load_table
+
+    rng = np.random.default_rng(7)
+    n = 60
+    vecs = rng.standard_normal((n, 8)).astype(np.float32)
+    vecs[31] = vecs[1]  # planted dup pair spanning the file split
+    vecs[45] = vecs[40]  # planted dup pair inside file 2
+    sf = _write_embeddings(tmp_path, list(range(n)), vecs.tolist())
+
+    single = sorted(
+        tuple(r) for r in embedding_neardup_stream(spark, sf).collect()
+    )
+
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    staged = emb.withColumn(
+        "ts_us",
+        (
+            F.lit(_BASE_TS_SECONDS * 1_000_000)
+            + F.col("vec_id") * (_VEC_GAP_SECONDS * 1_000_000)
+        ).cast("long"),
+    )
+    d = str(tmp_path / "two_files")
+    os.makedirs(d)
+    for i, (lo, hi) in enumerate(((0, 30), (30, n))):
+        staged.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).coalesce(1).sortWithinPartitions("ts_us").write.parquet(
+            f"{d}/f{i}"
+        )
+        part = [
+            p for p in os.listdir(f"{d}/f{i}") if p.endswith(".parquet")
+        ][0]
+        os.rename(f"{d}/f{i}/{part}", f"{d}/chunk{i}.parquet")
+        os.utime(f"{d}/chunk{i}.parquet", (time.time() + i, time.time() + i))
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>, ts_us long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    r = neardup_band_bits(n)
+    banded = stream.select(
+        "vec_id", "ts_us", F.posexplode(band_keys_array(r, 0)).alias("band", "bkey")
+    )
+    cand = banded.groupBy("band", "bkey").applyInPandasWithState(
+        _bucket_pairs_fn,
+        outputStructType="band long, vec_a long, vec_b long",
+        stateStructType="ids array<long>, tss array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    pairs = run_to_append(cand, spark)
+    # candidate-level comparison is enough here (verify stage is a pure
+    # batch function of the candidates): per-(band, pair) sets equal
+    two = sorted(tuple(r) for r in pairs.distinct().collect())
+
+    from example_beam_spark.streaming.neardup_stream import _vector_stream
+
+    one_stream, _ = _vector_stream(spark, sf)
+    banded1 = one_stream.select(
+        "vec_id", "ts_us", F.posexplode(band_keys_array(r, 0)).alias("band", "bkey")
+    )
+    cand1 = banded1.groupBy("band", "bkey").applyInPandasWithState(
+        _bucket_pairs_fn,
+        outputStructType="band long, vec_a long, vec_b long",
+        stateStructType="ids array<long>, tss array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    one = sorted(tuple(r) for r in run_to_append(cand1, spark).distinct().collect())
+    assert two == one
+    assert len(single) >= 2  # both planted dups found by the entry
+    planted = {(1, 31), (40, 45)}
+    assert planted <= {(a, b) for a, b, _, _ in single}
