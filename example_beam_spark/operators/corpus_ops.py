@@ -595,3 +595,129 @@ def bpe_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(decoded).cast("long").alias("n_decoded_chars"),
         (decoded == F.col("base_concat")).alias("roundtrip_ok"),
     )
+
+
+# --------------------------------------------------------------------------
+# docs_budget_select — greedy token-budget training-mix selection
+# --------------------------------------------------------------------------
+# "Fill a token budget with the best documents": rank by a quality
+# score (descending), admit documents while the running token total
+# stays within the budget — the selection step between scoring and
+# tokenization when a training run has a fixed token budget. The stop
+# rule is PREFIX-STOP (the first document that would overflow ends the
+# admission; no skip-and-continue knapsack) — deterministic, one-pass,
+# and the form a distributed pipeline actually uses (a knapsack over
+# 100 TB of docs would need a global sort anyway; prefix-stop needs the
+# same sort but no backtracking). Quality here = distinct-token ratio
+# (vocabulary richness — boilerplate and repetition score low); both
+# engines compute the two integer counts exactly and divide once.
+# 100-TB design: the quality score is a map-side expression; the global
+# rank/cumsum window is the one serial structure, run over (doc_id,
+# n_tokens, quality) SUMMARY rows (12 bytes/doc), never over text.
+
+_BUDGET_TOKENS = 20_000
+
+_BUDGET_ORACLE = f"""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{{bpe}}')) AS BIGINT)
+                   AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS quality
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, n_tokens, quality,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS rank,
+               CAST(SUM(n_tokens) OVER (w ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        FROM scored
+        WINDOW w AS (ORDER BY quality DESC, doc_id)
+    )
+    SELECT doc_id, n_tokens, quality, rank, cum_tokens
+    FROM ranked WHERE cum_tokens <= {_BUDGET_TOKENS}
+"""
+
+
+@register("docs_budget_select", oracle=_BUDGET_ORACLE.format(bpe=_BPE_PATTERN))
+def docs_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget selection (section comment)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    n_tokens = F.size(F.expr(f"regexp_extract_all(text, '{_BPE_PATTERN}', 0)")).cast(
+        "long"
+    )
+    quality = (
+        F.size(F.array_distinct(F.split(F.col("text"), " "))).cast("double")
+        / F.size(F.split(F.col("text"), " "))
+    )
+    scored = docs.select(
+        "doc_id", n_tokens.alias("n_tokens"), quality.alias("quality")
+    )
+    w = Window.orderBy(F.desc("quality"), "doc_id")
+    ranked = scored.select(
+        "doc_id",
+        "n_tokens",
+        "quality",
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.sum("n_tokens")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum_tokens"),
+    )
+    return ranked.filter(F.col("cum_tokens") <= _BUDGET_TOKENS)
+
+
+# --------------------------------------------------------------------------
+# docs_shard_shuffle — deterministic global shuffle + shard manifest
+# --------------------------------------------------------------------------
+# The write-order step of a training-data pipeline: every document gets
+# a (shard, position) so the training loader reads a reproducible
+# pseudo-random order. Shard = two md5 hex digits of the doc id
+# (portable integer-free hex decode: character position in
+# '0123456789abcdef' — identical in both engines) mod N; position =
+# md5-rank WITHIN the shard. 100-TB design: no global sort — the only
+# windows are per-shard (N-way parallel), and shard assignment is a
+# map-side expression, so the whole manifest is one exchange on shard.
+
+_N_SHARDS = 8
+_HEX = "0123456789abcdef"
+
+
+@register(
+    "docs_shard_shuffle",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k FROM documents
+    )
+    SELECT doc_id,
+           CAST(((strpos('{_HEX}', substr(k, 1, 1)) - 1) * 16
+                 + strpos('{_HEX}', substr(k, 2, 1)) - 1) % {_N_SHARDS}
+               AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY ((strpos('{_HEX}', substr(k, 1, 1)) - 1) * 16
+                             + strpos('{_HEX}', substr(k, 2, 1)) - 1)
+                            % {_N_SHARDS}
+               ORDER BY k, doc_id) AS BIGINT) AS pos
+    FROM keyed
+""",
+)
+def docs_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard shuffle manifest (section comment)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    k = F.md5(F.col("doc_id").cast("string"))
+    shard = F.expr(
+        f"CAST(((instr('{_HEX}', substr(md5(CAST(doc_id AS STRING)), 1, 1)) - 1)"
+        f" * 16 + instr('{_HEX}', substr(md5(CAST(doc_id AS STRING)), 2, 1)) - 1)"
+        f" % {_N_SHARDS} AS BIGINT)"
+    )
+    keyed = docs.select("doc_id", k.alias("k"), shard.alias("shard"))
+    w = Window.partitionBy("shard").orderBy("k", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
