@@ -85,14 +85,21 @@ _NEARDUP_STREAM_ORACLE = _NEARDUP_ORACLE.replace(
     + f" AND b.vec_id - a.vec_id <= {NEARDUP_STREAM_TTL_ARRIVALS}",
 )
 
-_STAGE_CACHE: dict[str, str] = {}
+_STAGE_CACHE: dict[tuple[str, int], str] = {}
+
+# EBS_VECTOR_CHUNKS > 1 stages the arrival stream as that many
+# time-ordered files with maxFilesPerTrigger=1 — a REAL multi-batch
+# schedule for the kill/resume and cross-batch suites (default 1: one
+# deterministic micro-batch, the fast path for the oracle sweeps)
+_VECTOR_CHUNKS_ENV = "EBS_VECTOR_CHUNKS"
 
 
 def _vector_stream(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
     """(streaming DataFrame of (vec_id, embedding, ts_us), n_rows).
-    Stages the embeddings table ONCE per sf_dir as a single time-sorted
-    parquet (one file -> one deterministic micro-batch) with the derived
-    arrival clock."""
+    Stages the embeddings table ONCE per (sf_dir, chunking) as
+    time-sorted parquet with the derived arrival clock."""
+    import time
+
     from example_beam_spark.streaming.entries import _prepare_stream_session
 
     # size the state-store instance count for this drain (the Python
@@ -101,7 +108,8 @@ def _vector_stream(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
     _prepare_stream_session(
         spark, min(8, spark.sparkContext.defaultParallelism)
     )
-    key = os.path.abspath(sf_dir)
+    n_chunks = max(1, int(os.environ.get(_VECTOR_CHUNKS_ENV, "1")))
+    key = (os.path.abspath(sf_dir), n_chunks)
     d = _STAGE_CACHE.get(key)
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
@@ -117,13 +125,40 @@ def _vector_stream(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
                 + F.col("vec_id") * (_VEC_GAP_SECONDS * 1_000_000)
             ).cast("long"),
         )
-        staged.coalesce(1).sortWithinPartitions("ts_us").write.mode(
-            "overwrite"
-        ).parquet(d)
+        if n_chunks == 1:
+            staged.coalesce(1).sortWithinPartitions("ts_us").write.mode(
+                "overwrite"
+            ).parquet(d)
+        else:
+            # vec_id ranges = time ranges (the clock is monotone in
+            # vec_id); strictly increasing mtimes make the file source's
+            # oldest-first order the arrival order
+            bounds = [
+                (n_rows * i) // n_chunks for i in range(n_chunks + 1)
+            ]
+            now = time.time()
+            for i, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+                part_dir = os.path.join(d, f"_part{i}")
+                staged.filter(
+                    (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+                ).coalesce(1).sortWithinPartitions("ts_us").write.parquet(
+                    part_dir
+                )
+                member = [
+                    p
+                    for p in os.listdir(part_dir)
+                    if p.endswith(".parquet")
+                ][0]
+                f = os.path.join(d, f"chunk-{i:04d}.parquet")
+                os.rename(os.path.join(part_dir, member), f)
+                mt = now - 86400 + i * 10
+                os.utime(f, (mt, mt))
         _STAGE_CACHE[key] = d
     reader = spark.readStream.schema(
         "vec_id long, embedding array<double>, ts_us long"
     )
+    if n_chunks > 1:
+        reader = reader.option("maxFilesPerTrigger", 1)
     return reader.parquet(d), n_rows
 
 

@@ -222,3 +222,53 @@ def test_two_microbatch_drain_equals_single(spark, tmp_path):
     assert len(single) >= 2  # both planted dups found by the entry
     planted = {(1, 31), (40, 45)}
     assert planted <= {(a, b) for a, b, _, _ in single}
+
+
+def test_multibatch_equals_single_via_env(spark, monkeypatch):
+    """EBS_VECTOR_CHUNKS=5 drives a REAL 5-micro-batch arrival schedule
+    on the fixture corpus; the pair set must equal the single-batch
+    drain (state carries the TTL window across every boundary)."""
+    sf = "/root/testdata/sf0.001"
+    single = sorted(
+        tuple(r) for r in embedding_neardup_stream(spark, sf).collect()
+    )
+    monkeypatch.setenv("EBS_VECTOR_CHUNKS", "5")
+    multi = sorted(
+        tuple(r) for r in embedding_neardup_stream(spark, sf).collect()
+    )
+    assert len(single) > 0
+    assert multi == single
+
+
+def test_kill_resume_matches_uninterrupted(spark, monkeypatch):
+    """Kill the multi-batch drain mid-stream (sink raises at batch 3
+    with live bucket windows in state), resume from the SAME
+    checkpoint: exactly-once restart must reproduce the uninterrupted
+    run bit-for-bit — the house contract every stateful entry carries
+    (tests/test_multibatch_resume.py)."""
+    import tempfile
+
+    import pytest as _pytest
+
+    from example_beam_spark.streaming import entries as E
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.setenv("EBS_VECTOR_CHUNKS", "5")
+    baseline = sorted(
+        tuple(r) for r in embedding_neardup_stream(spark, sf).collect()
+    )
+    out_dir = tempfile.mkdtemp(prefix="resume_out_ndstream_")
+    ckpt = tempfile.mkdtemp(prefix="resume_ckpt_ndstream_")
+    E.DRAIN_OVERRIDES.update(
+        {"out_dir": out_dir, "ckpt": ckpt, "fail_at_batch": 3}
+    )
+    try:
+        with _pytest.raises(Exception, match="injected sink failure"):
+            embedding_neardup_stream(spark, sf).collect()
+        E.DRAIN_OVERRIDES.pop("fail_at_batch")
+        resumed = sorted(
+            tuple(r) for r in embedding_neardup_stream(spark, sf).collect()
+        )
+    finally:
+        E.DRAIN_OVERRIDES.clear()
+    assert resumed == baseline
