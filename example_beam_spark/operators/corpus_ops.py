@@ -611,11 +611,26 @@ def bpe_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same sort but no backtracking). Quality here = distinct-token ratio
 # (vocabulary richness — boilerplate and repetition score low); both
 # engines compute the two integer counts exactly and divide once.
-# 100-TB design: the quality score is a map-side expression; the global
-# rank/cumsum window is the one serial structure, run over (doc_id,
-# n_tokens, quality) SUMMARY rows (12 bytes/doc), never over text.
+# 100-TB design (round-11 rewrite): the quality score is a map-side
+# expression, and the global rank/cumsum is TWO-PHASE — no unpartitioned
+# window anywhere in the plan (the round-10 form funnelled every doc
+# summary through one WindowExec task; Spark itself warned "No Partition
+# Defined for Window operation!"). Phase 1 buckets docs by a DETERMINISTIC
+# quality discretization (floor(quality*256): quality is a ratio in (0,1],
+# so bucket-descending order IS quality-descending order) and collects one
+# (count, token-sum) row per bucket — a <=256-row driver artifact, the
+# same bounded-probe discipline as sessionize_events_auto's head-share
+# probe. Phase 2 broadcasts per-bucket (rank, cumsum) base offsets back
+# and runs rank/cumsum windows PARTITIONED BY bucket (256-way parallel),
+# stitching global values as base + local — the scaleops base_sid stitch
+# (operators/scaleops.py) applied to a running sum. Bonus pruning: buckets
+# whose base cumsum already exceeds the budget are dropped from the join,
+# so at scale only the admitted prefix of buckets is ever sorted. The
+# scored summary (doc_id, n_tokens, quality — never text) is persisted
+# across the two phases and unpersisted via defer_cleanup().
 
 _BUDGET_TOKENS = 20_000
+_BUDGET_QBUCKETS = 256
 
 _BUDGET_ORACLE = f"""
     WITH scored AS (
@@ -641,9 +656,11 @@ _BUDGET_ORACLE = f"""
 
 @register("docs_budget_select", oracle=_BUDGET_ORACLE.format(bpe=_BPE_PATTERN))
 def docs_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy token-budget selection (section comment)."""
+    """Greedy token-budget selection, two-phase (section comment)."""
     docs = load_table(spark, sf_dir, "documents")
     from pyspark.sql import Window
+
+    from example_beam_spark.registry import defer_cleanup
 
     n_tokens = F.size(F.expr(f"regexp_extract_all(text, '{_BPE_PATTERN}', 0)")).cast(
         "long"
@@ -652,17 +669,55 @@ def docs_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(F.split(F.col("text"), " "))).cast("double")
         / F.size(F.split(F.col("text"), " "))
     )
-    scored = docs.select(
-        "doc_id", n_tokens.alias("n_tokens"), quality.alias("quality")
+    # quality ∈ (0,1] (distinct/total of a non-empty split), so this
+    # discretization is order-congruent: every quality in bucket b+1
+    # exceeds every quality in bucket b, hence ORDER BY quality DESC
+    # == ORDER BY (qb DESC, quality DESC).
+    scored = (
+        docs.select("doc_id", n_tokens.alias("n_tokens"), quality.alias("quality"))
+        .withColumn(
+            "qb",
+            F.least(
+                F.floor(F.col("quality") * _BUDGET_QBUCKETS),
+                F.lit(_BUDGET_QBUCKETS - 1),
+            ).cast("int"),
+        )
+        .persist()
     )
-    w = Window.orderBy(F.desc("quality"), "doc_id")
-    ranked = scored.select(
+    defer_cleanup(lambda: scored.unpersist())
+    # Phase 1: bounded driver artifact — one (count, token sum) row per
+    # quality bucket, <=256 rows at ANY corpus size.
+    summ = {
+        r["qb"]: (r["n"], r["s"])
+        for r in scored.groupBy("qb")
+        .agg(F.count("*").alias("n"), F.sum("n_tokens").alias("s"))
+        .collect()
+    }
+    offsets = []
+    base_rank, base_cum = 0, 0
+    for b in sorted(summ, reverse=True):  # bucket DESC == quality DESC
+        n, s = summ[b]
+        # Admission pruning: a bucket whose starting cumsum is already
+        # past the budget cannot emit a row (cum_tokens >= base_cum for
+        # every row in it) — drop it from the join so its sort never runs.
+        if base_cum <= _BUDGET_TOKENS:
+            offsets.append((b, base_rank, base_cum))
+        base_rank += n
+        base_cum += s
+    off = spark.createDataFrame(
+        offsets, schema="qb int, base_rank long, base_cum long"
+    )
+    # Phase 2: per-bucket windows (256-way parallel) + broadcast stitch.
+    wloc = Window.partitionBy("qb").orderBy(F.desc("quality"), "doc_id")
+    ranked = scored.join(F.broadcast(off), "qb").select(
         "doc_id",
         "n_tokens",
         "quality",
-        F.row_number().over(w).cast("long").alias("rank"),
-        F.sum("n_tokens")
-        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        (F.col("base_rank") + F.row_number().over(wloc)).cast("long").alias("rank"),
+        (
+            F.col("base_cum")
+            + F.sum("n_tokens").over(wloc.rowsBetween(Window.unboundedPreceding, 0))
+        )
         .cast("long")
         .alias("cum_tokens"),
     )
@@ -677,11 +732,23 @@ def docs_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pseudo-random order. Shard = two md5 hex digits of the doc id
 # (portable integer-free hex decode: character position in
 # '0123456789abcdef' — identical in both engines) mod N; position =
-# md5-rank WITHIN the shard. 100-TB design: no global sort — the only
-# windows are per-shard (N-way parallel), and shard assignment is a
-# map-side expression, so the whole manifest is one exchange on shard.
+# md5-rank WITHIN the shard. 100-TB design (round-11 rewrite): the
+# round-10 plan ran one window task per shard — parallelism pinned at
+# _N_SHARDS=8 forever (n/8 rows per single-task sort at any corpus
+# size). Now the sort key's own prefix provides the parallelism: the
+# first 4 md5 hex digits form a 0..65535 bucket b that is
+# ORDER-CONGRUENT with the md5-string sort (hex chars are
+# ASCII-ascending, so k1 < k2 iff b1 < b2 or (b1 == b2 and the tails
+# compare)), and the shard is a pure function of b (shard = first-byte
+# value mod N = (b div 256) mod N). Per-bucket rank windows run
+# 65536-way parallel; per-(shard, bucket) counts (a <=65536-row
+# summary) get prefix-summed by a window PARTITIONED BY shard — 8
+# parallel tasks over <=8192 summary rows each, bounded by construction
+# — and broadcast back as base offsets: pos = base + local rank. No
+# single-task structure touches per-document rows.
 
 _N_SHARDS = 8
+_SHARD_BUCKET_HEX = 4  # md5 prefix digits → 16^4 = 65536 buckets
 _HEX = "0123456789abcdef"
 
 
@@ -704,20 +771,38 @@ _HEX = "0123456789abcdef"
 """,
 )
 def docs_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic shard shuffle manifest (section comment)."""
+    """Deterministic shard shuffle manifest, two-phase (section comment)."""
     docs = load_table(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
     k = F.md5(F.col("doc_id").cast("string"))
-    shard = F.expr(
-        f"CAST(((instr('{_HEX}', substr(md5(CAST(doc_id AS STRING)), 1, 1)) - 1)"
-        f" * 16 + instr('{_HEX}', substr(md5(CAST(doc_id AS STRING)), 2, 1)) - 1)"
-        f" % {_N_SHARDS} AS BIGINT)"
+    # b = integer value of the first 4 hex digits (order-congruent with
+    # the k sort); shard = first-byte value mod N = (b div 256) mod N,
+    # identical to the oracle's two-digit decode.
+    keyed = (
+        docs.select("doc_id", k.alias("k"))
+        .withColumn(
+            "b", F.conv(F.substring("k", 1, _SHARD_BUCKET_HEX), 16, 10).cast("long")
+        )
+        .withColumn("shard", (F.floor(F.col("b") / 256) % _N_SHARDS).cast("long"))
     )
-    keyed = docs.select("doc_id", k.alias("k"), shard.alias("shard"))
-    w = Window.partitionBy("shard").orderBy("k", "doc_id")
-    return keyed.select(
+    # Per-bucket local rank: 65536-way parallel, each task sorts only
+    # its bucket's rows by (k, doc_id).
+    wloc = Window.partitionBy("b").orderBy("k", "doc_id")
+    local = keyed.withColumn("local_pos", F.row_number().over(wloc).cast("long"))
+    # Summary stitch: <=65536 (shard, b, count) rows; the prefix sum runs
+    # per shard over <=8192 bounded summary rows.
+    counts = keyed.groupBy("shard", "b").agg(F.count("*").alias("n"))
+    wsum = Window.partitionBy("shard").orderBy("b")
+    base = counts.withColumn(
+        "base",
+        F.coalesce(
+            F.sum("n").over(wsum.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).select("b", "base")
+    return local.join(F.broadcast(base), "b").select(
         "doc_id",
         "shard",
-        F.row_number().over(w).cast("long").alias("pos"),
+        (F.col("base") + F.col("local_pos")).cast("long").alias("pos"),
     )

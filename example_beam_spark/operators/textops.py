@@ -331,22 +331,56 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, lang, n_tokens, pack_id, pack_offset): each doc lands in
     the 4096-token context bin its running total reaches (docs longer than
     the budget span bins — splitting is the downstream tokenizer's job).
-    One window function over (lang, doc_id) — a single shuffle keyed by
-    the stratum; at scale the running sum is the textbook distributed
-    prefix-sum the window operator already implements."""
+
+    Two-phase prefix sum (round-11 rewrite). The round-10 form ran ONE
+    window task per language — Spark's WindowExec executes a window
+    partition in a single task, so a handful of languages serialized the
+    whole corpus (the docstring's old "distributed prefix-sum" claim was
+    wrong). Now: a 1-row max(doc_id) probe (bounded driver artifact, the
+    sessionize_events_auto discipline) fixes 256 order-congruent doc_id
+    range buckets; the per-(lang, bucket) cumsum windows run 256-way
+    parallel per language; per-bucket totals are read off the SAME
+    shuffled data as max(local_cum) — the exchange is shared
+    (ReusedExchange, pinned in tests/test_plans.py), so text is tokenized
+    and shuffled once — prefix-summed per language over <=256 bounded
+    summary rows, and broadcast back: tokens_before = bucket base + local
+    cumsum - own tokens. No single-task structure touches document rows."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
     n_tok = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 0)).cast(
         "long"
     )
-    w = (
-        Window.partitionBy("lang")
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    width = max(1, (int(max_id) + 1 + 255) // 256) if max_id is not None else 1
+    # coalesce makes bucket NON-NULLABLE so the join infers no
+    # asymmetric isnotnull(bucket) filter — with identical subtrees under
+    # both exchanges, AQE's ReuseExchange fires and the corpus is
+    # tokenized + shuffled exactly once (pinned in tests/test_plans.py).
+    toks = docs.select("doc_id", "lang", n_tok.alias("n_tokens")).withColumn(
+        "bucket",
+        F.coalesce(F.expr(f"doc_id div {width}"), F.lit(-1)).cast("long"),
+    )
+    wloc = (
+        Window.partitionBy("lang", "bucket")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    runs = docs.select("doc_id", "lang", n_tok.alias("n_tokens")).withColumn(
-        "tokens_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    local = toks.withColumn("local_cum", F.sum("n_tokens").over(wloc))
+    # Bucket totals from the same window output (cumsum of non-negative
+    # counts is monotone, so max == last == bucket total) — keeps the
+    # big exchange shared between the two consumers.
+    summ = local.groupBy("lang", "bucket").agg(F.max("local_cum").alias("bsum"))
+    wsum = Window.partitionBy("lang").orderBy("bucket")
+    base = summ.withColumn(
+        "base",
+        F.coalesce(
+            F.sum("bsum").over(wsum.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).select("lang", "bucket", "base")
+    runs = local.join(F.broadcast(base), ["lang", "bucket"]).withColumn(
+        "tokens_before", F.col("base") + F.col("local_cum") - F.col("n_tokens")
     )
     return runs.select(
         "doc_id",

@@ -155,11 +155,67 @@ def test_sample_stratified_is_scan_shaped(spark):
     assert num_exchanges(q.fn(spark, SF)) == 0
 
 
-def test_pack_sequences_single_shuffle(spark):
-    """Sequence packing is one window-function shuffle keyed by the
-    stratum — exactly one exchange, no iteration."""
+def test_pack_sequences_two_phase_no_single_task_window(spark):
+    """Sequence packing (round-11 two-phase rewrite): every window is
+    partitioned — no Exchange SinglePartition funnels per-document rows
+    into one task (the round-10 per-language window did) — the summary
+    side broadcasts back, and the big (lang, bucket) exchange is SHARED
+    between the cumsum and the bucket-totals consumers (executed plan
+    shows a ReusedExchange), so text is tokenized and shuffled once."""
+    from example_beam_spark.plans import explain_formatted
+
     q = load_registry()["docs_pack_sequences"]
-    assert num_exchanges(q.fn(spark, SF)) == 1
+    df = q.fn(spark, SF)
+    plan = explain_formatted(df)
+    assert "SinglePartition" not in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed or "reused exchange" in executed.lower(), (
+        executed[:3000]
+    )
+
+
+def test_budget_select_two_phase_no_single_task_window(spark):
+    """docs_budget_select (round-11 two-phase rewrite): the global
+    rank/cumsum must NOT compile to an unpartitioned WindowExec — no
+    Exchange SinglePartition anywhere; the per-bucket base offsets join
+    in as a broadcast."""
+    from example_beam_spark.plans import explain_formatted
+
+    q = load_registry()["docs_budget_select"]
+    from example_beam_spark.registry import drain_cleanups
+
+    try:
+        plan = explain_formatted(q.fn(spark, SF))
+    finally:
+        drain_cleanups()
+    assert "SinglePartition" not in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
+def test_shard_shuffle_two_phase_no_single_task_window(spark):
+    """docs_shard_shuffle (round-11 two-phase rewrite): per-bucket rank
+    windows (65536-way) + per-shard summary prefix sums — no Exchange
+    SinglePartition; offsets broadcast back."""
+    from example_beam_spark.plans import explain_formatted
+
+    q = load_registry()["docs_shard_shuffle"]
+    plan = explain_formatted(q.fn(spark, SF))
+    assert "SinglePartition" not in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
+def test_session_path_topk_uses_takeordered(spark):
+    """session_path_topk: the top-50 cut must compile to TakeOrdered
+    (per-partition heaps) BEFORE the rank window, so the unpartitioned
+    window's input is bounded at 50 rows by construction (the
+    vocab_top_terms discipline)."""
+    from example_beam_spark.plans import explain_formatted
+
+    q = load_registry()["session_path_topk"]
+    plan = explain_formatted(q.fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
 
 
 def test_aqe_splits_skewed_join_partition(spark):

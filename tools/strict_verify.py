@@ -19,7 +19,8 @@ lenient gate hid (both fixed, both now recorded rules):
    through unrolled iterations (pagerank_term_graph). Rule: CAST every
    oracle literal on a compared float path to DOUBLE.
 
-CLI: ``python tools/strict_verify.py [--sf-dir /root/testdata/sf0.001]``
+CLI: ``python tools/strict_verify.py [--sf-dir /root/testdata/sf0.001]
+[--only name,name]``
 Exit 0 iff every oracle-backed entry matches at full precision.
 """
 
@@ -36,6 +37,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated query names to check (default: all)",
+    )
     args = ap.parse_args()
 
     import tests.oracle as O
@@ -54,6 +60,13 @@ def main() -> int:
 
     spark = get_spark(app_name="strict_verify")
     reg = load_registry()
+    if args.only:
+        keep = {s.strip() for s in args.only.split(",")}
+        unknown = keep - set(reg)
+        if unknown:
+            print(f"unknown query names: {sorted(unknown)}")
+            return 2
+        reg = {k: v for k, v in reg.items() if k in keep}
     fails: list[str] = []
     n = sum(1 for q in reg.values() if q.oracle)
     i = 0
@@ -67,6 +80,17 @@ def main() -> int:
         except AssertionError as e:
             fails.append(name)
             print(f"[{i}/{n}] FULLPREC-DIFF {name}: {str(e)[:200]}", flush=True)
+        except Exception as e:  # noqa: BLE001 — a runtime error (Py4J,
+            # analysis) must be RECORDED as a failure row, not abort the
+            # sweep and lose every already-collected result (the same
+            # defect was fixed in skew_lane.py in round 10; r10 verdict #6
+            # asked for the same fix here).
+            fails.append(name)
+            print(
+                f"[{i}/{n}] RUNTIME-ERROR {name}: "
+                f"{type(e).__name__}: {str(e)[:200]}",
+                flush=True,
+            )
         finally:
             drain_cleanups()
     print(f"DONE: {n - len(fails)}/{n} bit-exact; fails: {fails}")
