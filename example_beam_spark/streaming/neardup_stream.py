@@ -85,7 +85,23 @@ _NEARDUP_STREAM_ORACLE = _NEARDUP_ORACLE.replace(
     + f" AND b.vec_id - a.vec_id <= {NEARDUP_STREAM_TTL_ARRIVALS}",
 )
 
-_STAGE_CACHE: dict[tuple[str, int], str] = {}
+# Staged-parquet cache, keyed by (path, chunking, source fingerprint):
+# the fingerprint (per-member mtime_ns + size) makes an in-place
+# regeneration of the embeddings table (lane reruns do this in
+# long-lived processes) a cache MISS instead of a silent stale replay
+# — the same freshness the entries.py symlink staging gets for free.
+_STAGE_CACHE: dict[tuple, str] = {}
+
+
+def _source_fingerprint(sf_dir: str) -> tuple:
+    from example_beam_spark.sources.parquet import parquet_members, table_path
+
+    return tuple(
+        sorted(
+            (os.path.basename(m), os.stat(m).st_mtime_ns, os.stat(m).st_size)
+            for m in parquet_members(table_path(sf_dir, "embeddings"))
+        )
+    )
 
 # EBS_VECTOR_CHUNKS > 1 stages the arrival stream as that many
 # time-ordered files with maxFilesPerTrigger=1 — a REAL multi-batch
@@ -109,13 +125,21 @@ def _vector_stream(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
         spark, min(8, spark.sparkContext.defaultParallelism)
     )
     n_chunks = max(1, int(os.environ.get(_VECTOR_CHUNKS_ENV, "1")))
-    key = (os.path.abspath(sf_dir), n_chunks)
+    key = (os.path.abspath(sf_dir), n_chunks, _source_fingerprint(sf_dir))
     d = _STAGE_CACHE.get(key)
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("embedding"),
     )
-    n_rows = emb.count()
+    stats = emb.agg(
+        F.count("*").alias("n"), F.max("vec_id").alias("max_id")
+    ).collect()[0]
+    n_rows = stats["n"]
+    # chunk bounds stride over the ID SPAN (max+1), not the row count —
+    # with sparse or non-zero-based vec_ids a [0, n_rows) filter would
+    # silently drop every id >= n_rows from the stream while the
+    # single-chunk path kept it (the max+1 discipline of tools/corpora.py)
+    id_span = int(stats["max_id"]) + 1 if stats["max_id"] is not None else 0
     if d is None or not os.path.isdir(d):
         d = tempfile.mkdtemp(prefix="stream_src_embeddings_")
         staged = emb.withColumn(
@@ -134,7 +158,7 @@ def _vector_stream(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
             # vec_id); strictly increasing mtimes make the file source's
             # oldest-first order the arrival order
             bounds = [
-                (n_rows * i) // n_chunks for i in range(n_chunks + 1)
+                (id_span * i) // n_chunks for i in range(n_chunks + 1)
             ]
             now = time.time()
             for i, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
@@ -170,8 +194,22 @@ def _bucket_pairs_fn(
     """Per-(band, bkey) bucket: emit (band, vec_a, vec_b) for every new
     arrival against the in-TTL members, then evict and append. State is
     the id/ts arrays of the current window (ids sorted by arrival —
-    the clock is monotone in vec_id, so vec_a < vec_b always holds)."""
+    the clock is monotone in vec_id, so vec_a < vec_b always holds).
+
+    Idle-bucket GC (round-11): member arrays are TTL-evicted on arrival,
+    but a bucket that stops RECEIVING vectors would otherwise keep its
+    last (ids, tss) arrays forever — state rows bounded only by
+    4*2^r total buckets, not by the live window. Each update arms an
+    event-time timer at newest-member ts + TTL (the LookupCacheDoFn
+    GC-timer discipline, LookupCacheDoFn.scala:190-210, clamped above
+    the watermark as Spark requires); when it fires, every member is
+    already outside the TTL window of any future arrival, so the whole
+    bucket row is removed — emitting nothing, hence the pair set is
+    unchanged by GC (pinned by tests/test_neardup_stream.py)."""
     band = int(key[0])
+    if state.hasTimedOut:
+        state.remove()
+        return
     if state.exists:
         ids, tss = list(state.get[0]), list(state.get[1])
     else:
@@ -198,6 +236,13 @@ def _bucket_pairs_fn(
         tss.append(t)
 
     state.update((ids, tss))
+    if tss:
+        state.setTimeoutTimestamp(
+            max(
+                tss[-1] // 1000 + _TTL_US // 1000 + 1,
+                state.getCurrentWatermarkMs() + 1,
+            )
+        )
     if out_a:
         yield pd.DataFrame(
             {
@@ -206,6 +251,25 @@ def _bucket_pairs_fn(
                 "vec_b": pd.Series(out_b, dtype="int64"),
             }
         )
+
+
+def _apply_bucket_kernel(banded: DataFrame) -> DataFrame:
+    """The production stateful stage: event-time watermark (the arrival
+    clock) + per-(band, bkey) kernel with EventTimeTimeout so idle
+    buckets are GC'd. Shared by the entry and the multi-batch /
+    kill-resume test fixtures so every path runs the same conf."""
+    return (
+        banded.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .withWatermark("ts", "0 seconds")
+        .groupBy("band", "bkey")
+        .applyInPandasWithState(
+            _bucket_pairs_fn,
+            outputStructType="band long, vec_a long, vec_b long",
+            stateStructType="ids array<long>, tss array<long>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
 
 
 @register("embedding_neardup_stream", oracle=_NEARDUP_STREAM_ORACLE)
@@ -227,14 +291,7 @@ def embedding_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts_us",
         F.posexplode(band_keys_array(r, n_rows)).alias("band", "bkey"),
     )
-    cand = banded.groupBy("band", "bkey").applyInPandasWithState(
-        _bucket_pairs_fn,
-        outputStructType="band long, vec_a long, vec_b long",
-        stateStructType="ids array<long>, tss array<long>",
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
-    pairs = run_to_append(cand, spark)
+    pairs = run_to_append(_apply_bucket_kernel(banded), spark)
     agg = pairs.groupBy("vec_a", "vec_b").agg(
         F.count("*").cast("long").alias("n_bands")
     )
