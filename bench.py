@@ -158,6 +158,18 @@ def main() -> None:
                 "legacy14_total": round(
                     sum(timings[n] for n in _LEGACY14 if n in timings), 3
                 ),
+                # Control-normalized series (r10 verdict #6): cross-round
+                # comparisons in one field. 0.225 s is the r9 anchor
+                # control median (BENCH_r09.json) — multiplying by
+                # (anchor / this run's control median) expresses this
+                # run's legacy total in r9-machine seconds.
+                "legacy14_normalized": round(
+                    sum(timings[n] for n in _LEGACY14 if n in timings)
+                    * (0.225 / control["median"]),
+                    3,
+                )
+                if control["median"] > 0
+                else None,
                 "control": control,
                 "sf": sf,
                 "tainted_queries": tainted,

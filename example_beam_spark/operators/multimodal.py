@@ -117,11 +117,21 @@ def _decode_payload(
     """(width, height, n_frames, checksum) — REAL decode for BMP/WAV;
     the video surrogate keeps the documented deterministic fake (no
     stdlib MP4 codec; a real build swaps in ffmpeg behind this
-    branch)."""
-    if payload[:2] == b"BM":
+    branch).
+
+    Dispatch is on content_type FIRST; the magic bytes are a validation
+    check, not the router. (A video surrogate payload that happened to
+    start with 'BM'/'RIFF' must not be misrouted into the image/audio
+    codecs — it would crash or emit features diverging from the oracle's
+    video branch.)"""
+    if content_type == "image/bmp":
+        if payload[:2] != b"BM":
+            raise ValueError("image/bmp payload without BM magic")
         w, h, stream = decode_bmp(payload)
         return w, h, 1, hashlib.md5(stream).hexdigest()
-    if payload[:4] == b"RIFF":
+    if content_type in ("audio/wav", "audio/x-wav"):
+        if payload[:4] != b"RIFF":
+            raise ValueError("wav payload without RIFF magic")
         n, _sr, frames = decode_wav(payload)
         return None, None, n, hashlib.md5(frames).hexdigest()
     if content_type.startswith("video/"):

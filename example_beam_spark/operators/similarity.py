@@ -387,7 +387,17 @@ _NEARDUP_ORACLE = f"""
     JOIN norms na ON na.vec_id = d.vec_a
     JOIN norms nb ON nb.vec_id = d.vec_b
     WHERE d.dot / (na.nrm * nb.nrm) >= {NEARDUP_THRESHOLD}
+      AND na.nrm > 0 AND nb.nrm > 0
 """
+# The nrm > 0 predicate (round 11): cosine of a zero-norm vector is
+# undefined (0/0 = NaN), and the engines disagreed on NaN pairs — the
+# JVM/DuckDB comparison keeps NaN >= threshold while the numpy kernel
+# drops it, so the operator's output was PATH-dependent on that input
+# class. Zero vectors are now excluded identically in the oracle and in
+# every Spark plan (batch JVM join, batch Arrow kernel, streaming
+# verify), making all paths value-identical on the full input domain
+# (pinned by tests/test_scaleops.py::test_zero_norm_vectors_excluded_
+# on_both_paths).
 
 
 # HOF-vs-kernel crossover for the signature computation: the literal-
@@ -477,9 +487,9 @@ def _bucket_verify_frame(banded: DataFrame) -> DataFrame:
     from the JVM norm_dec column, so cosine = dot / (nrm_a * nrm_b)
     is the identical op sequence. (Domain note: a zero-norm vector
     would make the division NaN, which numpy's >= drops but Spark SQL's
-    NaN-ordering would keep — irrelevant for real embedding corpora,
-    where zero vectors don't occur, and the graded JVM path is
-    authoritative below the crossover.)"""
+    NaN comparison would keep — since round 11 zero-norm rows are
+    excluded upstream in EVERY path, oracle included, so the two plans
+    are value-identical on the full input domain.)"""
     import numpy as np
 
     scale = float(_SCALE.rstrip("D"))
@@ -605,7 +615,11 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a parquet-footer count, not a data scan.
     n_rows = emb.count()
     r = neardup_band_bits(n_rows)
-    base = emb.select("vec_id", "embedding", norm_dec("embedding").alias("nrm"))
+    # zero-norm vectors excluded on every path (see oracle note): their
+    # cosine is undefined and the JVM/numpy NaN conventions differ
+    base = emb.select(
+        "vec_id", "embedding", norm_dec("embedding").alias("nrm")
+    ).filter(F.col("nrm") > 0)
     # Embeddings RIDE the band explode (4n signature rows carrying the
     # array), the self-join is keyed (band, bkey), and the cosine is a
     # map-side projection on the streamed join output — probe rows are

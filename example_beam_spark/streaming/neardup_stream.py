@@ -295,9 +295,12 @@ def embedding_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = pairs.groupBy("vec_a", "vec_b").agg(
         F.count("*").cast("long").alias("n_bands")
     )
+    # zero-norm vectors excluded like every batch path (their cosine is
+    # undefined; the batch oracle carries the same nrm > 0 predicate,
+    # which this stream's derived oracle inherits)
     base = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", norm_dec("embedding").alias("nrm")
-    )
+    ).filter(F.col("nrm") > 0)
     a = base.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),

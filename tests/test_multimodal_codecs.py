@@ -133,3 +133,21 @@ def test_decode_dispatch(spark):
     assert (w, h, n) == (100 % 640 + 16, 700 % 480 + 16, 100 % 30 + 1)
     with pytest.raises(NotImplementedError):
         _decode_payload("application/pdf", b"%PDF-1.4")
+
+
+def test_decode_dispatch_is_content_type_first():
+    """A video/mp4 surrogate whose raw-text payload happens to start
+    with the BMP/WAV magic bytes must take the VIDEO branch (deterministic
+    fake metadata), never be misrouted into decode_bmp/decode_wav; and a
+    declared image/audio payload with the wrong magic fails loudly
+    instead of decoding garbage."""
+    from example_beam_spark.operators.multimodal import _decode_payload
+
+    for evil in (b"BM fake bitmap text payload!", b"RIFFnot really a wav.."):
+        ln = len(evil)
+        w, h, n, _ = _decode_payload("video/mp4", evil)
+        assert (w, h, n) == (ln % 640 + 16, (ln * 7) % 480 + 16, ln % 30 + 1)
+    with pytest.raises(ValueError):
+        _decode_payload("image/bmp", b"XX not a bitmap")
+    with pytest.raises(ValueError):
+        _decode_payload("audio/wav", b"JUNKnot riff")

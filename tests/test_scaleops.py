@@ -366,3 +366,78 @@ def test_neardup_bucket_verify_ragged(spark):
     }
     for a, b, c in got:
         assert c == hof[(a, b)], (a, b, c, hof[(a, b)])
+
+
+def test_zero_norm_vectors_excluded_on_both_paths(spark, tmp_path):
+    """Zero-norm vectors (undefined cosine, 0/0 = NaN) were the one
+    input class where the JVM join path and the Arrow kernel disagreed
+    (Spark/DuckDB keep NaN >= threshold, numpy drops it). Since round 11
+    the nrm > 0 predicate excludes them identically in the oracle and in
+    BOTH Spark plans — constructed corpus: one real dup pair plus two
+    zero vectors (which share every band key, so they WOULD be a
+    candidate pair)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from example_beam_spark.operators.similarity import (
+        _NEARDUP_ORACLE,
+        _bucket_verify_frame,
+        band_keys_array,
+        embedding_neardup_pairs,
+        neardup_band_bits,
+        norm_dec,
+    )
+    from tests.oracle import assert_matches_oracle
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    vecs = [
+        [0.5, -0.25, 0.75, 0.125],
+        [0.5, -0.25, 0.75, 0.125],
+        [0.0, 0.0, 0.0, 0.0],
+        [0.0, 0.0, 0.0, 0.0],
+    ]
+    flat = np.asarray(vecs, dtype=np.float32).reshape(-1)
+    offsets = pa.array(np.arange(0, 20, 4, dtype=np.int32))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "embedding": pa.ListArray.from_arrays(offsets, pa.array(flat)),
+                "label": pa.array([0] * 4, pa.int32()),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    sf = str(d)
+    got = sorted(
+        (r.vec_a, r.vec_b) for r in embedding_neardup_pairs(spark, sf).collect()
+    )
+    assert got == [(0, 1)]  # the zero pair (2,3) is excluded, not NaN-kept
+    assert_matches_oracle(
+        embedding_neardup_pairs(spark, sf),
+        _NEARDUP_ORACLE,
+        sf,
+        "embedding_neardup_pairs/zero_norm",
+    )
+    # kernel path over the SAME filtered base: identical pair set
+    from example_beam_spark.sources import load_table
+
+    emb = load_table(spark, sf, "embeddings")
+    n = emb.count()
+    base = emb.select(
+        "vec_id", "embedding", norm_dec("embedding").alias("nrm")
+    ).filter(F.col("nrm") > 0)
+    banded = base.select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        F.posexplode(band_keys_array(neardup_band_bits(n), n)).alias(
+            "band", "bkey"
+        ),
+    )
+    kernel = sorted(
+        (r.vec_a, r.vec_b)
+        for r in _bucket_verify_frame(banded).distinct().collect()
+    )
+    assert kernel == [(0, 1)]
