@@ -159,21 +159,24 @@ def test_pack_sequences_two_phase_no_single_task_window(spark):
     """Sequence packing (round-11 two-phase rewrite): every window is
     partitioned — no Exchange SinglePartition funnels per-document rows
     into one task (the round-10 per-language window did) — the summary
-    side broadcasts back, and the big (lang, bucket) exchange is SHARED
-    between the cumsum and the bucket-totals consumers (executed plan
-    shows a ReusedExchange), so text is tokenized and shuffled once."""
+    side broadcasts back, and both consumers (cumsum window +
+    bucket-totals aggregate) read the PERSISTED token summary
+    (InMemoryTableScan in the executed plan), so text is tokenized
+    exactly once."""
     from example_beam_spark.plans import explain_formatted
+    from example_beam_spark.registry import drain_cleanups
 
     q = load_registry()["docs_pack_sequences"]
-    df = q.fn(spark, SF)
-    plan = explain_formatted(df)
-    assert "SinglePartition" not in plan, plan[:3000]
-    assert "BroadcastHashJoin" in plan, plan[:3000]
-    df.collect()
-    executed = df._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in executed or "reused exchange" in executed.lower(), (
-        executed[:3000]
-    )
+    try:
+        df = q.fn(spark, SF)
+        plan = explain_formatted(df)
+        assert "SinglePartition" not in plan, plan[:3000]
+        assert "BroadcastHashJoin" in plan, plan[:3000]
+        df.collect()
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in executed, executed[:3000]
+    finally:
+        drain_cleanups()
 
 
 def test_budget_select_two_phase_no_single_task_window(spark):
