@@ -255,6 +255,21 @@ _CMS_ORACLE = f"""
 """
 
 
+def cms_col_of(r, term) -> F.Column:
+    """Spark twin of ``_cms_col_sql`` — module-level so the streaming
+    twin (operators/trainprep.py) builds bit-identical cells."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(r.cast("string"), F.lit(":"), term)), 1, 7
+            ),
+            16,
+            10,
+        ).cast("long")
+        % CMS_W
+    )
+
+
 @register("cms_token_counts", oracle=_CMS_ORACLE)
 def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min Sketch over corpus tokens (d=4 × w=256), probed at the
@@ -268,18 +283,7 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread_small_input(load_table(spark, sf_dir, "documents"), spark)
     toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
     rows = F.array(*[F.lit(i) for i in range(CMS_D)])
-
-    def col_of(r, term):
-        return (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(r.cast("string"), F.lit(":"), term)), 1, 7
-                ),
-                16,
-                10,
-            ).cast("long")
-            % CMS_W
-        )
+    col_of = cms_col_of
 
     cells = (
         toks.select("term", F.explode(rows).alias("r"))

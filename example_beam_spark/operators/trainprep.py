@@ -1,0 +1,440 @@
+"""Round-11 training-preparation tail: the remaining data-pipeline moves
+between a cleaned corpus and a training run.
+
+- ``ann_range_search`` — cosine-THRESHOLD retrieval (all matches above
+  a similarity floor, vs the top-k family's fixed k): the retrieval
+  shape of contrastive-pair mining and duplicate sweeps where the
+  match-count per query is unknown a priori.
+- ``ann_hard_negatives`` — hard-negative mining for contrastive
+  training: per query, the most-similar vectors with a DIFFERENT label
+  (the near-miss negatives that make embedding training converge;
+  cf. the in-batch/hard-negative discipline of DPR, Karpukhin 2020).
+- ``tokenizer_fertility_by_lang`` — tokens/word and chars/token per
+  language: the standard tokenizer-efficiency audit run before fixing
+  a vocabulary (fertility >> 1 languages pay more sequence length for
+  the same text).
+- ``docs_domain_mix_weights`` — temperature-flattened source-mixture
+  weights (alpha = 0.5 via SQRT, chosen because sqrt is correctly-
+  rounded IEEE in both engines while pow() is not): the sampling-weight
+  manifest of a multi-source pretraining mix (cf. the alpha-scaled
+  language sampling of multilingual pretraining, Conneau & Lample 2019).
+- ``events_next_event_examples`` — (context -> next event) training
+  examples from behavioral streams: per (user, day), each event with
+  its three predecessors — the sequence-model example generator.
+- ``cms_token_counts_stream`` — the Count-Min sketch as STREAMING
+  state: d*w counter cells keyed by (row, counter), update-mode — the
+  same bounded-state discipline as hll_distinct_users_stream; the
+  batch CMS oracle gates it unchanged (cell counts are order- and
+  batch-boundary-insensitive sums).
+
+Reference analog: these extend the reference's aggregation surface
+(SumByKey/semigroup discipline, AdCtrFixedWindowCalculator.scala:38)
+to the training-data domain; none exist in the reference — they are
+the "operations a large-scale training-data pipeline would need"
+extension family (SURVEY.md north star), all DuckDB-oracle-gated.
+
+Float determinism: every compared double is either an exact integer
+count cast once, a single division of two exact values, or a
+correctly-rounded SQRT — the registry.py decimal/quantization rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from example_beam_spark.operators.similarity import (
+    _ELEMS_SQL,
+    _NORMS_SQL,
+    _SCALE,
+    N_QUERIES,
+    dot_dec,
+    norm_dec,
+)
+from example_beam_spark.operators.textops import _BPE_PATTERN
+from example_beam_spark.registry import register
+from example_beam_spark.sources import load_table, spread_small_input
+
+# --------------------------------------------------------------------------
+# ann_range_search — threshold retrieval (exact twin)
+# --------------------------------------------------------------------------
+
+RANGE_THRESHOLD = 0.2
+
+_RANGE_ORACLE = f"""
+    WITH elems AS ({_ELEMS_SQL}),
+    norms AS ({_NORMS_SQL}),
+    dots AS (
+        SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+               CAST(SUM(CAST(FLOOR(q.x * d.x * {_SCALE}) AS BIGINT)) AS DOUBLE) / {_SCALE} AS dot
+        FROM elems q JOIN elems d ON q.i = d.i AND q.vec_id <> d.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+        GROUP BY q.vec_id, d.vec_id
+    )
+    SELECT t.query_id, t.neighbor_id,
+           t.dot / (nq.nrm * nd.nrm) AS cosine
+    FROM dots t
+    JOIN norms nq ON nq.vec_id = t.query_id
+    JOIN norms nd ON nd.vec_id = t.neighbor_id
+    WHERE t.dot / (nq.nrm * nd.nrm) >= {RANGE_THRESHOLD}
+"""
+
+
+@register("ann_range_search", oracle=_RANGE_ORACLE)
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All corpus vectors with cosine >= RANGE_THRESHOLD per query
+    (vec_id < N_QUERIES) — the unknown-result-size retrieval shape.
+    Exact scan: broadcast query set, one zip_with/aggregate dot per
+    (query, corpus) row, map-side filter — no shuffle at all (the
+    threshold prunes before anything aggregates; the top-k family needs
+    a per-query rank, this doesn't). 100-TB path: identical plan with
+    the banded-LSH prefilter of embedding_neardup_pairs replacing the
+    full scan (candidates = band-key equality), verified by this exact
+    expression; the full scan here IS the oracle twin, the same
+    division of labor as ann_topk_bruteforce vs ann_topk_lsh."""
+    emb = spread_small_input(load_table(spark, sf_dir, "embeddings"), spark)
+    base = emb.select("vec_id", "embedding", norm_dec("embedding").alias("nrm"))
+    q = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("emb_q"),
+        F.col("nrm").alias("nrm_q"),
+    )
+    cos = dot_dec("emb_q", "embedding") / (F.col("nrm_q") * F.col("nrm"))
+    return (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= RANGE_THRESHOLD)
+    )
+
+
+# --------------------------------------------------------------------------
+# ann_hard_negatives — contrastive hard-negative mining
+# --------------------------------------------------------------------------
+
+NEG_K = 5
+
+_HARDNEG_ORACLE = f"""
+    WITH elems AS ({_ELEMS_SQL}),
+    norms AS ({_NORMS_SQL}),
+    dots AS (
+        SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+               CAST(SUM(CAST(FLOOR(q.x * d.x * {_SCALE}) AS BIGINT)) AS DOUBLE) / {_SCALE} AS dot
+        FROM elems q JOIN elems d ON q.i = d.i AND q.vec_id <> d.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+        GROUP BY q.vec_id, d.vec_id
+    ),
+    scored AS (
+        SELECT t.query_id, lq.label AS query_label,
+               t.neighbor_id, ln.label AS neighbor_label,
+               t.dot / (nq.nrm * nd.nrm) AS cosine
+        FROM dots t
+        JOIN norms nq ON nq.vec_id = t.query_id
+        JOIN norms nd ON nd.vec_id = t.neighbor_id
+        JOIN embeddings lq ON lq.vec_id = t.query_id
+        JOIN embeddings ln ON ln.vec_id = t.neighbor_id
+        WHERE lq.label <> ln.label
+    )
+    SELECT query_id, query_label, neighbor_id, neighbor_label, cosine, rk
+    FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+               ) AS BIGINT) AS rk
+        FROM scored
+    ) WHERE rk <= {NEG_K}
+"""
+
+
+@register("ann_hard_negatives", oracle=_HARDNEG_ORACLE)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per query (vec_id < N_QUERIES): the NEG_K most-similar vectors
+    whose LABEL differs — the near-miss negatives of contrastive
+    training (DPR-style hard-negative mining). Broadcast query set,
+    map-side label-mismatch filter, then a rank window whose partition
+    count equals the query count (each group is one query's candidate
+    list — at 100 TB the candidate list comes from the IVF/LSH
+    prefilter, so the group is already top-candidates-sized, not
+    corpus-sized; the full scan here is the exact oracle twin)."""
+    emb = spread_small_input(load_table(spark, sf_dir, "embeddings"), spark)
+    base = emb.select(
+        "vec_id", "embedding", "label", norm_dec("embedding").alias("nrm")
+    )
+    q = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("emb_q"),
+        F.col("nrm").alias("nrm_q"),
+    )
+    cos = dot_dec("emb_q", "embedding") / (F.col("nrm_q") * F.col("nrm"))
+    scored = (
+        base.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") != F.col("query_label"))
+        )
+        .select(
+            "query_id",
+            "query_label",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            cos.alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return scored.withColumn(
+        "rk", F.row_number().over(w).cast("long")
+    ).filter(F.col("rk") <= NEG_K)
+
+
+# --------------------------------------------------------------------------
+# tokenizer_fertility_by_lang — tokenizer-efficiency audit
+# --------------------------------------------------------------------------
+
+_FERTILITY_ORACLE = f"""
+    WITH per_doc AS (
+        SELECT lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(len(regexp_extract_all(text, '{{bpe}}')) AS BIGINT) AS n_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(n_tokens) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE)
+               AS fertility,
+           CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE)
+               AS chars_per_token
+    FROM per_doc GROUP BY lang
+"""
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    oracle=_FERTILITY_ORACLE.format(bpe=_BPE_PATTERN),
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens-per-word (fertility) and chars-per-token per language —
+    the audit run before freezing a tokenizer (high-fertility languages
+    pay more context length for the same text; cf. the fertility metric
+    of multilingual tokenizer studies, e.g. Rust 2021 "How Good is Your
+    Tokenizer?"). Pure map-side expressions into a partial+final
+    aggregate keyed by lang — one bounded-cardinality shuffle; ratios
+    are single divisions of exact integer sums (engine-identical)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_words"),
+        F.size(F.expr(f"regexp_extract_all(text, '{_BPE_PATTERN}', 0)"))
+        .cast("long")
+        .alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_tokens",
+        "n_chars",
+        (F.col("n_tokens").cast("double") / F.col("n_words").cast("double")).alias(
+            "fertility"
+        ),
+        (F.col("n_chars").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# docs_domain_mix_weights — temperature-flattened source mixture
+# --------------------------------------------------------------------------
+# alpha = 0.5 (sqrt flattening) ON PURPOSE: sqrt is correctly-rounded
+# IEEE in both engines, pow() is not — the same reasoning that keeps
+# every compared float on the registry's exact-op whitelist. The raw
+# weight is quantized FLOOR(sqrt(share)*1e12) (exact in both engines)
+# so the normalizing sum is an exact integer sum, order-independent.
+
+_MIX_ORACLE = f"""
+    WITH per_source AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(regexp_extract_all(text, '{{bpe}}'))) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_tokens) AS t FROM per_source),
+    wq AS (
+        SELECT s.source, s.n_docs, s.n_tokens,
+               CAST(s.n_tokens AS DOUBLE) / CAST(t.t AS DOUBLE) AS token_share,
+               CAST(FLOOR(SQRT(CAST(s.n_tokens AS DOUBLE) / CAST(t.t AS DOUBLE))
+                          * {_SCALE}) AS BIGINT) AS w_q
+        FROM per_source s CROSS JOIN tot t
+    ),
+    wtot AS (SELECT SUM(w_q) AS wt FROM wq)
+    SELECT w.source, w.n_docs, w.n_tokens, w.token_share,
+           CAST(w.w_q AS DOUBLE) / CAST(t.wt AS DOUBLE) AS weight
+    FROM wq w CROSS JOIN wtot t
+"""
+
+
+@register("docs_domain_mix_weights", oracle=_MIX_ORACLE.format(bpe=_BPE_PATTERN))
+def docs_domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights for a temperature-flattened training
+    mix (alpha = 0.5: weight ∝ sqrt(token share), renormalized — the
+    flattening that up-samples small sources, cf. multilingual
+    pretraining's alpha-scaled sampling). One partial+final aggregate
+    keyed by source (bounded cardinality), then two 1-row global sums
+    broadcast back onto the summary — no per-document data ever leaves
+    the map side twice."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.expr(f"regexp_extract_all(text, '{_BPE_PATTERN}', 0)")).cast(
+        "long"
+    )
+    per_source = docs.select("source", n_tok.alias("nt")).groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+    )
+    tot = per_source.agg(F.sum("n_tokens").alias("t"))
+    share = F.col("n_tokens").cast("double") / F.col("t").cast("double")
+    wq = per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        share.alias("token_share"),
+        F.floor(F.sqrt(share) * F.lit(float(_SCALE.rstrip("D"))))
+        .cast("long")
+        .alias("w_q"),
+    )
+    wtot = wq.agg(F.sum("w_q").alias("wt"))
+    return wq.crossJoin(F.broadcast(wtot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "token_share",
+        (F.col("w_q").cast("double") / F.col("wt").cast("double")).alias("weight"),
+    )
+
+
+# --------------------------------------------------------------------------
+# events_next_event_examples — sequence-model training examples
+# --------------------------------------------------------------------------
+# Context windows reset at DAY boundaries by design: the window key is
+# (user_id, day), so the biggest window group is one user-day — the
+# skew-bounded form of the per-user window (a zipf head user's history
+# splits across days instead of serializing in one task; the same
+# hazard class sessionize_events_auto dispatches around).
+
+_NEXT_EVENT_ORACLE = """
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS step,
+           LAG(event_type, 3) OVER w AS ctx1,
+           LAG(event_type, 2) OVER w AS ctx2,
+           LAG(event_type, 1) OVER w AS ctx3,
+           event_type AS label
+    FROM events
+    WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE)
+                 ORDER BY ts, event_id)
+"""
+
+
+@register("events_next_event_examples", oracle=_NEXT_EVENT_ORACLE)
+def events_next_event_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(3-event context -> next event) training examples per (user,
+    day): the example generator for next-action sequence models. One
+    window shuffle keyed by (user_id, day); lag contexts are NULL at
+    the day start (the model's begin-of-sequence), matching SQL LAG."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("day", F.to_date("ts"))
+        .select(
+            "user_id",
+            "day",
+            F.row_number().over(w).cast("long").alias("step"),
+            F.lag("event_type", 3).over(w).alias("ctx1"),
+            F.lag("event_type", 2).over(w).alias("ctx2"),
+            F.lag("event_type", 1).over(w).alias("ctx3"),
+            F.col("event_type").alias("label"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# cms_token_counts_stream — the CMS sketch as streaming state
+# --------------------------------------------------------------------------
+
+
+from example_beam_spark.operators.sketches import _CMS_ORACLE  # noqa: E402
+
+
+@register("cms_token_counts_stream", oracle=_CMS_ORACLE)
+def cms_token_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Count-Min sketch build as a REAL Structured Streaming job:
+    COUNT per (row, counter) cell is the canonical bounded streaming
+    state (exactly d*w = 1024 rows, ever) — sketch-as-state like
+    hll_distinct_users_stream. Update-mode drain; final cells are
+    provably the batch cells (counts are order- and batch-boundary-
+    insensitive), so the probe stage and the BATCH CMS oracle gate the
+    result unchanged — the hll_distinct_users_stream pattern."""
+    from example_beam_spark.operators.sketches import (
+        CMS_D,
+        cms_col_of,
+    )
+    from example_beam_spark.streaming.entries import (
+        _prepare_stream_session,
+        _stage_dir,
+        run_to_final,
+    )
+
+    _prepare_stream_session(spark, min(8, spark.sparkContext.defaultParallelism))
+    d = _stage_dir(sf_dir, "documents")
+    stream = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).parquet(d)
+    rows = F.array(*[F.lit(i) for i in range(CMS_D)])
+    cells_stream = (
+        stream.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .select("term", F.explode(rows).alias("r"))
+        .select("r", cms_col_of(F.col("r"), F.col("term")).alias("c"))
+        .groupBy("r", "c")
+        .agg(F.count("*").alias("cnt"))
+    )
+    cells = run_to_final(cells_stream, ["r", "c"], spark)
+    # probe stage (batch, identical to cms_token_counts' probe side)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+    from example_beam_spark.operators.sketches import CMS_PROBES
+
+    probes = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), "term")
+        .limit(CMS_PROBES)
+    )
+    probe_cells = probes.select(
+        "term", "n_exact", F.explode(rows).alias("r")
+    ).select("term", "n_exact", "r", cms_col_of(F.col("r"), F.col("term")).alias("c"))
+    return (
+        F.broadcast(probe_cells)
+        .join(cells, ["r", "c"])
+        .groupBy("term", "n_exact")
+        .agg(F.min("cnt").alias("mn"))
+        .select(
+            "term",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.col("mn").cast("long").alias("cms_estimate"),
+            (F.col("mn") - F.col("n_exact")).cast("long").alias("overestimate"),
+        )
+    )

@@ -166,6 +166,8 @@ _MODULE_ORDER = [
     "example_beam_spark.streaming.repeat_stream",
     # round 10
     "example_beam_spark.streaming.neardup_stream",
+    # round 11
+    "example_beam_spark.operators.trainprep",
 ]
 
 

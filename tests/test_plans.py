@@ -746,3 +746,76 @@ def test_pmi_topk_is_takeordered(spark):
     plan = explain_formatted(df)
     assert "TakeOrdered" in plan, plan[:800]
     assert has_broadcast_join(df)
+
+
+def test_range_search_is_broadcast_scan_no_shuffle(spark):
+    """ann_range_search: broadcast query set + map-side threshold filter
+    — scan-shaped: no rank, no aggregate, and the ONLY exchanges are the
+    fixture-only spread_small_input round-robin repartitions (no-ops at
+    100 TB where the scan already yields >= parallelism splits)."""
+    import re
+
+    from example_beam_spark.plans import explain_formatted
+
+    q = load_registry()["ann_range_search"]
+    df = q.fn(spark, SF)
+    plan = explain_formatted(df)
+    # the query set rides a BroadcastNestedLoopJoin (cross join: the
+    # threshold is not an equi-key)
+    assert "BroadcastNestedLoopJoin" in plan, plan[:3000]
+    for m in re.finditer(
+        r"^\(\d+\) Exchange\b\n(?:.*\n)*?Arguments: (\w+)", plan, re.M
+    ):
+        assert m.group(1) == "RoundRobinPartitioning", plan[:3000]
+    assert "HashAggregate" not in plan and "Window" not in plan, plan[:3000]
+
+
+def test_hard_negatives_single_query_shuffle(spark):
+    """ann_hard_negatives: broadcast queries and label filter map-side;
+    beyond the fixture-only round-robin spreads, the only exchange feeds
+    the per-query rank window."""
+    import re
+
+    from example_beam_spark.plans import explain_formatted
+
+    q = load_registry()["ann_hard_negatives"]
+    df = q.fn(spark, SF)
+    plan = explain_formatted(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan[:3000]
+    kinds = [
+        m.group(1)
+        for m in re.finditer(
+            r"^\(\d+\) Exchange\b\n(?:.*\n)*?Arguments: (\w+)", plan, re.M
+        )
+    ]
+    assert sum(1 for k in kinds if k != "RoundRobinPartitioning") == 1, kinds
+
+
+def test_fertility_single_bounded_shuffle(spark):
+    """tokenizer_fertility_by_lang: one partial+final aggregate keyed by
+    lang — exactly one exchange, counts computed map-side."""
+    q = load_registry()["tokenizer_fertility_by_lang"]
+    from example_beam_spark.plans import explain_formatted
+
+    df = q.fn(spark, SF)
+    assert num_exchanges(df) == 1
+    assert explain_formatted(df).count("HashAggregate") >= 2
+
+
+def test_mix_weights_broadcast_totals(spark):
+    """docs_domain_mix_weights: per-source aggregate once; both global
+    totals broadcast back onto the summary (two BroadcastNestedLoop /
+    BroadcastExchange joins over 1-row frames, no extra fact shuffle)."""
+    q = load_registry()["docs_domain_mix_weights"]
+    from example_beam_spark.plans import explain_formatted
+
+    df = q.fn(spark, SF)
+    plan = explain_formatted(df)
+    assert plan.count("BroadcastExchange") >= 2, plan[:3000]
+
+
+def test_next_event_examples_single_shuffle(spark):
+    """events_next_event_examples: one window shuffle keyed by
+    (user_id, day) — lags and row_number share the same window spec."""
+    q = load_registry()["events_next_event_examples"]
+    assert num_exchanges(q.fn(spark, SF)) == 1
