@@ -438,3 +438,150 @@ def cms_token_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("mn") - F.col("n_exact")).cast("long").alias("overestimate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# embedding_covariance — PCA/whitening preparation
+# --------------------------------------------------------------------------
+# The covariance matrix is THE aggregate behind embedding whitening and
+# PCA projection (run before indexing / SemDeDup-style clustering).
+# Exact cross-engine floats: every Σxᵢxⱼ and Σxᵢ is a quantized
+# FLOOR(·1e12) integer sum; cov = E[xy] - E[x]E[y] is then two exact
+# divisions, one product, one subtraction — identical op sequence both
+# engines. Scale design: the upper triangle expands PER ROW as one
+# array comprehension (d(d+1)/2 structs — no self-join, no second scan
+# of the vector), then a partial+final SUM into exactly d(d+1)/2
+# groups; the element-mean aggregate reuses the same scan shape. At
+# 100 TB the map-side combine reduces every partition to <=2080 rows
+# before the only shuffle.
+
+_COV_ORACLE = f"""
+    WITH elems AS ({{elems}}),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+    sums AS (
+        SELECT i, SUM(CAST(FLOOR(x * {_SCALE}) AS BIGINT)) AS sx
+        FROM elems GROUP BY i
+    ),
+    prods AS (
+        SELECT a.i AS i, b.i AS j,
+               SUM(CAST(FLOOR(a.x * b.x * {_SCALE}) AS BIGINT)) AS sxy
+        FROM elems a JOIN elems b ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY 1, 2
+    )
+    SELECT CAST(p.i - 1 AS BIGINT) AS i, CAST(p.j - 1 AS BIGINT) AS j,
+           (CAST(p.sxy AS DOUBLE) / {_SCALE}) / CAST(n.n AS DOUBLE)
+           - ((CAST(si.sx AS DOUBLE) / {_SCALE}) / CAST(n.n AS DOUBLE))
+             * ((CAST(sj.sx AS DOUBLE) / {_SCALE}) / CAST(n.n AS DOUBLE))
+               AS cov
+    FROM prods p
+    JOIN sums si ON si.i = p.i
+    JOIN sums sj ON sj.i = p.j
+    CROSS JOIN n
+"""
+
+
+@register("embedding_covariance", oracle=_COV_ORACLE.format(elems=_ELEMS_SQL))
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance matrix of the embedding columns (0-based
+    (i, j, cov), j >= i) — the whitening/PCA-prep aggregate (section
+    comment). One array-comprehension expansion per row, partial+final
+    integer sums into d(d+1)/2 groups, means broadcast back."""
+    emb = spread_small_input(load_table(spark, sf_dir, "embeddings"), spark)
+    n = emb.count()
+    pairs = emb.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(embedding) - 1), i -> "
+                "transform(sequence(i, size(embedding) - 1), j -> "
+                "named_struct('i', i, 'j', j, 'p', "
+                "CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * "
+                f"CAST(embedding[j] AS DOUBLE) * {_SCALE}) AS BIGINT)))))"
+            )
+        ).alias("s")
+    ).select("s.i", "s.j", "s.p")
+    sxy = pairs.groupBy("i", "j").agg(F.sum("p").alias("sxy"))
+    sums = (
+        emb.select(F.posexplode("embedding").alias("i", "x"))
+        .groupBy("i")
+        .agg(
+            F.sum(
+                F.expr(f"CAST(FLOOR(CAST(x AS DOUBLE) * {_SCALE}) AS BIGINT)")
+            ).alias("sx")
+        )
+    )
+    scale = float(_SCALE.rstrip("D"))
+    nd = float(n)
+    mean_of = lambda c: (F.col(c).cast("double") / scale) / nd  # noqa: E731
+    return (
+        sxy.join(F.broadcast(sums.withColumnRenamed("sx", "sx_i")), "i")
+        .join(
+            F.broadcast(
+                sums.select(F.col("i").alias("j"), F.col("sx").alias("sx_j"))
+            ),
+            "j",
+        )
+        .select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            (
+                (F.col("sxy").cast("double") / scale) / nd
+                - mean_of("sx_i") * mean_of("sx_j")
+            ).alias("cov"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# events_topk_types_stream — streaming windowed top-k
+# --------------------------------------------------------------------------
+
+TOPK_TYPES = 3
+
+_TOPK_STREAM_ORACLE = f"""
+    WITH counted AS (
+        SELECT date_trunc('hour', ts) AS hour_start, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    )
+    SELECT hour_start, event_type, n_events, rk FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+                   PARTITION BY hour_start
+                   ORDER BY n_events DESC, event_type
+               ) AS BIGINT) AS rk
+        FROM counted
+    ) WHERE rk <= {TOPK_TYPES}
+"""
+
+
+@register("events_topk_types_stream", oracle=_TOPK_STREAM_ORACLE)
+def events_topk_types_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{3} event types per 1-hour tumbling window, with the counting
+    run as a REAL streaming job (watermarked windowed aggregation,
+    update mode — the trending-now shape of a behavioral dashboard).
+    The rank cut runs batch-side on the drained per-window counts
+    (window_count x type_count summary rows, never events), so the
+    stream's state is the open windows' count cells only and the final
+    counts provably equal the batch counts (order/batch-boundary
+    insensitive sums) — the same oracle gates both stages."""
+    from example_beam_spark.streaming.entries import (
+        read_events_stream,
+        run_to_final,
+    )
+
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            F.col("window.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    counted = run_to_final(agg, ["hour_start", "event_type"], spark)
+    w = Window.partitionBy("hour_start").orderBy(
+        F.desc("n_events"), "event_type"
+    )
+    return counted.withColumn(
+        "rk", F.row_number().over(w).cast("long")
+    ).filter(F.col("rk") <= TOPK_TYPES)

@@ -819,3 +819,18 @@ def test_next_event_examples_single_shuffle(spark):
     (user_id, day) — lags and row_number share the same window spec."""
     q = load_registry()["events_next_event_examples"]
     assert num_exchanges(q.fn(spark, SF)) == 1
+
+
+def test_covariance_two_bounded_aggregates(spark):
+    """embedding_covariance: the upper triangle expands per row (no
+    self-join of the element table) — plan has NO SortMergeJoin, the
+    only aggregates are the two partial+final integer sums (bounded at
+    d(d+1)/2 and d groups), and the mean sums ride in as broadcasts."""
+    from example_beam_spark.plans import explain_formatted
+
+    q = load_registry()["embedding_covariance"]
+    df = q.fn(spark, SF)
+    plan = explain_formatted(df)
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert plan.count("HashAggregate") >= 4, plan[:3000]  # 2x partial+final
