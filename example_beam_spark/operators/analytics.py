@@ -126,22 +126,33 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     recency (last order date), frequency (order count), and monetary
     (decimal-exact revenue sum), with deterministic custkey tie-breaks.
 
-    100-TB design: the fact scan collapses to one |customers|-row
-    aggregate first; the three NTILE windows run over that much smaller
-    table. At extreme |customers| the quartile CUTOFFS would be computed
-    once and broadcast as range predicates instead (same posture as
-    price_quantiles); NTILE is the exact-oracle-friendly form."""
+    100-TB design (round-11 rewrite): the fact scan collapses to one
+    |customers|-row aggregate first; each quartile score then comes
+    from a TWO-PHASE global rank (scaleops.two_phase_rank: range-
+    repartitioned, rank-local, bounded per-partition counts broadcast
+    back) with NTILE recomputed as exact integer arithmetic on
+    (rank, total) — bit-identical to the oracle's NTILE, no
+    unpartitioned WindowExec funnelling every customer through one
+    task (the round-10 form ran THREE such windows)."""
+    from example_beam_spark.operators.scaleops import (
+        ntile_from_rank,
+        two_phase_rank,
+    )
+
     orders = load_table(spark, sf_dir, "orders")
     cust = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count("*").alias("frequency"),
         dsum("o_totalprice", "monetary"),
     )
-    scored = cust.select(
+    ranked, n = two_phase_rank(cust, ["last_order", "o_custkey"], "_rr")
+    ranked, _ = two_phase_rank(ranked, ["frequency", "o_custkey"], "_fr")
+    ranked, _ = two_phase_rank(ranked, ["monetary", "o_custkey"], "_mr")
+    scored = ranked.select(
         "o_custkey",
-        F.ntile(4).over(Window.orderBy("last_order", "o_custkey")).cast("long").alias("r_score"),
-        F.ntile(4).over(Window.orderBy("frequency", "o_custkey")).cast("long").alias("f_score"),
-        F.ntile(4).over(Window.orderBy("monetary", "o_custkey")).cast("long").alias("m_score"),
+        ntile_from_rank("_rr", n, 4).alias("r_score"),
+        ntile_from_rank("_fr", n, 4).alias("f_score"),
+        ntile_from_rank("_mr", n, 4).alias("m_score"),
         F.col("frequency").cast("long").alias("frequency"),
         "monetary",
     )

@@ -118,13 +118,14 @@ def seed_scores(base: DataFrame) -> DataFrame:
     """(vec_id, seed_id, cos_seed, crk) for every corpus vector × seed —
     crk=1 is the vector's cell; crk<=nprobe are a query's probe cells.
     ``base`` must carry (vec_id, embedding, nrm)."""
-    # seed selection sorts only (vec_id, md5) — embeddings join in after
-    seed_rank = Window.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+    # seed selection is a top-K cut on (md5, vec_id) — orderBy+limit
+    # compiles to TakeOrderedAndProject (per-partition K-heaps), never a
+    # global rank window (round-11: the previous row_number form ran one
+    # single-task sort of every vec_id); embeddings join in after
     seed_ids = (
         base.select("vec_id")
-        .withColumn("srk", F.row_number().over(seed_rank))
-        .filter(F.col("srk") <= IVF_K)
-        .select("vec_id")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(IVF_K)
     )
     seeds = F.broadcast(
         base.join(seed_ids, "vec_id").select(

@@ -335,19 +335,24 @@ def orders_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue — the 80/20 analysis behind curation decisions like "the
     top X% of sources contribute Y% of tokens".
 
-    100-TB design: the fact table collapses to a customers-sized
-    aggregate first; NTILE and the 10-row cumulative window run over
-    aggregates (customer table, then 10 rows). Every sum — including
-    the window cumsum — goes through DECIMAL(38,6) so shares divide
-    bit-identical doubles in both engines."""
+    100-TB design (round-11 rewrite): the fact table collapses to a
+    customers-sized aggregate first; the decile cut is a TWO-PHASE
+    global rank (scaleops.two_phase_rank) with NTILE recomputed as
+    exact integer arithmetic on (rank, total) — bit-identical to the
+    oracle's NTILE, no unpartitioned WindowExec over customer rows
+    (only the 10-row decile cumsum keeps a global window, bounded at
+    10 rows by construction). Every sum — including the window cumsum
+    — goes through DECIMAL(38,6) so shares divide bit-identical
+    doubles in both engines."""
+    from example_beam_spark.operators.scaleops import (
+        ntile_from_rank,
+        two_phase_rank,
+    )
+
     orders = load_table(spark, sf_dir, "orders")
     cust = orders.groupBy("o_custkey").agg(dsum("o_totalprice", "revenue"))
-    ranked = cust.select(
-        "revenue",
-        F.ntile(10)
-        .over(Window.orderBy(F.desc("revenue"), "o_custkey"))
-        .alias("decile"),
-    )
+    rk, n = two_phase_rank(cust, [F.desc("revenue"), "o_custkey"], "_rk")
+    ranked = rk.select("revenue", ntile_from_rank("_rk", n, 10).alias("decile"))
     per = ranked.groupBy("decile").agg(
         F.count("*").cast("long").alias("n_customers"),
         dsum("revenue", "revenue"),

@@ -243,3 +243,82 @@ def sessionize_events_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sessionize_head_share(ev) > _SKEW_HEAD_SHARE:
         return sessionize_events_salted(spark, sf_dir)
     return sessionize_events(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# two_phase_rank — generic distributed global row_number (round 11)
+# --------------------------------------------------------------------------
+# The reusable form of this module's base_sid stitch, for operators that
+# need a GLOBAL total-order rank (ntile scores, exact medians/p90) and
+# previously compiled to one unpartitioned WindowExec task: range-
+# repartition on the order keys, rank locally per partition, collect the
+# per-partition counts (<= shuffle-partitions rows — a bounded driver
+# artifact) and broadcast prefix offsets back.
+#
+# Why persist(): RangePartitioner SAMPLES its bounds (seeded off the
+# RDD id), so two separate evaluations of the same plan may pick
+# different boundaries — offsets collected under one set of bounds must
+# never stitch rows shuffled under another. Persisting the ranged frame
+# freezes the bounds at first materialization; task retries recompute
+# under the SAME frozen partitioner, so the labeling stays consistent.
+# (The manifest operators use deterministic VALUE buckets instead and
+# need no cache; this helper is for arbitrary order keys — dates,
+# decimal sums — where no order-congruent value bucketing exists.)
+# Callers must include a tie-break key so the order is total, and must
+# leave unpersisting to drain_cleanups() (defer_cleanup registered).
+
+
+def two_phase_rank(
+    df: DataFrame, order_cols: list, rank_col: str = "rank"
+) -> tuple[DataFrame, int]:
+    """(df + global row_number over ``order_cols``, total row count) —
+    no single-task window; see section comment."""
+    from example_beam_spark.registry import defer_cleanup
+
+    spark = df.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = df.repartitionByRange(p, *order_cols).persist()
+    defer_cleanup(lambda: ranged.unpersist())
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    counts = {
+        r["_pid"]: r["n"]
+        for r in with_pid.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    offs, total = [], 0
+    for pid in sorted(counts):  # pid order == range order
+        offs.append((pid, total))
+        total += counts[pid]
+    off = spark.createDataFrame(offs, schema="_pid int, _base long")
+    local = with_pid.withColumn(
+        "_lrank",
+        F.row_number().over(Window.partitionBy("_pid").orderBy(*order_cols)),
+    )
+    out = (
+        local.join(F.broadcast(off), "_pid")
+        .withColumn(rank_col, (F.col("_base") + F.col("_lrank")).cast("long"))
+        .drop("_pid", "_lrank", "_base")
+    )
+    return out, total
+
+
+def ntile_from_rank(rank_col: str, n_total: int, tiles: int) -> F.Column:
+    """SQL NTILE(tiles) computed from a global row_number and the total
+    count: the first (n mod t) tiles hold ceil(n/t) rows, the rest
+    floor(n/t) — the standard-SQL distribution Spark and DuckDB share,
+    here as exact integer arithmetic on the two-phase rank."""
+    small, m = divmod(n_total, tiles)
+    if small == 0:
+        # fewer rows than tiles: NTILE assigns tile == row position
+        return F.col(rank_col)
+    big = small + 1
+    cutoff = m * big
+    r = F.col(rank_col)
+    # integer `div`: exact at any magnitude (double floor-division loses
+    # integers past 2^53 — the docs_pack_sequences rule)
+    return (
+        F.when(r <= cutoff, F.expr(f"(({rank_col} - 1) div {big}) + 1"))
+        .otherwise(
+            F.expr(f"{m} + (({rank_col} - {cutoff} - 1) div {small}) + 1")
+        )
+        .cast("long")
+    )

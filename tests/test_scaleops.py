@@ -441,3 +441,37 @@ def test_zero_norm_vectors_excluded_on_both_paths(spark, tmp_path):
         for r in _bucket_verify_frame(banded).distinct().collect()
     )
     assert kernel == [(0, 1)]
+
+
+@pytest.mark.parametrize("n", [1, 3, 7, 40, 101])
+def test_two_phase_rank_and_ntile_match_window_forms(spark, n):
+    """two_phase_rank must equal the single-window row_number and
+    ntile_from_rank must equal Spark's NTILE for every distribution
+    shape (n < tiles, exact multiples, remainders)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from example_beam_spark.operators.scaleops import (
+        ntile_from_rank,
+        two_phase_rank,
+    )
+    from example_beam_spark.registry import drain_cleanups
+
+    df = spark.range(n).select(
+        (F.col("id") * 37 % 91).alias("v"), F.col("id").alias("k")
+    )
+    try:
+        got, total = two_phase_rank(df, ["v", "k"], "rk")
+        assert total == n
+        w = Window.orderBy("v", "k")
+        want = df.select(
+            "v", "k",
+            F.row_number().over(w).cast("long").alias("rk"),
+            F.ntile(4).over(w).cast("long").alias("nt"),
+        )
+        got4 = got.withColumn("nt", ntile_from_rank("rk", total, 4))
+        a = sorted(tuple(r) for r in got4.select("v", "k", "rk", "nt").collect())
+        b = sorted(tuple(r) for r in want.collect())
+        assert a == b
+    finally:
+        drain_cleanups()
