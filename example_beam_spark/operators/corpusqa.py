@@ -690,19 +690,22 @@ def term_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_ab").cast("double") * F.col("n_docs")
         / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
     )
+    # TakeOrdered-then-rank (round 11): the cut is orderBy+limit so the
+    # rank window sees _LIFT_TOP rows, not every supported pair
     ranked = (
         cab.filter(F.col("n_ab") >= _LIFT_MIN_SUPPORT)
         .join(va, "a")
         .join(vb, "b")
         .crossJoin(n)
         .withColumn("lift", lift)
+        .orderBy(F.desc("lift"), "a", "b")
+        .limit(_LIFT_TOP)
         .withColumn(
             "rk",
             F.row_number()
             .over(Window.orderBy(F.desc("lift"), "a", "b"))
             .cast("long"),
         )
-        .filter(F.col("rk") <= _LIFT_TOP)
     )
     return ranked.select(
         "a", "b", "n_ab",

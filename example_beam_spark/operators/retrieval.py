@@ -198,10 +198,13 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         *tf_cols,
         F.sum(F.col("w").cast("decimal(38,6)")).cast("double").alias("score"),
     )
+    # TakeOrdered-then-rank (round 11): orderBy+limit bounds the rank
+    # window's input at _BM25_TOP rows (the vocab_top_terms discipline)
     w = Window.orderBy(F.desc("score"), "doc_id")
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= _BM25_TOP)
+        scored.orderBy(F.desc("score"), "doc_id")
+        .limit(_BM25_TOP)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .join(dl, "doc_id")
         .select("doc_id", "dl", "tf_dup", "tf_join", "tf_vector", "rank")
     )
@@ -569,7 +572,10 @@ def pagerank_term_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("pr"),
             )
         )
-    w = Window.orderBy(F.desc("pr"), "term")
-    return r.select(
-        "term", "pr", F.row_number().over(w).cast("long").alias("rank")
-    )
+    # round-11: the output is the FULL term ranking (no top-k cut in the
+    # contract), so the global rank runs as the two-phase distributed
+    # rank — no single-task window over the vocabulary
+    from example_beam_spark.operators.scaleops import two_phase_rank
+
+    ranked, _n = two_phase_rank(r, [F.desc("pr"), "term"], "rank")
+    return ranked.select("term", "pr", "rank")

@@ -650,18 +650,30 @@ def test_substring_coverage_fanout_after_dup_filter(spark):
 
 def test_pagerank_edges_cached_per_iteration(spark):
     """pagerank_term_graph: every power iteration must read the
-    persisted (edge, weighted-degree) frame from cache — exactly
+    persisted (edge, weighted-degree) frame from cache — at least
     _PR_ITERS InMemoryTableScans, so the co-occurrence graph build is
-    never recomputed inside the loop. The node-count frame broadcasts."""
+    never recomputed inside the loop (the round-11 two-phase final
+    rank adds scans of its own persisted ranged frame on top). The
+    node-count frame broadcasts; no SinglePartition window remains."""
     from example_beam_spark.operators.retrieval import _PR_ITERS
+    from example_beam_spark.registry import drain_cleanups
 
     q = load_registry()["pagerank_term_graph"]
-    df = q.fn(spark, SF)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("InMemoryTableScan") == _PR_ITERS, plan.count(
-        "InMemoryTableScan"
-    )
-    assert has_broadcast_join(df)
+    try:
+        df = q.fn(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("InMemoryTableScan") >= _PR_ITERS, plan.count(
+            "InMemoryTableScan"
+        )
+        # the only SinglePartition exchanges are 1-row global COUNT
+        # aggregates (bounded partial+final), never a Window input
+        import re
+
+        for m in re.finditer(r"Exchange SinglePartition[^\n]*\n([^\n]*)", plan):
+            assert "Window" not in m.group(1), plan[:3000]
+        assert has_broadcast_join(df)
+    finally:
+        drain_cleanups()
 
 
 def test_tf_cosine_query_postings_broadcast(spark):
