@@ -846,3 +846,21 @@ def test_covariance_two_bounded_aggregates(spark):
     assert "SortMergeJoin" not in plan, plan[:3000]
     assert "BroadcastHashJoin" in plan, plan[:3000]
     assert plan.count("HashAggregate") >= 4, plan[:3000]  # 2x partial+final
+
+
+def test_per_group_topk_windows_push_group_limit(spark):
+    """topk_parts_per_brand and docs_sample_fixed_k filter on a rank
+    window — Spark must push a PARTIAL WindowGroupLimit below the
+    exchange (map-side per-group top-k heaps), so the low-cardinality
+    group windows (25 brands / 5 langs) never sort whole groups in one
+    task. Pinned so a refactor that breaks the rank-filter pattern
+    (e.g. ranking before filtering in a separate select) can't silently
+    lose the pushdown."""
+    for name in ("topk_parts_per_brand", "docs_sample_fixed_k"):
+        q = load_registry()[name]
+        df = q.fn(spark, SF)
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in executed and "Partial" in executed, (
+            name,
+            executed[:2000],
+        )
