@@ -269,17 +269,51 @@ def sessionize_events_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def two_phase_rank(
-    df: DataFrame, order_cols: list, rank_col: str = "rank"
-) -> tuple[DataFrame, int]:
-    """(df + global row_number over ``order_cols``, total row count) —
-    no single-task window; see section comment."""
+    df: DataFrame,
+    order_cols: list,
+    rank_col: str = "rank",
+    key_cols: list[str] | None = None,
+) -> tuple[DataFrame, int | None]:
+    """(df + row_number over ``order_cols`` [within ``key_cols`` groups
+    when given], total row count [None in the keyed form]) — no
+    single-task window; see section comment.
+
+    Keyed form: the range exchange is keyed (keys, order), so each
+    key's rows occupy a contiguous pid range; per-(pid, key) counts are
+    prefix-summed by a window PARTITIONED BY the keys over at most
+    P x |keys| bounded summary rows (no collect, no SinglePartition) —
+    the docs_shard_shuffle stitch with sampled range bounds instead of
+    deterministic value buckets, hence the persist."""
     from example_beam_spark.registry import defer_cleanup
 
+    keys = list(key_cols or [])
     spark = df.sparkSession
     p = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    ranged = df.repartitionByRange(p, *order_cols).persist()
+    ranged = df.repartitionByRange(p, *keys, *order_cols).persist()
     defer_cleanup(lambda: ranged.unpersist())
     with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    local = with_pid.withColumn(
+        "_lrank",
+        F.row_number().over(
+            Window.partitionBy("_pid", *keys).orderBy(*order_cols)
+        ),
+    )
+    if keys:
+        counts = with_pid.groupBy("_pid", *keys).agg(F.count("*").alias("_n"))
+        wsum = Window.partitionBy(*keys).orderBy("_pid")
+        base = counts.withColumn(
+            "_base",
+            F.coalesce(
+                F.sum("_n").over(wsum.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        ).select("_pid", *keys, "_base")
+        out = (
+            local.join(F.broadcast(base), ["_pid", *keys])
+            .withColumn(rank_col, (F.col("_base") + F.col("_lrank")).cast("long"))
+            .drop("_pid", "_lrank", "_base")
+        )
+        return out, None
     counts = {
         r["_pid"]: r["n"]
         for r in with_pid.groupBy("_pid").agg(F.count("*").alias("n")).collect()
@@ -289,10 +323,6 @@ def two_phase_rank(
         offs.append((pid, total))
         total += counts[pid]
     off = spark.createDataFrame(offs, schema="_pid int, _base long")
-    local = with_pid.withColumn(
-        "_lrank",
-        F.row_number().over(Window.partitionBy("_pid").orderBy(*order_cols)),
-    )
     out = (
         local.join(F.broadcast(off), "_pid")
         .withColumn(rank_col, (F.col("_base") + F.col("_lrank")).cast("long"))

@@ -475,3 +475,29 @@ def test_two_phase_rank_and_ntile_match_window_forms(spark, n):
         assert a == b
     finally:
         drain_cleanups()
+
+
+def test_two_phase_rank_keyed_matches_window_form(spark):
+    """Keyed two_phase_rank must equal the per-key window row_number,
+    including across range-partition boundaries within a key."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from example_beam_spark.operators.scaleops import two_phase_rank
+    from example_beam_spark.registry import drain_cleanups
+
+    df = spark.range(500).select(
+        (F.col("id") % 3).cast("string").alias("k"),
+        (F.col("id") * 37 % 91).alias("v"),
+        F.col("id").alias("t"),
+    )
+    try:
+        got, total = two_phase_rank(df, ["v", "t"], "rk", key_cols=["k"])
+        assert total is None
+        w = Window.partitionBy("k").orderBy("v", "t")
+        want = df.select("k", "v", "t", F.row_number().over(w).cast("long").alias("rk"))
+        a = sorted(tuple(r) for r in got.select("k", "v", "t", "rk").collect())
+        b = sorted(tuple(r) for r in want.collect())
+        assert a == b
+    finally:
+        drain_cleanups()
