@@ -585,3 +585,91 @@ def events_topk_types_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counted.withColumn(
         "rk", F.row_number().over(w).cast("long")
     ).filter(F.col("rk") <= TOPK_TYPES)
+
+
+# --------------------------------------------------------------------------
+# kmv_distinct_users_stream — the bottom-k sketch as streaming state
+# --------------------------------------------------------------------------
+# Completes the streaming-sketch family (HLL registers, histogram bins,
+# CMS cells — all bounded-state twins of their batch forms): KMV's
+# bottom-k is NOT an algebraic aggregate, so the state is a custom
+# per-bucket sorted array via applyInPandasWithState. Sharding the
+# sketch by hash prefix (h mod 16) keeps the stateful work parallel and
+# the merge EXACT: every member of the global bottom-k is inside its
+# own bucket's bottom-k, so the union of per-bucket bottom-k arrays is
+# a superset of the global bottom-k and the batch-side
+# distinct-order-limit recovers it exactly. State: <= 16 rows x 64
+# longs, forever — no watermark, nothing evicted (the HLL posture).
+# Every emitted hash is a REAL distinct-user hash, so emissions from
+# earlier micro-batches (possibly since displaced from a bucket's
+# bottom-k) only widen the candidate pool, never corrupt it.
+
+_KMV_BUCKETS = 16
+
+
+def _kmv_bucket_fn(key, pdfs, state):
+    import pandas as pd
+
+    from example_beam_spark.operators.sketches import KMV_K
+
+    cur = set(state.get[0]) if state.exists else set()
+    for pdf in pdfs:
+        cur.update(int(h) for h in pdf["h"])
+    new = sorted(cur)[:KMV_K]
+    state.update((new,))
+    yield pd.DataFrame({"bucket": [int(key[0])], "hashes": [new]})
+
+
+from example_beam_spark.operators.sketches import _KMV_ORACLE  # noqa: E402
+
+
+@register("kmv_distinct_users_stream", oracle=_KMV_ORACLE)
+def kmv_distinct_users_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k cardinality estimate with the hash collection run
+    as a REAL streaming job (section comment); final estimator and the
+    exact twin run batch-side on the drained candidate pool, gated by
+    the unchanged batch oracle."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from example_beam_spark.operators.sketches import (
+        _H_SPACE,
+        _KMV_EST,
+        KMV_K,
+        _h60_spark,
+    )
+    from example_beam_spark.streaming.entries import (
+        read_events_stream,
+        run_to_append,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    keyed = ev.select(
+        _h60_spark(F.col("user_id").cast("string")).alias("h")
+    ).withColumn("bucket", F.pmod("h", F.lit(_KMV_BUCKETS)))
+    cand = keyed.groupBy("bucket").applyInPandasWithState(
+        _kmv_bucket_fn,
+        outputStructType="bucket long, hashes array<long>",
+        stateStructType="hashes array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    pool = run_to_append(cand, spark)
+    bottomk = (
+        pool.select(F.explode("hashes").alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(KMV_K)
+    )
+    agg = bottomk.agg(F.max("h").alias("kth"), F.count("*").alias("got"))
+    events = load_table(spark, sf_dir, "events")
+    exact = events.agg(F.countDistinct("user_id").cast("long").alias("n_exact"))
+    return agg.crossJoin(F.broadcast(exact)).select(
+        F.lit(KMV_K).cast("long").alias("k"),
+        F.col("got").cast("long").alias("k_found"),
+        F.col("kth").cast("long").alias("kth_hash"),
+        "n_exact",
+        F.when(F.col("got") < KMV_K, F.col("got").cast("double"))
+        .otherwise(F.expr(_KMV_EST))
+        .alias("kmv_estimate"),
+    )
+

@@ -85,3 +85,50 @@ def test_hard_negatives_exclude_query_label(spark, tmp_path):
     assert (0, 1) not in got  # same-label near-identical vector skipped
     # nearest different-label vector (vec 2, smallest angle) ranks first
     assert got[(0, 2)] == 1
+
+
+def test_kmv_stream_state_bounded_and_kernel_displacement(spark):
+    """(a) The KMV stream's state is <= 16 bucket rows (the sharded
+    sketch bound, measured from progress metrics). (b) Direct kernel
+    check: a later batch of SMALLER hashes displaces larger ones from
+    the bucket's bottom-k, and displaced values can never re-enter."""
+    from example_beam_spark.operators.sketches import KMV_K
+    from example_beam_spark.operators.trainprep import (
+        _KMV_BUCKETS,
+        _kmv_bucket_fn,
+        kmv_distinct_users_stream,
+    )
+    from example_beam_spark.streaming import entries as E
+
+    out = kmv_distinct_users_stream(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) == 1 and out[0]["k"] == KMV_K
+    series = E.state_rows_series()
+    assert series and series[-1]["state_rows"] <= _KMV_BUCKETS, series
+
+    import pandas as pd
+
+    class _St:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    st = _St()
+    big = list(range(1000, 1000 + KMV_K))
+    list(_kmv_bucket_fn((0,), iter([pd.DataFrame({"h": big})]), st))
+    assert list(st.get[0]) == big
+    small = list(range(KMV_K // 2))
+    list(_kmv_bucket_fn((0,), iter([pd.DataFrame({"h": small})]), st))
+    kept = list(st.get[0])
+    assert kept == small + big[: KMV_K - len(small)]  # k smallest overall
+    assert len(kept) == KMV_K
