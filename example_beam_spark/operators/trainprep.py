@@ -673,3 +673,68 @@ def kmv_distinct_users_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("kmv_estimate"),
     )
 
+
+
+# --------------------------------------------------------------------------
+# docs_curriculum_order — curriculum phases + reproducible intra-phase order
+# --------------------------------------------------------------------------
+# Curriculum learning's data-side contract: documents grouped into
+# quality quartile PHASES (train easy/clean first — Bengio 2009's
+# curriculum, as practiced in staged pretraining mixes), with a
+# deterministic pseudo-random order WITHIN each phase (the
+# docs_shard_shuffle discipline, so the loader's order is reproducible).
+# Built entirely from the round-11 two-phase machinery: the quality
+# quartile is ntile_from_rank over a two-phase global rank, and the
+# intra-phase position is a KEYED two-phase rank — no single-task
+# window anywhere despite TWO global total orders in one operator.
+
+_CURR_PHASES = 4
+
+_CURRICULUM_ORACLE = f"""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS quality,
+               md5(CAST(doc_id AS VARCHAR)) AS k
+        FROM documents
+    )
+    , phased AS (
+        SELECT doc_id, quality, k,
+               NTILE({_CURR_PHASES}) OVER (ORDER BY quality DESC, doc_id)
+                   AS phase
+        FROM scored
+    )
+    SELECT doc_id, quality, CAST(phase AS BIGINT) AS phase,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY phase ORDER BY k, doc_id) AS BIGINT) AS pos
+    FROM phased
+"""
+
+
+@register("docs_curriculum_order", oracle=_CURRICULUM_ORACLE)
+def docs_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, quality, phase, pos): quality-quartile curriculum phase
+    plus reproducible md5 order within the phase (section comment)."""
+    from example_beam_spark.operators.scaleops import (
+        ntile_from_rank,
+        two_phase_rank,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    quality = (
+        F.size(F.array_distinct(F.split(F.col("text"), " "))).cast("double")
+        / F.size(F.split(F.col("text"), " "))
+    )
+    scored = docs.select(
+        "doc_id",
+        quality.alias("quality"),
+        F.md5(F.col("doc_id").cast("string")).alias("k"),
+    )
+    ranked, n = two_phase_rank(scored, [F.desc("quality"), "doc_id"], "_qr")
+    phased = ranked.withColumn(
+        "phase", ntile_from_rank("_qr", n, _CURR_PHASES)
+    )
+    ordered, _ = two_phase_rank(
+        phased, ["k", "doc_id"], "pos", key_cols=["phase"]
+    )
+    return ordered.select("doc_id", "quality", "phase", "pos")
