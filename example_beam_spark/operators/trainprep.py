@@ -738,3 +738,79 @@ def docs_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         phased, ["k", "doc_id"], "pos", key_cols=["phase"]
     )
     return ordered.select("doc_id", "quality", "phase", "pos")
+
+
+# --------------------------------------------------------------------------
+# ann_range_search_lsh — the bucketed scale path of threshold retrieval
+# --------------------------------------------------------------------------
+# The ann_topk_bruteforce / ann_topk_lsh division of labor applied to
+# range search: the exact ann_range_search above is the oracle-twin
+# full scan; this variant prunes candidates to the query's 8-bit
+# hyperplane bucket (~|corpus|/256 per query) before the identical
+# exact-cosine threshold filter. The oracle REPLICATES the bucket
+# prefilter in SQL, so recall loss vs the exact twin is part of the
+# CONTRACT (value-oracle-gated), not silent — the same honesty as
+# ann_topk_lsh vs ann_topk_bruteforce.
+
+from example_beam_spark.operators.similarity import (  # noqa: E402
+    _bucket_expr_spark,
+    _bucket_sql,
+)
+
+_RANGE_LSH_ORACLE = f"""
+    WITH elems AS ({_ELEMS_SQL}),
+    norms AS ({_NORMS_SQL}),
+    buckets AS (
+        SELECT vec_id, CAST({_bucket_sql()} AS BIGINT) AS bucket
+        FROM elems GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+               bq.bucket,
+               CAST(SUM(CAST(FLOOR(q.x * d.x * {_SCALE}) AS BIGINT)) AS DOUBLE) / {_SCALE} AS dot
+        FROM elems q JOIN elems d ON q.i = d.i AND q.vec_id <> d.vec_id
+        JOIN buckets bq ON bq.vec_id = q.vec_id
+        JOIN buckets bd ON bd.vec_id = d.vec_id AND bd.bucket = bq.bucket
+        WHERE q.vec_id < {N_QUERIES}
+        GROUP BY q.vec_id, d.vec_id, bq.bucket
+    )
+    SELECT t.query_id, t.neighbor_id, t.bucket,
+           t.dot / (nq.nrm * nd.nrm) AS cosine
+    FROM dots t
+    JOIN norms nq ON nq.vec_id = t.query_id
+    JOIN norms nd ON nd.vec_id = t.neighbor_id
+    WHERE t.dot / (nq.nrm * nd.nrm) >= {RANGE_THRESHOLD}
+"""
+
+
+@register("ann_range_search_lsh", oracle=_RANGE_LSH_ORACLE)
+def ann_range_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed threshold retrieval (section comment): candidates =
+    the query's own LSH bucket, then the exact quantized-cosine
+    threshold — per-query work drops ~256x; at 100 TB the bucket join
+    is shuffle-local per bucket."""
+    emb = spread_small_input(load_table(spark, sf_dir, "embeddings"), spark)
+    base = emb.select(
+        "vec_id",
+        "embedding",
+        norm_dec("embedding").alias("nrm"),
+        _bucket_expr_spark().alias("bucket"),
+    )
+    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cands = base.withColumnRenamed("vec_id", "neighbor_id").join(
+        F.broadcast(queries),
+        (F.col("bucket") == F.col("q_bucket"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    )
+    cos = dot_dec("q_emb", "embedding") / (F.col("q_nrm") * F.col("nrm"))
+    return cands.select(
+        "query_id",
+        "neighbor_id",
+        F.col("q_bucket").alias("bucket"),
+        cos.alias("cosine"),
+    ).filter(F.col("cosine") >= RANGE_THRESHOLD)
