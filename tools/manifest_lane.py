@@ -277,6 +277,15 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="200000,2000000")
     ap.add_argument("--isolate-rows", type=int, default=0)
+    ap.add_argument(
+        "--iso-scaling",
+        action="store_true",
+        help="run the isolation forms at shuffle.partitions 8 and 32: "
+        "the OLD single-task-window forms stay flat (their 4/8 serial "
+        "tasks can't use more partitions) while the two-phase forms "
+        "speed up — the 'does the wall improve as partitions scale' "
+        "evidence for the r10 verdict's done-criterion",
+    )
     args = ap.parse_args()
 
     from example_beam_spark.registry import drain_cleanups, load_registry
@@ -292,12 +301,19 @@ def main() -> None:
     results = []
     ok = True
     if args.isolate_rows:
-        iso = _iso_forms(spark, _isolation_table(spark, args.isolate_rows))
-        for name, row in iso.items():
-            rec = {"scale": args.isolate_rows, "op": f"iso_{name}", **row}
-            ok = ok and row["value_identical"]
-            results.append(rec)
-            print(json.dumps(rec), flush=True)
+        d_iso = _isolation_table(spark, args.isolate_rows)
+        parts = (8, 32) if args.iso_scaling else (None,)
+        for p in parts:
+            if p is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", str(p))
+            iso = _iso_forms(spark, d_iso)
+            for name, row in iso.items():
+                rec = {"scale": args.isolate_rows, "op": f"iso_{name}", **row}
+                if p is not None:
+                    rec["shuffle_partitions"] = p
+                ok = ok and row["value_identical"]
+                results.append(rec)
+                print(json.dumps(rec), flush=True)
     for n_docs in [int(s) for s in args.scales.split(",") if s]:
         d = _corpus(n_docs)
         for name, old_fn in forms.items():
