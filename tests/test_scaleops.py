@@ -443,11 +443,13 @@ def test_zero_norm_vectors_excluded_on_both_paths(spark, tmp_path):
     assert kernel == [(0, 1)]
 
 
-@pytest.mark.parametrize("n", [1, 3, 7, 40, 101])
-def test_two_phase_rank_and_ntile_match_window_forms(spark, n):
+@pytest.mark.parametrize(
+    "n,tiles", [(1, 4), (3, 4), (7, 4), (40, 4), (101, 4), (7, 3), (101, 10), (9, 10)]
+)
+def test_two_phase_rank_and_ntile_match_window_forms(spark, n, tiles):
     """two_phase_rank must equal the single-window row_number and
     ntile_from_rank must equal Spark's NTILE for every distribution
-    shape (n < tiles, exact multiples, remainders)."""
+    shape (n < tiles, exact multiples, remainders, varied tile counts)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -467,9 +469,9 @@ def test_two_phase_rank_and_ntile_match_window_forms(spark, n):
         want = df.select(
             "v", "k",
             F.row_number().over(w).cast("long").alias("rk"),
-            F.ntile(4).over(w).cast("long").alias("nt"),
+            F.ntile(tiles).over(w).cast("long").alias("nt"),
         )
-        got4 = got.withColumn("nt", ntile_from_rank("rk", total, 4))
+        got4 = got.withColumn("nt", ntile_from_rank("rk", total, tiles))
         a = sorted(tuple(r) for r in got4.select("v", "k", "rk", "nt").collect())
         b = sorted(tuple(r) for r in want.collect())
         assert a == b
