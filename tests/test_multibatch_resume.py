@@ -39,6 +39,11 @@ ENTRIES = [
     # resumed drain must replay the failed batch's eager ticks exactly
     # once and re-arm the timeout so tail ticks still fire
     "enrich_repeat_stream",
+    # round-11 sketch streams: the crash lands with live bottom-k /
+    # windowed-count state; the resumed drain must restore it so the
+    # final sketch equals the uninterrupted run
+    "kmv_distinct_users_stream",
+    "events_topk_types_stream",
 ]
 
 

@@ -380,6 +380,15 @@ def state_summary() -> dict:
 #   neither depends on WHERE the batch boundaries fall. State is four
 #   scalars per live chain, and every chain dies within ttl of its last
 #   element, so the drain ends at zero state rows.
+# - kmv_distinct_users_stream (round 11): per-bucket bottom-k arrays
+#   are order- and batching-insensitive (a growing set's k smallest
+#   don't depend on arrival grouping), and every emitted hash is a real
+#   distinct-user hash, so the batch-side distinct-order-limit merge
+#   recovers the global bottom-k from any batching. State <= 16 rows.
+# - events_topk_types_stream (round 11): per-(window, type) COUNTs are
+#   windowed sums (the ctr argument); time-ordered chunks never drop
+#   rows as late, and the rank cut runs batch-side on the drained
+#   finals.
 EXACT_EXTRA_ENTRIES = [
     "ctr_fixed_capped_stream",
     "ctr_sliding_total_stream",
@@ -391,6 +400,9 @@ EXACT_EXTRA_ENTRIES = [
     "events_markov_stream",
     "events_cusum_stream",
     "enrich_repeat_stream",
+    # round 11
+    "kmv_distinct_users_stream",
+    "events_topk_types_stream",
 ]
 
 
