@@ -379,6 +379,22 @@ def events_next_event_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
 from example_beam_spark.operators.sketches import _CMS_ORACLE  # noqa: E402
 
 
+def _cms_cells_stream(stream: DataFrame) -> DataFrame:
+    """The streaming CMS cell aggregation over a documents stream —
+    shared by the entry and the multi-batch test fixture so both run
+    the identical pipeline."""
+    from example_beam_spark.operators.sketches import CMS_D, cms_col_of
+
+    rows = F.array(*[F.lit(i) for i in range(CMS_D)])
+    return (
+        stream.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .select("term", F.explode(rows).alias("r"))
+        .select("r", cms_col_of(F.col("r"), F.col("term")).alias("c"))
+        .groupBy("r", "c")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 @register("cms_token_counts_stream", oracle=_CMS_ORACLE)
 def cms_token_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Count-Min sketch build as a REAL Structured Streaming job:
@@ -403,15 +419,8 @@ def cms_token_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(
         "doc_id long, text string, lang string, source string, n_chars long"
     ).parquet(d)
+    cells = run_to_final(_cms_cells_stream(stream), ["r", "c"], spark)
     rows = F.array(*[F.lit(i) for i in range(CMS_D)])
-    cells_stream = (
-        stream.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
-        .select("term", F.explode(rows).alias("r"))
-        .select("r", cms_col_of(F.col("r"), F.col("term")).alias("c"))
-        .groupBy("r", "c")
-        .agg(F.count("*").alias("cnt"))
-    )
-    cells = run_to_final(cells_stream, ["r", "c"], spark)
     # probe stage (batch, identical to cms_token_counts' probe side)
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("term"))

@@ -132,3 +132,53 @@ def test_kmv_stream_state_bounded_and_kernel_displacement(spark):
     kept = list(st.get[0])
     assert kept == small + big[: KMV_K - len(small)]  # k smallest overall
     assert len(kept) == KMV_K
+
+
+def test_cms_stream_two_microbatch_equals_single(spark, tmp_path):
+    """The CMS cells must be identical whether the documents arrive as
+    ONE batch or as two time-ordered staged files with
+    maxFilesPerTrigger=1 — counts are batch-boundary-insensitive sums
+    and the state carries partial cells across the boundary (measured,
+    not argued: the same chunked-drain contract as the events-based
+    streams in tools/multibatch.py)."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from example_beam_spark.operators.trainprep import _cms_cells_stream
+    from example_beam_spark.sources import load_table
+    from example_beam_spark.streaming.entries import run_to_final
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    d = str(tmp_path / "two_files")
+    os.makedirs(d)
+    n = docs.count()
+    for i, (lo, hi) in enumerate(((0, n // 2), (n // 2, n + 1))):
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.parquet(f"{d}/f{i}")
+        part = [p for p in os.listdir(f"{d}/f{i}") if p.endswith(".parquet")][0]
+        os.rename(f"{d}/f{i}/{part}", f"{d}/chunk{i}.parquet")
+        os.utime(f"{d}/chunk{i}.parquet", (time.time() + i, time.time() + i))
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    two_stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    two = sorted(
+        tuple(r)
+        for r in run_to_final(_cms_cells_stream(two_stream), ["r", "c"], spark)
+        .select("r", "c", "cnt")
+        .collect()
+    )
+    one_stream = spark.readStream.schema(schema).parquet(d)
+    one = sorted(
+        tuple(r)
+        for r in run_to_final(_cms_cells_stream(one_stream), ["r", "c"], spark)
+        .select("r", "c", "cnt")
+        .collect()
+    )
+    assert len(one) > 0
+    assert two == one
