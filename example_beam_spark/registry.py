@@ -168,6 +168,7 @@ _MODULE_ORDER = [
     "example_beam_spark.streaming.neardup_stream",
     # round 11
     "example_beam_spark.operators.trainprep",
+    "example_beam_spark.operators.structures",
 ]
 
 
