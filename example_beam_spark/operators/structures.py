@@ -32,6 +32,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from example_beam_spark.operators.corpus_ops import _BATCH_SOURCE
+from example_beam_spark.operators.dedup import (
+    JACCARD_DUP_THRESHOLD,
+    N_BANDS,
+    N_HASHES,
+    ROWS_PER_BAND,
+    _MINHASH_P,
+    _SHINGLES_SQL,
+    _affine_const,
+    band_keys,
+    minhash_signatures,
+    shingles_raw,
+)
 from example_beam_spark.operators.similarity import (
     _ELEMS_SQL,
     _NORMS_SQL,
@@ -333,4 +346,159 @@ def ann_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_minhash_incremental — new batch vs the seen corpus's LSH index
+# --------------------------------------------------------------------------
+#
+# The near-dup counterpart of corpus_ops.dedup_incremental (same batch
+# frame: source == 'src13' is "today's crawl", everything else is the
+# seen corpus). Production shape: the seen side's MinHash signatures and
+# band-bucket keys are a PERSISTENT index, written once and appended per
+# ingest; a new batch shingles/hashes ONLY its own documents, joins its
+# band keys against the stored index (shuffle keyed by bucket, sized by
+# the batch, never the corpus), and exact-verifies candidates only.
+# Reference analog: the seen index plays the side-input/lookup role of
+# ScreenGlobalWindowWithLookupCacheEnricher.scala's cache — a persistent
+# keyed structure the new stream probes — applied to dedup.
+#
+# Output: per verified candidate pair (new batch doc × seen doc sharing
+# >=1 LSH band bucket AND >=1 shingle) the exact Jaccard, the dup
+# decision at JACCARD_DUP_THRESHOLD, and rk=1 marking the new doc's
+# best seen match (ties to the smaller seen_id). Batch docs with no
+# colliding seen doc emit nothing — they are novel.
+
+
+def _minhash_sig_cols_sql() -> str:
+    return ", ".join(
+        "MIN(({a} * (CAST(('0x' || substr(md5(g),1,14)) AS BIGINT) % {p})"
+        " + {b}) % {p}) AS s{i}".format(
+            a=_affine_const(i)[0], b=_affine_const(i)[1], p=_MINHASH_P, i=i
+        )
+        for i in range(N_HASHES)
+    )
+
+
+def _band_rows_sql() -> str:
+    return ", ".join(
+        "({b}, md5(s{c0} || '|' || s{c1} || '|' || s{c2}))".format(
+            b=b,
+            c0=b * ROWS_PER_BAND,
+            c1=b * ROWS_PER_BAND + 1,
+            c2=b * ROWS_PER_BAND + 2,
+        )
+        for b in range(N_BANDS)
+    )
+
+
+_INCR_MINHASH_ORACLE = f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    src AS (SELECT doc_id, source FROM documents),
+    sig AS (
+        SELECT doc_id, COUNT(DISTINCT g) AS n_shingles, {_minhash_sig_cols_sql()}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, band, bk
+        FROM sig CROSS JOIN LATERAL (VALUES {_band_rows_sql()}) AS v(band, bk)
+    ),
+    cand AS (
+        SELECT DISTINCT nb.doc_id AS new_id, sb.doc_id AS seen_id
+        FROM bands nb
+        JOIN src ns ON ns.doc_id = nb.doc_id AND ns.source = '{_BATCH_SOURCE}'
+        JOIN bands sb ON sb.band = nb.band AND sb.bk = nb.bk
+        JOIN src ss ON ss.doc_id = sb.doc_id AND ss.source <> '{_BATCH_SOURCE}'
+    ),
+    verified AS (
+        SELECT c.new_id, c.seen_id, COUNT(*) AS n_shared
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.new_id
+        JOIN sh y ON y.doc_id = c.seen_id AND y.g = x.g
+        GROUP BY c.new_id, c.seen_id
+    ),
+    scored AS (
+        SELECT v.new_id, v.seen_id,
+               CAST(v.n_shared AS BIGINT) AS n_shared,
+               CAST(sn.n_shingles AS BIGINT) AS n_new,
+               CAST(ss.n_shingles AS BIGINT) AS n_seen,
+               CAST(v.n_shared AS DOUBLE)
+                   / (sn.n_shingles + ss.n_shingles - v.n_shared) AS jaccard
+        FROM verified v
+        JOIN sig sn ON sn.doc_id = v.new_id
+        JOIN sig ss ON ss.doc_id = v.seen_id
+    )
+    SELECT new_id, seen_id, n_shared, n_new, n_seen, jaccard,
+           jaccard >= {JACCARD_DUP_THRESHOLD} AS is_dup,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY new_id ORDER BY jaccard DESC, seen_id
+           ) AS BIGINT) AS rk
+    FROM scored
+"""
+
+
+@register("dedup_minhash_incremental", oracle=_INCR_MINHASH_ORACLE)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup delta dedup: today's batch (source == src13) is MinHash-
+    signed and probed against the seen corpus's band-bucket index; only
+    band-colliding (new, seen) pairs are exact-Jaccard verified. rk=1 is
+    the new doc's best seen match."""
+    from example_beam_spark.registry import defer_cleanup
+
+    docs = spread_small_input(load_table(spark, sf_dir, "documents"), spark)
+    sig_new = minhash_signatures(
+        shingles_raw(docs.filter(F.col("source") == _BATCH_SOURCE))
+    ).persist()
+    sig_seen = minhash_signatures(
+        shingles_raw(docs.filter(F.col("source") != _BATCH_SOURCE))
+    ).persist()
+    defer_cleanup(lambda: sig_new.unpersist())
+    defer_cleanup(lambda: sig_seen.unpersist())
+
+    bands_new = band_keys(sig_new).select(
+        F.col("doc_id").alias("new_id"), "band", "bk"
+    )
+    bands_seen = band_keys(sig_seen).select(
+        F.col("doc_id").alias("seen_id"), "band", "bk"
+    )
+    cand = bands_new.join(bands_seen, ["band", "bk"]).select("new_id", "seen_id").distinct()
+
+    out = (
+        cand.join(
+            sig_new.select(
+                F.col("doc_id").alias("new_id"),
+                F.col("n_shingles").alias("n_new"),
+                F.col("gset").alias("gs_new"),
+            ),
+            "new_id",
+        )
+        .join(
+            sig_seen.select(
+                F.col("doc_id").alias("seen_id"),
+                F.col("n_shingles").alias("n_seen"),
+                F.col("gset").alias("gs_seen"),
+            ),
+            "seen_id",
+        )
+        .withColumn(
+            "n_shared", F.size(F.array_intersect("gs_new", "gs_seen")).cast("long")
+        )
+        .filter(F.col("n_shared") > 0)
+    )
+    jac = F.col("n_shared").cast("double") / (
+        F.col("n_new") + F.col("n_seen") - F.col("n_shared")
+    )
+    w = Window.partitionBy("new_id").orderBy(F.desc("jaccard"), "seen_id")
+    return (
+        out.select(
+            "new_id",
+            "seen_id",
+            "n_shared",
+            F.col("n_new").cast("long").alias("n_new"),
+            F.col("n_seen").cast("long").alias("n_seen"),
+            jac.alias("jaccard"),
+            (jac >= JACCARD_DUP_THRESHOLD).alias("is_dup"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("long"))
     )
