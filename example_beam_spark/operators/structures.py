@@ -29,6 +29,8 @@ bit-identical between Spark and DuckDB.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -54,7 +56,7 @@ from example_beam_spark.operators.similarity import (
     dot_dec,
     norm_dec,
 )
-from example_beam_spark.registry import register
+from example_beam_spark.registry import dsum, register, sql_dsum
 from example_beam_spark.sources import load_table, spread_small_input
 
 # --------------------------------------------------------------------------
@@ -173,13 +175,11 @@ _PQ_ORACLE = f"""
 """
 
 
-def _pq_adc_scored(emb: DataFrame) -> DataFrame:
-    """(query_id, neighbor_id, adc): every corpus vector ADC-scored
-    against every query via the PQ codes — the shared scan behind both
-    PQ entries. ``emb`` must carry (vec_id, embedding)."""
-    # data-derived codebook: PQ_K smallest-md5 vectors; TakeOrdered-
-    # then-rank (the limit(PQ_K) feeds a <=16-row window, the pinned
-    # house pattern for tiny global ranks)
+def _pq_codebook(emb: DataFrame) -> DataFrame:
+    """(code, m, cw_sub) — the broadcast PQ codebook: the PQ_K
+    smallest-md5 corpus vectors, sliced per subspace. TakeOrdered-
+    then-rank (the limit(PQ_K) feeds a <=16-row window, the pinned
+    house pattern for tiny global ranks)."""
     sample_ids = (
         emb.select("vec_id")
         .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
@@ -191,25 +191,40 @@ def _pq_adc_scored(emb: DataFrame) -> DataFrame:
         .over(Window.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id"))
         .cast("long"),
     )
-    cw = F.broadcast(
+    return F.broadcast(
         sample.select(
             "code", F.explode(F.array(*_sub_structs("embedding"))).alias("s")
         ).select("code", F.col("s.m").alias("m"), F.col("s.sub").alias("cw_sub"))
     )
 
-    # ENCODE: per (vector, subspace) the nearest codeword — min_by keeps
-    # the n×M×K expansion map-local (partial combine), shuffling only
-    # n×M encoded rows
-    subs = emb.select(
+
+def _pq_subs(emb: DataFrame) -> DataFrame:
+    """(vec_id, m, sub) — every vector exploded into its subvectors."""
+    return emb.select(
         "vec_id", F.explode(F.array(*_sub_structs("embedding"))).alias("s")
     ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("sub"))
+
+
+def _pq_codes(subs: DataFrame, cw: DataFrame) -> DataFrame:
+    """(vec_id, m, code) — the compressed index: per (vector, subspace)
+    the nearest codeword. min_by keeps the n×M×K expansion map-local
+    (partial combine), shuffling only n×M encoded rows."""
     l2 = F.expr(_PQ_L2_INT.format(a="sub", b="cw_sub", scale=_SCALE))
-    codes = (
+    return (
         subs.join(cw, "m")
         .select("vec_id", "m", "code", l2.alias("dist"))
         .groupBy("vec_id", "m")
         .agg(F.min_by("code", F.struct("dist", "code")).alias("code"))
     )
+
+
+def _pq_adc_scored(emb: DataFrame) -> DataFrame:
+    """(query_id, neighbor_id, adc): every corpus vector ADC-scored
+    against every query via the PQ codes — the shared scan behind both
+    PQ entries. ``emb`` must carry (vec_id, embedding)."""
+    cw = _pq_codebook(emb)
+    subs = _pq_subs(emb)
+    codes = _pq_codes(subs, cw)
 
     # ADC lookup table: Q×M×K quantized query·codeword dots — broadcast
     dot = F.expr(_PQ_DOT_INT.format(a="sub", b="cw_sub", scale=_SCALE))
@@ -501,4 +516,98 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             (jac >= JACCARD_DUP_THRESHOLD).alias("is_dup"),
         )
         .withColumn("rk", F.row_number().over(w).cast("long"))
+    )
+
+
+# --------------------------------------------------------------------------
+# orders_bucketed_colocated_join — bucketBy layout, exchange-free join
+# --------------------------------------------------------------------------
+#
+# The storage-layout member of the family: both fact tables are written
+# ONCE as 8-bucket parquet tables hashed and sorted on the join key
+# (``bucketBy`` + ``sortBy`` via saveAsTable — Spark's persisted
+# HashPartitioning), so every later orders⋈lineitem join reads
+# co-located buckets and runs with ZERO Exchange below the join —
+# pinned by tests/test_structures.py, which disables auto-broadcast to
+# reveal the at-scale plan: SortMergeJoin over two `Bucketed: true`
+# FileScans, the only Exchange in the query being the aggregation's own.
+# At this SF Catalyst rightly broadcasts the small side instead; the
+# layout pays off exactly when broadcast stops being possible — the
+# 100-TB regime. At 100 TB the bucket count scales with the data (e.g.
+# 4096); the write is amortized across every downstream join, the
+# per-bucket sort makes each join task a streaming merge, and bucket
+# pruning (`SelectedBucketsCount`) serves point lookups on the key.
+# Reference analog: the clustered BigQuery tables the reference's sinks
+# load into (SaveSpecificRecord.scala:36's table write) — clustering
+# there, bucketing here, both are persisted co-location.
+
+_N_BUCKETS = 8
+# (applicationId, sf_dir) -> (orders_table, lineitem_table); the layout
+# is written once per Spark application and reused by every rerun in
+# the same session (bench cold+warm, sweep loops)
+_BUCKET_TABLES: dict[tuple[str, str], tuple[str, str]] = {}
+_BUCKET_DB = "ebs_buckets"
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    import hashlib
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    hit = _BUCKET_TABLES.get(key)
+    if hit is not None:
+        return hit
+    loc = tempfile.mkdtemp(prefix="ebs_bucketdb_")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {_BUCKET_DB} LOCATION '{loc}'")
+    tag = hashlib.md5(key[1].encode()).hexdigest()[:8]
+    names = (f"{_BUCKET_DB}.orders_b_{tag}", f"{_BUCKET_DB}.lineitem_b_{tag}")
+    for src, tbl, k in (
+        ("orders", names[0], "o_orderkey"),
+        ("lineitem", names[1], "l_orderkey"),
+    ):
+        # repartition on the bucket key first so each bucket is written
+        # by one task (one file per bucket — the layout later joins
+        # stream through)
+        (
+            load_table(spark, sf_dir, src)
+            .repartition(_N_BUCKETS, k)
+            .write.bucketBy(_N_BUCKETS, k)
+            .sortBy(k)
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(tbl)
+        )
+    _BUCKET_TABLES[key] = names
+    return names
+
+
+_BUCKETED_ORACLE = f"""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+"""
+
+
+def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw co-located join (pre-aggregation) — shared by the
+    registered query and the plan pin."""
+    ot, lt = _bucketed_tables(spark, sf_dir)
+    o = spark.table(ot).select("o_orderkey", "o_orderpriority")
+    l = spark.table(lt).select("l_orderkey", "l_extendedprice", "l_discount")
+    return o.join(l, o.o_orderkey == l.l_orderkey)
+
+
+@register("orders_bucketed_colocated_join", oracle=_BUCKETED_ORACLE)
+def orders_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per order priority off the bucketed layout: the join
+    reads co-located, key-sorted buckets (no exchange below the join at
+    scale); values are identical to joining the raw parquet — the
+    layout changes the plan, never the answer."""
+    j = bucketed_join(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_items"),
+        dsum(rev, "revenue"),
     )
