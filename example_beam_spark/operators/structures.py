@@ -611,3 +611,169 @@ def orders_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFram
         F.count("*").cast("long").alias("n_items"),
         dsum(rev, "revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# ann_topk_pq_trained — trained per-subspace codebooks (the FAISS "PQ"
+# production configuration), Arrow-batched compressed scan + exact re-rank
+# --------------------------------------------------------------------------
+#
+# Completes the PQ ladder the way ivf.py's trained variant completed the
+# IVF one: hash-rank codewords → k-means codebooks. Training follows
+# production practice (FAISS trains quantizers on a bounded sample, not
+# the corpus): the PQ_TRAIN_SAMPLE smallest-md5 vectors are collected —
+# a fixed-size driver artifact (4096×64 floats ≈ 1 MB) independent of
+# corpus size, the same bounded-collect class as the BPE top-1 rows —
+# and each subspace gets a deterministic numpy Lloyd k-means (fixed
+# seed order: init = the first PQ_K sample subvectors in hash order;
+# empty clusters keep their previous centroid). The scan is a
+# mapInPandas kernel: per Arrow batch, encode (argmin over K codewords
+# per subspace) and ADC-score against the broadcast LUT, emitting only
+# the batch-local top-PQ_RERANK per query — the global shortlist then
+# sees <= R×partitions rows per query (TakeOrdered discipline), and the
+# exact quantized-cosine re-rank touches R embeddings per query.
+# Rows-only driver check by design (a fitted codebook ≠ SQL); recall is
+# gated by tests/test_structures.py on the planted-neighborhood corpus
+# and measured on the driver fixture in NOTES.
+
+PQ_TRAIN_SAMPLE = 4096
+PQ_KMEANS_ITERS = 15
+# trained operating point: R=200 measured as the knee — on the planted-
+# neighborhood 20k corpus the true top-10 is FULLY contained in the ADC
+# top-200 (50/50 at K=16/32/64; R=50 caps at 0.54-0.64), so exact
+# re-rank of 1% of the corpus recovers recall 1.0 there
+PQ_TRAINED_RERANK = 200
+
+
+def _train_pq_books(X) -> "object":
+    """(PQ_M, PQ_K, PQ_SUBDIM) float64 codebooks via deterministic Lloyd
+    iterations per subspace. ``X`` is the (s, dim) float64 sample."""
+    import numpy as np
+
+    books = np.empty((PQ_M, PQ_K, PQ_SUBDIM), dtype=np.float64)
+    for m in range(PQ_M):
+        S = X[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+        C = S[:PQ_K].copy()  # init: first K sample rows (hash-ordered)
+        for _ in range(PQ_KMEANS_ITERS):
+            # squared L2 to every centroid; argmin ties -> lower code
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for k in range(PQ_K):
+                rows = S[a == k]
+                if len(rows):
+                    C[k] = rows.mean(axis=0)
+        books[m] = C
+    return books
+
+
+@register("ann_topk_pq_trained", oracle=None)
+def ann_topk_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-codebook PQ ANN: per-subspace k-means codebooks (bounded
+    hash-rank training sample), Arrow-batched encode+ADC scan emitting
+    batch-local top-PQ_TRAINED_RERANK per query, exact cosine re-rank
+    of the global shortlist. Returns (query_id, neighbor_id, cosine,
+    rk), rk<=TOP_K. Measured recall@10: 1.0 on the planted-neighborhood
+    20k corpus at a 1% exact-rerank fraction (gated by
+    tests/test_structures.py), 0.98/0.76 on the structureless gaussian
+    driver fixture at sf0.01/sf0.1 — vs 0.48/0.42 for the untrained
+    hash-rank ladder rung."""
+    import numpy as np
+    import pandas as pd
+
+    emb = spread_small_input(load_table(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", "embedding"
+    )
+
+    # bounded training sample + query set (both fixed-size artifacts)
+    sample_pdf = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(PQ_TRAIN_SAMPLE)
+        .toPandas()
+    )
+    X = np.stack(sample_pdf["embedding"].to_numpy()).astype(np.float64)
+    books = _train_pq_books(X)
+
+    q_pdf = emb.filter(F.col("vec_id") < N_QUERIES).toPandas()
+    q_ids = q_pdf["vec_id"].to_numpy()
+    Q = np.stack(q_pdf["embedding"].to_numpy()).astype(np.float64)
+    Qsub = Q.reshape(len(Q), PQ_M, PQ_SUBDIM)
+    # ADC lookup tables: LUT[q, m, k] = query_m · codeword_{m,k}
+    lut = np.einsum("qmd,mkd->qmk", Qsub, books)
+
+    bc = spark.sparkContext.broadcast((books, lut, q_ids))
+    rerank_r = PQ_TRAINED_RERANK
+
+    def scan(batches):
+        B, L, qids = bc.value
+        # per-codeword squared norms for the ||x-c||^2 expansion:
+        # argmin_c ||x-c||^2 = argmin_c (||c||^2 - 2 x·c)
+        cn = (B**2).sum(axis=2)  # (M, K)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            Xb = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Xs = Xb.reshape(len(Xb), PQ_M, PQ_SUBDIM)
+            # codes[i, m] = argmin_k cn[m,k] - 2 * Xs[i,m] · B[m,k]
+            dots = np.einsum("imd,mkd->imk", Xs, B)
+            codes = (cn[None, :, :] - 2.0 * dots).argmin(axis=2)  # (b, M)
+            # ADC score per query: sum over m of L[q, m, codes[:, m]]
+            out_q, out_n, out_s = [], [], []
+            for qi, qid in enumerate(qids):
+                s = L[qi, np.arange(PQ_M), codes].sum(axis=1)  # (b,)
+                keep = ids != qid
+                s, nid = s[keep], ids[keep]
+                if len(nid) > rerank_r:
+                    # local top-R by (score desc, vec_id asc)
+                    order = np.lexsort((nid, -s))[:rerank_r]
+                else:
+                    order = np.lexsort((nid, -s))
+                out_q.append(np.full(len(order), qid, dtype=np.int64))
+                out_n.append(nid[order])
+                out_s.append(s[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "adc": np.concatenate(out_s),
+                }
+            )
+
+    local = emb.mapInPandas(scan, "query_id long, neighbor_id long, adc double")
+    wadc = Window.partitionBy("query_id").orderBy(F.desc("adc"), "neighbor_id")
+    shortlist = (
+        local.withColumn("srk", F.row_number().over(wadc))
+        .filter(F.col("srk") <= rerank_r)
+        .select("query_id", "neighbor_id")
+    )
+
+    base = emb.withColumn("nrm", norm_dec("embedding"))
+    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    exact = (
+        shortlist.join(
+            base.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("n_emb"),
+                F.col("nrm").alias("n_nrm"),
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot_dec("q_emb", "n_emb") / (F.col("q_nrm") * F.col("n_nrm"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        exact.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
