@@ -777,3 +777,74 @@ def ann_topk_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# events_partitioned_scan — hive-partitioned layout + partition pruning
+# --------------------------------------------------------------------------
+#
+# The third persisted layout: events written ONCE per session
+# hive-partitioned by event date (``partitionBy("event_date")`` — the
+# layout sinks/files.py already offers its callers), then a one-day
+# query reads back through the partition column. Catalyst turns the
+# date predicate into a PartitionFilter — the scan LISTS one of 30
+# directories and never opens the other 29 files (pinned by
+# tests/test_structures.py). At 100 TB this is the difference between
+# scanning a day and scanning three years: time-partitioned event lakes
+# are the default physical design for exactly this query class, and
+# partition pruning composes with the pushed row-group filters the
+# plan suite already pins (S5).
+
+_PART_DIRS: dict[tuple[str, str], str] = {}
+_SCAN_DATE = "2024-01-15"  # mid-fixture day, present at every SF
+
+
+def _partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    hit = _PART_DIRS.get(key)
+    if hit is not None:
+        return hit
+    out = tempfile.mkdtemp(prefix="ebs_events_bydate_")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.col("ts").cast("date")
+    )
+    ev.write.partitionBy("event_date").mode("overwrite").parquet(out)
+    _PART_DIRS[key] = out
+    return out
+
+
+_PARTSCAN_ORACLE = f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           {sql_dsum("value", "total_value")}
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '{_SCAN_DATE}'
+    GROUP BY event_type
+"""
+
+
+def partitioned_day_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-aggregation one-day read off the partitioned layout —
+    shared by the registered query and the pruning plan pin."""
+    root = _partitioned_events(spark, sf_dir)
+    return spark.read.parquet(root).filter(
+        F.col("event_date") == F.lit(_SCAN_DATE).cast("date")
+    )
+
+
+@register("events_partitioned_scan", oracle=_PARTSCAN_ORACLE)
+def events_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type activity for one day, read through the date-partitioned
+    events layout: the date predicate prunes at the DIRECTORY level
+    (PartitionFilters), so the scan touches 1/30th of the lake. Values
+    are identical to filtering the raw table — the layout changes the
+    plan, never the answer."""
+    day = partitioned_day_scan(spark, sf_dir)
+    return day.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        dsum("value", "total_value"),
+    )

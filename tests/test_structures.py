@@ -196,3 +196,39 @@ def test_pq_trained_deterministic(spark):
     a = sorted(map(tuple, _collect(R["ann_topk_pq_trained"], spark)))
     b = sorted(map(tuple, _collect(R["ann_topk_pq_trained"], spark)))
     assert a == b
+
+
+def test_partitioned_scan_prunes_directories(spark):
+    """The one-day query over the date-partitioned layout carries the
+    date as a PartitionFilter (directory-level pruning) and the scan's
+    file listing contains ONLY the selected day's partition."""
+    from example_beam_spark.operators.structures import (
+        _SCAN_DATE,
+        partitioned_day_scan,
+    )
+
+    day = partitioned_day_scan(spark, SF)
+    executed = day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in executed, executed[:2000]
+    assert _SCAN_DATE in executed.split("PartitionFilters", 1)[1][:300], (
+        executed[:2500]
+    )
+    # the pruned scan reads exactly the one day
+    import datetime
+
+    dts = {r.event_date for r in day.select("event_date").distinct().collect()}
+    assert dts == {datetime.date(2024, 1, 15)}
+    # and the files it actually opened all live under that one of the
+    # 30 date directories
+    import os
+
+    from pyspark.sql import functions as F
+    from example_beam_spark.operators.structures import _partitioned_events
+
+    files = {
+        r[0] for r in day.select(F.input_file_name()).distinct().collect()
+    }
+    assert files and all(f"event_date={_SCAN_DATE}" in f for f in files), files
+    root = _partitioned_events(spark, SF)
+    n_dirs = len([d for d in os.listdir(root) if d.startswith("event_date=")])
+    assert n_dirs == 30

@@ -1,0 +1,254 @@
+"""Scale lane for operators/structures.py (round-11 continuation).
+
+Two modes:
+
+- ``pq``: the PQ-ANN family through its second decade on planted-
+  neighborhood corpora (200k and 2M vectors, same geometry as the
+  ann2m lane): per scale, exact brute-force wall (the linear baseline),
+  ``ann_topk_pq_trained`` recall@10 + wall + exact-rerank fraction, and
+  (200k only — its declarative n×M×K encode is the pedagogical form,
+  not the scale path) the untrained ``ann_topk_pq_rerank`` rung.
+  Acceptance: trained recall holds its planted-corpus gate (>=0.9)
+  at BOTH scales while the rerank fraction FALLS 10× (R is constant,
+  n grows 10×) — the compressed scan is the scale path precisely
+  because its exact work per query is O(R), not O(n).
+
+- ``bucketed``: the co-located-join layout priced at 10M lineitem /
+  2.5M orders rows (auto-broadcast disabled — the regime the layout
+  exists for): shuffle-join wall over raw parquet, one-time bucketed
+  write wall, join wall over the bucketed layout, and a SECOND join
+  reusing the layout (the amortization story: the write is paid once,
+  every later join on the key skips both exchanges). Value equality is
+  proven by an order-independent xxhash64 checksum over every output
+  column (the manifest-lane discipline).
+
+CLI: python tools/structures_lane.py --mode pq|bucketed
+Emits one JSON line per measurement plus a summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+ANN_DIR = "/tmp/spark_graft_stress_ann2m"  # shared with stress_lane ann2m
+BUCKET_LANE_DIR = "/tmp/structures_lane_bucketed"
+LANE_SEED = 20260816
+
+
+# --------------------------------------------------------------------------
+# pq mode
+# --------------------------------------------------------------------------
+
+
+def pq_lane() -> None:
+    from example_beam_spark.operators.structures import PQ_TRAINED_RERANK
+    from example_beam_spark.registry import drain_cleanups, load_registry
+    from example_beam_spark.session import get_spark
+    from tools.planted import planted_corpus
+
+    spark = get_spark(app_name="structures_lane_pq")
+    reg = load_registry()
+    result: dict = {"lane": "pq", "scales": []}
+    for n, tag in ((200_000, "10x"), (2_000_000, "100x")):
+        d = os.path.join(ANN_DIR, f"planted_{tag}")
+        if not os.path.exists(os.path.join(d, "embeddings.parquet")):
+            t0 = time.time()
+            planted_corpus(d, n=n, n_clusters=n // 100)
+            print(f"# planted {n} vectors in {time.time() - t0:.1f}s -> {d}")
+
+        row: dict = {"n": n, "tag": tag}
+        t0 = time.time()
+        truth: dict[int, set[int]] = {}
+        for r in reg["ann_topk_bruteforce"].fn(spark, d).collect():
+            truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+        row["bruteforce_sec"] = round(time.time() - t0, 2)
+        drain_cleanups()
+
+        def recall_of(name: str) -> tuple[float, float]:
+            t0 = time.time()
+            got: dict[int, set[int]] = {}
+            for r in reg[name].fn(spark, d).collect():
+                got.setdefault(r.query_id, set()).add(r.neighbor_id)
+            drain_cleanups()
+            recalls = [
+                len(got.get(q, set()) & t) / len(t) for q, t in truth.items()
+            ]
+            return sum(recalls) / len(recalls), time.time() - t0
+
+        rec, sec = recall_of("ann_topk_pq_trained")
+        row["pq_trained"] = {
+            "recall_at_10": round(rec, 3),
+            "sec": round(sec, 2),
+            "rerank_frac": round(PQ_TRAINED_RERANK / (n - 1), 5),
+        }
+        if n <= 200_000:
+            rec, sec = recall_of("ann_topk_pq_rerank")
+            row["pq_rerank_untrained"] = {
+                "recall_at_10": round(rec, 3),
+                "sec": round(sec, 2),
+            }
+        result["scales"].append(row)
+        print(f"# {tag}: {json.dumps(row)}", flush=True)
+    print(json.dumps(result))
+
+
+# --------------------------------------------------------------------------
+# bucketed mode
+# --------------------------------------------------------------------------
+
+N_ORDERS = 2_500_000
+N_LINEITEM = 10_000_000
+
+
+def _synth_tpch(out_dir: str) -> None:
+    """10M-row lineitem + 2.5M-row orders with the fixture's column
+    names/types (only the join/agg columns are populated for real)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    g = np.random.default_rng(LANE_SEED)
+    okey = np.arange(N_ORDERS, dtype=np.int64)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(okey),
+                "o_orderpriority": pa.array(
+                    np.char.add("P", (okey % 5).astype("U1"))
+                ),
+            }
+        ),
+        os.path.join(out_dir, "orders.parquet"),
+    )
+    lkey = g.integers(0, N_ORDERS, N_LINEITEM).astype(np.int64)
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(lkey),
+                "l_extendedprice": pa.array(
+                    g.uniform(1.0, 1000.0, N_LINEITEM).round(2)
+                ),
+                "l_discount": pa.array(
+                    (g.integers(0, 11, N_LINEITEM) / 100.0)
+                ),
+            }
+        ),
+        os.path.join(out_dir, "lineitem.parquet"),
+    )
+
+
+def _checksum(df) -> int:
+    """Order-independent value checksum (manifest-lane discipline:
+    decimal sum so ANSI mode can't overflow the long hashes)."""
+    return int(
+        df.agg(
+            F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)")).alias("x")
+        ).collect()[0]["x"]
+    )
+
+
+def bucketed_lane() -> None:
+    from example_beam_spark.session import get_spark
+
+    spark = get_spark(app_name="structures_lane_bucketed")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+
+    if not os.path.exists(os.path.join(BUCKET_LANE_DIR, "lineitem.parquet")):
+        t0 = time.time()
+        _synth_tpch(BUCKET_LANE_DIR)
+        print(f"# synthesized 10M-row corpus in {time.time() - t0:.1f}s")
+
+    o = spark.read.parquet(os.path.join(BUCKET_LANE_DIR, "orders.parquet"))
+    l = spark.read.parquet(os.path.join(BUCKET_LANE_DIR, "lineitem.parquet"))
+
+    def join_agg(odf, ldf):
+        j = odf.join(ldf, odf.o_orderkey == ldf.l_orderkey)
+        rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        return j.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n_items"),
+            F.sum(rev.cast("decimal(38,6)")).cast("double").alias("revenue"),
+        )
+
+    def second_join(odf, ldf):
+        # a DIFFERENT consumer of the same layout: per-order item count
+        # histogram — reuses the co-located key, pays no exchange below
+        # the join either
+        j = odf.join(ldf, odf.o_orderkey == ldf.l_orderkey)
+        per_order = j.groupBy("o_orderkey").agg(F.count("*").alias("items"))
+        return per_order.groupBy("items").agg(F.count("*").alias("orders"))
+
+    result: dict = {"lane": "bucketed", "n_orders": N_ORDERS, "n_lineitem": N_LINEITEM}
+
+    t0 = time.time()
+    raw_sum = _checksum(join_agg(o, l))
+    result["raw_join_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    raw_sum2 = _checksum(second_join(o, l))
+    result["raw_join2_sec"] = round(time.time() - t0, 2)
+
+    n_buckets = 32
+    t0 = time.time()
+    loc = os.path.join(BUCKET_LANE_DIR, "warehouse")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS lane_buckets LOCATION '{loc}'")
+    for df, tbl, k in ((o, "orders_b", "o_orderkey"), (l, "lineitem_b", "l_orderkey")):
+        (
+            df.repartition(n_buckets, k)
+            .write.bucketBy(n_buckets, k)
+            .sortBy(k)
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(f"lane_buckets.{tbl}")
+        )
+    result["bucket_write_sec"] = round(time.time() - t0, 2)
+
+    ob = spark.table("lane_buckets.orders_b")
+    lb = spark.table("lane_buckets.lineitem_b")
+    plan = (
+        join_agg(ob, lb)._jdf.queryExecution().executedPlan().toString()
+    )
+    # the join subtree must be exchange-free: the ONLY exchange in the
+    # whole aggregate query is the groupBy's own
+    result["bucketed_exchanges_total"] = plan.count("Exchange")
+    t0 = time.time()
+    b_sum = _checksum(join_agg(ob, lb))
+    result["bucketed_join_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    b_sum2 = _checksum(second_join(ob, lb))
+    result["bucketed_join2_sec"] = round(time.time() - t0, 2)
+
+    result["values_identical"] = bool(raw_sum == b_sum and raw_sum2 == b_sum2)
+    result["amortization"] = {
+        "raw_two_joins_sec": round(result["raw_join_sec"] + result["raw_join2_sec"], 2),
+        "bucketed_write_plus_two_joins_sec": round(
+            result["bucket_write_sec"]
+            + result["bucketed_join_sec"]
+            + result["bucketed_join2_sec"],
+            2,
+        ),
+    }
+    print(json.dumps(result))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=("pq", "bucketed"), required=True)
+    args = ap.parse_args()
+    if args.mode == "pq":
+        pq_lane()
+    else:
+        bucketed_lane()
+
+
+if __name__ == "__main__":
+    main()
