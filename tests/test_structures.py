@@ -232,3 +232,27 @@ def test_partitioned_scan_prunes_directories(spark):
     root = _partitioned_events(spark, SF)
     n_dirs = len([d for d in os.listdir(root) if d.startswith("event_date=")])
     assert n_dirs == 30
+
+
+def test_compaction_one_file_per_partition(spark):
+    """The fragmented layout holds many files per date (one per writer
+    task), the compacted one exactly 1 — and no date directory is lost."""
+    import os
+
+    from example_beam_spark.operators.structures import _compacted_events
+
+    frag, comp = _compacted_events(spark, SF)
+
+    def files_per_date(root):
+        out = {}
+        for d in os.listdir(root):
+            if d.startswith("event_date="):
+                out[d] = len(
+                    [f for f in os.listdir(os.path.join(root, d)) if f.endswith(".parquet")]
+                )
+        return out
+
+    f, c = files_per_date(frag), files_per_date(comp)
+    assert set(f) == set(c) and len(f) == 30
+    assert max(f.values()) > 1, f  # the problem exists
+    assert set(c.values()) == {1}, c  # the pass solved it
