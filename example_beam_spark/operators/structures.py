@@ -56,6 +56,7 @@ from example_beam_spark.operators.similarity import (
     dot_dec,
     norm_dec,
 )
+from example_beam_spark.operators.textops import _BPE_PATTERN
 from example_beam_spark.registry import dsum, register, sql_dsum
 from example_beam_spark.sources import load_table, spread_small_input
 
@@ -927,4 +928,74 @@ def events_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(comp)
         .groupBy("event_date")
         .agg(F.count("*").cast("long").alias("n_rows"))
+    )
+
+
+# --------------------------------------------------------------------------
+# tokenizer_oov_rate — vocabulary-coverage audit (per-language OOV)
+# --------------------------------------------------------------------------
+#
+# The coverage half of the tokenizer audit (tokenizer_fertility_by_lang
+# measures efficiency): fix a vocabulary = the OOV_VOCAB most frequent
+# corpus tokens (BPE-regex pre-tokenization, the token_count_bpe
+# convention), then measure per language what fraction of token
+# OCCURRENCES falls outside it — the out-of-vocabulary rate a tokenizer
+# trained on this corpus at that vocab size would hand the model as
+# byte-fallback/UNK. Scale: token counts are partial+final aggregates;
+# the vocab cut is TakeOrdered (never a global rank window); the
+# membership probe is a broadcast join (the vocab IS small — that's its
+# definition). OOV_VOCAB defaults to 16 because the driver fixture's
+# synthetic vocabulary saturates at 31 distinct tokens (a V >= 31 audit
+# would be vacuously zero); the zipfian lane corpora have Heaps-law
+# vocabularies where production sizes apply — SPARK_GRAFT_OOV_VOCAB
+# overrides without a code change.
+
+OOV_VOCAB = int(os.environ.get("SPARK_GRAFT_OOV_VOCAB", "16"))
+
+_OOV_ORACLE = f"""
+    WITH toks AS (
+        SELECT d.lang, u.t
+        FROM documents d
+        CROSS JOIN UNNEST(regexp_extract_all(d.text, '{_BPE_PATTERN}')) AS u(t)
+    ),
+    vocab AS (
+        SELECT t FROM (
+            SELECT t, COUNT(*) AS c FROM toks GROUP BY t
+            ORDER BY c DESC, t LIMIT {OOV_VOCAB}
+        )
+    )
+    SELECT k.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS oov_rate
+    FROM toks k LEFT JOIN vocab v ON v.t = k.t
+    GROUP BY k.lang
+"""
+
+
+@register("tokenizer_oov_rate", oracle=_OOV_ORACLE)
+def tokenizer_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language out-of-vocabulary rate against the corpus's own
+    top-OOV_VOCAB token vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 0)
+        ).alias("t"),
+    )
+    vocab = F.broadcast(
+        toks.groupBy("t")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "t")
+        .limit(OOV_VOCAB)
+        .select("t", F.lit(True).alias("in_vocab"))
+    )
+    tagged = toks.join(vocab, "t", "left")
+    oov = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    return tagged.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(oov).cast("long").alias("n_oov"),
+        (F.sum(oov).cast("double") / F.count("*")).alias("oov_rate"),
     )
