@@ -999,3 +999,87 @@ def tokenizer_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(oov).cast("long").alias("n_oov"),
         (F.sum(oov).cast("double") / F.count("*")).alias("oov_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# embedding_pca_project — the projection half of the whitening arc
+# --------------------------------------------------------------------------
+#
+# embedding_covariance (trainprep.py) is the distributed aggregate;
+# this completes it: eigendecompose the collected d×d matrix on the
+# driver (a BOUNDED artifact — 2080 upper-triangle rows at d=64,
+# independent of corpus size; the same bounded-collect class as the
+# BPE rounds and the PQ training sample), fix eigenvector signs
+# deterministically (largest-|entry| coordinate made positive), and
+# project every vector onto the top PCA_COMPONENTS directions with an
+# Arrow-batched GEMM — one (X - mean) @ W per batch, zero shuffle.
+# Rows-only driver check (eigendecomposition ≠ SQL, the
+# ann_topk_*_trained contract); the algebraic invariants are pinned by
+# tests/test_structures.py: the projected covariance is DIAGONAL with
+# the top eigenvalues on it, components are ordered, runs are
+# byte-reproducible.
+
+PCA_COMPONENTS = 8
+
+
+@register("embedding_pca_project", oracle=None)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, proj array<double>): every embedding centered and
+    projected onto the corpus's top PCA_COMPONENTS principal
+    directions (the standard pre-indexing / pre-dedup whitening step)."""
+    import numpy as np
+    import pandas as pd
+
+    from example_beam_spark.operators.trainprep import embedding_covariance
+
+    emb = spread_small_input(load_table(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", "embedding"
+    )
+
+    cov_rows = embedding_covariance(spark, sf_dir).collect()
+    d = max(r.j for r in cov_rows) + 1
+    C = np.zeros((d, d))
+    for r in cov_rows:
+        C[r.i, r.j] = C[r.j, r.i] = r.cov
+
+    # per-dimension means with the same quantized-integer discipline
+    n = emb.count()
+    sums = (
+        emb.select(F.posexplode("embedding").alias("i", "x"))
+        .groupBy("i")
+        .agg(
+            F.sum(
+                F.expr(f"CAST(FLOOR(CAST(x AS DOUBLE) * {_SCALE}) AS BIGINT)")
+            ).alias("sx")
+        )
+        .collect()
+    )
+    mean = np.zeros(d)
+    for r in sums:
+        mean[r.i] = (r.sx / float(_SCALE)) / n
+
+    w, V = np.linalg.eigh(C)  # ascending eigenvalues
+    order = np.argsort(-w)[:PCA_COMPONENTS]
+    W = V[:, order].copy()
+    # deterministic sign: the largest-|entry| coordinate of each
+    # eigenvector is made positive (ties broken by lowest index, which
+    # np.argmax already does)
+    for k in range(W.shape[1]):
+        j = int(np.abs(W[:, k]).argmax())
+        if W[j, k] < 0:
+            W[:, k] = -W[:, k]
+
+    bc = spark.sparkContext.broadcast((mean, W))
+
+    def project(batches):
+        mu, WW = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Y = (X - mu) @ WW
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "proj": list(Y)}
+            )
+
+    return emb.mapInPandas(project, "vec_id long, proj array<double>")

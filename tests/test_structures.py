@@ -256,3 +256,42 @@ def test_compaction_one_file_per_partition(spark):
     assert set(f) == set(c) and len(f) == 30
     assert max(f.values()) > 1, f  # the problem exists
     assert set(c.values()) == {1}, c  # the pass solved it
+
+
+def test_pca_projection_diagonalizes_covariance(spark):
+    """Algebraic pins for embedding_pca_project: the projected data's
+    covariance is DIAGONAL (off-diagonal ~0) with entries equal to the
+    top eigenvalues in descending order, and variance explained is a
+    sane fraction of the trace; two runs are byte-identical (fixed sign
+    convention, deterministic eigh on the same bounded matrix)."""
+    import numpy as np
+
+    from example_beam_spark.operators.structures import PCA_COMPONENTS
+
+    R = load_registry()
+    rows = _collect(R["embedding_pca_project"], spark)
+    Y = np.stack([np.array(r.proj) for r in sorted(rows, key=lambda r: r.vec_id)])
+    assert Y.shape[1] == PCA_COMPONENTS
+    Yc = Y - Y.mean(axis=0)
+    C = (Yc.T @ Yc) / len(Y)
+    diag = np.diag(C).copy()
+    off = np.abs(C - np.diag(diag)).max()
+    assert off < 1e-6 * diag.max(), off
+    assert all(diag[i] >= diag[i + 1] - 1e-12 for i in range(len(diag) - 1)), diag
+    # variance explained: top-8 of 64 isotropic-ish dims — positive,
+    # below 1
+    from example_beam_spark.sources import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    X = np.stack(
+        [np.array(r.embedding, dtype=np.float64) for r in emb.collect()]
+    )
+    Xc = X - X.mean(axis=0)
+    trace = ((Xc**2).sum(axis=0) / len(X)).sum()
+    ve = diag.sum() / trace
+    assert 0.05 < ve < 1.0, ve
+
+    rows2 = _collect(R["embedding_pca_project"], spark)
+    a = sorted((r.vec_id, tuple(r.proj)) for r in rows)
+    b = sorted((r.vec_id, tuple(r.proj)) for r in rows2)
+    assert a == b
