@@ -1083,3 +1083,69 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return emb.mapInPandas(project, "vec_id long, proj array<double>")
+
+
+# --------------------------------------------------------------------------
+# events_stream_partitioned_sink — streaming ingestion INTO the layout
+# --------------------------------------------------------------------------
+#
+# The streaming half of the partitioned-lake story: events arrive as a
+# stream (the staged file source every stream entry uses) and land in
+# the date-partitioned layout via Spark's NATIVE streaming file sink —
+# a distinct exactly-once mechanism from the repo's foreachBatch upsert
+# sinks: the sink commits a per-batch manifest to ``_spark_metadata``,
+# and batch reads of the directory consult that log, so files from a
+# batch that died mid-write are INVISIBLE rather than duplicated.
+# Restart-from-checkpoint + incremental arrival are pinned by
+# tests/test_structures.py (the test_avro.py parquet-sink pattern,
+# extended with partitionBy). The registered query drains availableNow,
+# reads back through the sink log, and returns per-day counts — the
+# same oracle as the compaction pass, proving streamed ingestion lands
+# every row exactly once.
+
+_STREAM_SINK_DIRS: dict[tuple[str, str], tuple[str, str]] = {}
+
+
+def _stream_partitioned_sink(spark: SparkSession, sf_dir: str) -> str:
+    """Drain the events stream into a date-partitioned parquet sink once
+    per session; rerunning resumes the checkpoint (no new input -> no-op
+    drain, same answer — idempotent by the sink's commit log)."""
+    import tempfile
+
+    from example_beam_spark.streaming.entries import read_events_stream
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    hit = _STREAM_SINK_DIRS.get(key)
+    if hit is None:
+        hit = (
+            tempfile.mkdtemp(prefix="ebs_stream_sink_"),
+            tempfile.mkdtemp(prefix="ebs_stream_sink_ckpt_"),
+        )
+        _STREAM_SINK_DIRS[key] = hit
+    out, ckpt = hit
+    src = read_events_stream(spark, sf_dir).withColumn(
+        "event_date", F.col("ts").cast("date")
+    )
+    q = (
+        src.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .partitionBy("event_date")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return out
+
+
+@register("events_stream_partitioned_sink", oracle=_COMPACT_ORACLE)
+def events_stream_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day row counts read back THROUGH the streaming file sink's
+    commit log: streamed ingestion into the date-partitioned lake is
+    exactly-once (values equal the raw table's per-day counts)."""
+    out = _stream_partitioned_sink(spark, sf_dir)
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_date")
+        .agg(F.count("*").cast("long").alias("n_rows"))
+    )

@@ -295,3 +295,56 @@ def test_pca_projection_diagonalizes_covariance(spark):
     a = sorted((r.vec_id, tuple(r.proj)) for r in rows)
     b = sorted((r.vec_id, tuple(r.proj)) for r in rows2)
     assert a == b
+
+
+def test_stream_partitioned_sink_exactly_once_across_restart(spark, tmp_path):
+    """The native streaming file sink's _spark_metadata commit log gives
+    exactly-once across drain restarts: drain chunk A, then drop chunk B
+    into the source and drain AGAIN from the same checkpoint — the read-
+    back (which consults the log) holds exactly A∪B, no duplicates, and
+    the layout is date-partitioned."""
+    import os
+
+    from pyspark.sql import functions as F
+    from example_beam_spark.sources import load_table
+    from example_beam_spark.sources.parquet import events_read_schema
+
+    ev = load_table(spark, SF, "events").withColumn(
+        "event_date", F.col("ts").cast("date")
+    )
+    a = ev.filter(F.dayofmonth("ts") <= 15)
+    b = ev.filter(F.dayofmonth("ts") > 15)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    a.drop("event_date").write.parquet(src)
+
+    schema, shim = events_read_schema(spark, SF)
+    assert not shim  # micros fixture; the shim branch is covered elsewhere
+
+    def drain():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .withColumn("event_date", F.col("ts").cast("date"))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .partitionBy("event_date")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    n_a = a.count()
+    assert spark.read.parquet(out).count() == n_a
+    # incremental arrival + restart from the same checkpoint
+    b.drop("event_date").write.mode("append").parquet(src)
+    drain()
+    back = spark.read.parquet(out)
+    assert back.count() == n_a + b.count()
+    assert back.groupBy("event_id").count().filter("count > 1").count() == 0
+    assert os.path.isdir(os.path.join(out, "_spark_metadata"))
+    dates = [d for d in os.listdir(out) if d.startswith("event_date=")]
+    assert len(dates) == 30
