@@ -1123,18 +1123,27 @@ def _stream_partitioned_sink(spark: SparkSession, sf_dir: str) -> str:
         )
         _STREAM_SINK_DIRS[key] = hit
     out, ckpt = hit
-    src = read_events_stream(spark, sf_dir).withColumn(
-        "event_date", F.col("ts").cast("date")
-    )
-    q = (
-        src.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .partitionBy("event_date")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    # read_events_stream sizes the session for a drain
+    # (_prepare_stream_session); the drain helpers restore it in their
+    # finally — this entry drains directly, so it must restore too or
+    # the override leaks into later batch queries in the same session
+    from example_beam_spark.streaming.entries import _restore_session
+
+    try:
+        src = read_events_stream(spark, sf_dir).withColumn(
+            "event_date", F.col("ts").cast("date")
+        )
+        q = (
+            src.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .partitionBy("event_date")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        _restore_session(spark)
     return out
 
 
