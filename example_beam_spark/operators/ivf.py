@@ -371,6 +371,61 @@ def _fdot(a, b):
     )
 
 
+def train_coarse_centers(emb: DataFrame, k: int, sample_cap: int):
+    """UNIT-normalized (k, dim) float64 coarse-quantizer centers —
+    shared by the trained IVF here and the trained IVFPQ in
+    operators/structures.py.
+
+    Training sample: a hash-threshold filter, never a bare ``limit``
+    (not contractually deterministic under partition scheduling — the
+    centroids, hence the rows-only counts, could flap once the corpus
+    exceeds the cap); the count is one cheap columnar-scan job, and
+    ~sample_cap rows (binomial spread) is plenty for a coarse
+    quantizer, which needs a sketch of the density, not an exact-k
+    sample. The training frame is cached (k-means runs ~2 jobs per
+    iteration; uncached, every job re-scans parquet) and init is
+    RANDOM: k-means|| spends several extra passes buying an init
+    quality a coarse quantizer cannot use — profiled at 200k vectors /
+    k=80: 149 s (k-means||, uncached) → 8.5 s (cached + random init),
+    identical recall through the tests/test_ann_trained.py gate.
+    Determinism contract: fixed seed + hash-threshold sample pins the
+    training SET, but initMode='random' draws its k init points
+    per-partition — the resulting centroids (hence cells and lane
+    timings/recall) are only reproducible for a fixed partitioning of
+    the sample; correctness is unaffected (oracle=None + recall gate),
+    reproduction of recorded numbers requires the same layout."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    n_total = emb.count()
+    sample = emb
+    if n_total > sample_cap:
+        denom = 1_000_000
+        thresh = -(-sample_cap * denom // n_total)  # ceil
+        sample = emb.filter(
+            F.pmod(F.xxhash64("vec_id", F.lit(KMEANS_SEED)), F.lit(denom))
+            < F.lit(thresh)
+        )
+    train = Normalizer(inputCol="raw", outputCol="features", p=2.0).transform(
+        sample.select(
+            array_to_vector(F.col("embedding").cast("array<double>")).alias("raw")
+        )
+    ).persist()
+    model = KMeans(
+        k=k,
+        seed=KMEANS_SEED,
+        maxIter=KMEANS_MAXITER,
+        featuresCol="features",
+        initMode="random",
+    ).fit(train)
+    train.unpersist()  # synchronous-safe: fit has consumed the frame
+    C = np.array(model.clusterCenters(), dtype=np.float64)
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    return C
+
+
 def ivf_trained_frames(
     emb: DataFrame,
     k: int = IVF_TRAINED_K,
@@ -380,10 +435,6 @@ def ivf_trained_frames(
     """(top-k results, candidate pairs) for the trained-centroid IVF.
     The candidate frame is exposed so callers (recall lane, tests) can
     measure the scanned fraction |candidates| / (n_queries · (n−1))."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.feature import Normalizer
-    from pyspark.ml.functions import array_to_vector
-
     spark = emb.sparkSession
     base = emb.select(
         "vec_id",
@@ -399,55 +450,9 @@ def ivf_trained_frames(
     # normalize done batch-wise) on local[32]. Training normalizes
     # JVM-side via ml.feature.Normalizer(p=2); assignment normalizes
     # inside the Arrow kernel below. Both touch raw float32 embeddings,
-    # halving the scan/transfer bytes too.
-    #
-    # DETERMINISM CONTRACT: the training sample is a pure function of
-    # the data — a hash-threshold filter (like every sample in this
-    # repo), never `limit` (which is not contractually deterministic
-    # under partition scheduling, so trained centroids — and the
-    # driver's rows-only count — could flap between runs once the
-    # corpus exceeds the cap). The count is one cheap columnar-scan
-    # job; ~KMEANS_SAMPLE rows (binomial spread) is plenty for a
-    # coarse quantizer, which needs a sketch of the density, not an
-    # exact-k sample.
-    n_total = emb.count()
-    sample = emb
-    if n_total > sample_cap:
-        denom = 1_000_000
-        thresh = -(-sample_cap * denom // n_total)  # ceil
-        sample = emb.filter(
-            F.pmod(F.xxhash64("vec_id", F.lit(KMEANS_SEED)), F.lit(denom))
-            < F.lit(thresh)
-        )
-    # Cache the training frame (k-means runs ~2 jobs per iteration over
-    # it; uncached, every job re-scans parquet) and init RANDOM:
-    # k-means|| spends several extra passes buying an init quality a
-    # coarse quantizer cannot use — profiled at 200k vectors / k=80:
-    # 149 s (k-means||, uncached) → 8.5 s (cached + random init),
-    # identical recall through the tests/test_ann_trained.py gate.
-    # Determinism contract: fixed seed + hash-threshold sample pins the
-    # training SET, but initMode='random' draws its k init points
-    # per-partition — the resulting centroids (hence IVF cells and lane
-    # timings/recall) are only reproducible for a fixed partitioning of
-    # the sample. A different file layout / maxPartitionBytes /
-    # parallelism can shift the init and yield different (still
-    # recall-gated) cells; correctness is unaffected (oracle=None +
-    # recall gate), reproduction of recorded numbers requires the same
-    # layout. Unpersist is synchronous-safe (fit has consumed the
-    # frame).
-    train = Normalizer(inputCol="raw", outputCol="features", p=2.0).transform(
-        sample.select(
-            array_to_vector(F.col("embedding").cast("array<double>")).alias("raw")
-        )
-    ).persist()
-    model = KMeans(
-        k=k,
-        seed=KMEANS_SEED,
-        maxIter=KMEANS_MAXITER,
-        featuresCol="features",
-        initMode="random",
-    ).fit(train)
-    train.unpersist()
+    # halving the scan/transfer bytes too. Sample/caching/determinism
+    # contract: see train_coarse_centers.
+    C = train_coarse_centers(emb, k, sample_cap)
 
     # Nearest / top-nprobe cells per vector as a broadcast-centers GEMM
     # (see section comment): one X @ Cᵀ + argmax per Arrow batch replaces
@@ -457,8 +462,6 @@ def ivf_trained_frames(
     import numpy as np
     import pandas as pd
 
-    C = np.array(model.clusterCenters(), dtype=np.float64)
-    C /= np.linalg.norm(C, axis=1, keepdims=True)
     bc = spark.sparkContext.broadcast(C)
     n_queries, n_probe = N_QUERIES, nprobe  # close over plain ints
 

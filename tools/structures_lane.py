@@ -90,6 +90,11 @@ def pq_lane() -> None:
             "sec": round(sec, 2),
             "rerank_frac": round(PQ_TRAINED_RERANK / (n - 1), 5),
         }
+        rec, sec = recall_of("ann_topk_ivfpq_trained")
+        row["ivfpq_trained"] = {
+            "recall_at_10": round(rec, 3),
+            "sec": round(sec, 2),
+        }
         if n <= 200_000:
             rec, sec = recall_of("ann_topk_pq_rerank")
             row["pq_rerank_untrained"] = {
