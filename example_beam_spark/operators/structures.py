@@ -552,15 +552,32 @@ _N_BUCKETS = int(os.environ.get("SPARK_GRAFT_BUCKETS", "8"))
 # (applicationId, sf_dir) -> (orders_table, lineitem_table); the layout
 # is written once per Spark application and reused by every rerun in
 # the same session (bench cold+warm, sweep loops)
-_BUCKET_TABLES: dict[tuple[str, str], tuple[str, str]] = {}
+_BUCKET_TABLES: dict[tuple, tuple[str, str]] = {}
 _BUCKET_DB = "ebs_buckets"
+
+
+def _layout_key(spark: SparkSession, sf_dir: str, *tables: str) -> tuple:
+    """Session-cache key for a persisted layout: (appId, path, source
+    fingerprint). The fingerprint (per-member mtime_ns + size — the
+    neardup_stream._source_fingerprint discipline, round-10 advice #5)
+    makes an in-place regeneration of the source table a cache MISS, so
+    a long-lived process can never serve a layout built from stale
+    data."""
+    from example_beam_spark.sources.parquet import parquet_members, table_path
+
+    fp = tuple(
+        (os.path.basename(m), os.stat(m).st_mtime_ns, os.stat(m).st_size)
+        for t in tables
+        for m in sorted(parquet_members(table_path(sf_dir, t)))
+    )
+    return (spark.sparkContext.applicationId, os.path.abspath(sf_dir), fp)
 
 
 def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     import hashlib
     import tempfile
 
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    key = _layout_key(spark, sf_dir, "orders", "lineitem")
     hit = _BUCKET_TABLES.get(key)
     if hit is not None:
         return hit
@@ -802,14 +819,14 @@ def ann_topk_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 # partition pruning composes with the pushed row-group filters the
 # plan suite already pins (S5).
 
-_PART_DIRS: dict[tuple[str, str], str] = {}
+_PART_DIRS: dict[tuple, str] = {}
 _SCAN_DATE = "2024-01-15"  # mid-fixture day, present at every SF
 
 
 def _partitioned_events(spark: SparkSession, sf_dir: str) -> str:
     import tempfile
 
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    key = _layout_key(spark, sf_dir, "events")
     hit = _PART_DIRS.get(key)
     if hit is not None:
         return hit
@@ -875,14 +892,14 @@ def events_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # moved every row and invented none.
 
 _FRAG_WRITERS = 16  # fragmented layout: files per date = writer tasks
-_COMPACT_DIRS: dict[tuple[str, str], tuple[str, str]] = {}
+_COMPACT_DIRS: dict[tuple, tuple[str, str]] = {}
 
 
 def _compacted_events(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """(fragmented_dir, compacted_dir), built once per session."""
     import tempfile
 
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    key = _layout_key(spark, sf_dir, "events")
     hit = _COMPACT_DIRS.get(key)
     if hit is not None:
         return hit
@@ -1103,7 +1120,7 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same oracle as the compaction pass, proving streamed ingestion lands
 # every row exactly once.
 
-_STREAM_SINK_DIRS: dict[tuple[str, str], tuple[str, str]] = {}
+_STREAM_SINK_DIRS: dict[tuple, tuple[str, str]] = {}
 
 
 def _stream_partitioned_sink(spark: SparkSession, sf_dir: str) -> str:
@@ -1114,7 +1131,10 @@ def _stream_partitioned_sink(spark: SparkSession, sf_dir: str) -> str:
 
     from example_beam_spark.streaming.entries import read_events_stream
 
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    # fingerprinted key: regenerated source data -> fresh sink dir AND
+    # fresh checkpoint (the old checkpoint's file-source log would
+    # otherwise skip the regenerated files as already-processed)
+    key = _layout_key(spark, sf_dir, "events")
     hit = _STREAM_SINK_DIRS.get(key)
     if hit is None:
         hit = (

@@ -370,3 +370,23 @@ def test_ivfpq_trained_recall_on_planted_corpus(spark, tmp_path):
     recall = sum(recalls) / len(recalls)
     print(f"planted IVFPQ recall@10={recall:.3f}")
     assert recall >= 0.9, (recall, recalls)
+
+
+def test_layout_cache_key_fingerprints_source(spark, tmp_path):
+    """An in-place regeneration of the source table (same path, new
+    bytes/mtime) must change the layout cache key, so a long-lived
+    session can never serve a layout built from stale data (the
+    neardup-stream staging discipline applied to every persisted
+    layout here)."""
+    import os
+    import shutil
+
+    from example_beam_spark.operators.structures import _layout_key
+
+    src = os.path.join(SF, "events.parquet")
+    dst = str(tmp_path / "events.parquet")
+    shutil.copyfile(src, dst)
+    k1 = _layout_key(spark, str(tmp_path), "events")
+    os.utime(dst, ns=(os.stat(dst).st_atime_ns, os.stat(dst).st_mtime_ns + 1))
+    k2 = _layout_key(spark, str(tmp_path), "events")
+    assert k1 != k2
