@@ -114,16 +114,16 @@ N_ORDERS = 2_500_000
 N_LINEITEM = 10_000_000
 
 
-def _synth_tpch(out_dir: str) -> None:
-    """10M-row lineitem + 2.5M-row orders with the fixture's column
-    names/types (only the join/agg columns are populated for real)."""
+def _synth_tpch(out_dir: str, n_orders: int, n_lineitem: int) -> None:
+    """Scaled lineitem + orders with the fixture's column names/types
+    (only the join/agg columns are populated for real)."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
     g = np.random.default_rng(LANE_SEED)
-    okey = np.arange(N_ORDERS, dtype=np.int64)
+    okey = np.arange(n_orders, dtype=np.int64)
     pq.write_table(
         pa.table(
             {
@@ -135,16 +135,16 @@ def _synth_tpch(out_dir: str) -> None:
         ),
         os.path.join(out_dir, "orders.parquet"),
     )
-    lkey = g.integers(0, N_ORDERS, N_LINEITEM).astype(np.int64)
+    lkey = g.integers(0, n_orders, n_lineitem).astype(np.int64)
     pq.write_table(
         pa.table(
             {
                 "l_orderkey": pa.array(lkey),
                 "l_extendedprice": pa.array(
-                    g.uniform(1.0, 1000.0, N_LINEITEM).round(2)
+                    g.uniform(1.0, 1000.0, n_lineitem).round(2)
                 ),
                 "l_discount": pa.array(
-                    (g.integers(0, 11, N_LINEITEM) / 100.0)
+                    (g.integers(0, 11, n_lineitem) / 100.0)
                 ),
             }
         ),
@@ -162,20 +162,22 @@ def _checksum(df) -> int:
     )
 
 
-def bucketed_lane() -> None:
+def bucketed_lane(scale: int = 1) -> None:
     from example_beam_spark.session import get_spark
 
     spark = get_spark(app_name="structures_lane_bucketed")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
 
-    if not os.path.exists(os.path.join(BUCKET_LANE_DIR, "lineitem.parquet")):
+    n_orders, n_lineitem = N_ORDERS * scale, N_LINEITEM * scale
+    lane_dir = BUCKET_LANE_DIR if scale == 1 else f"{BUCKET_LANE_DIR}_x{scale}"
+    if not os.path.exists(os.path.join(lane_dir, "lineitem.parquet")):
         t0 = time.time()
-        _synth_tpch(BUCKET_LANE_DIR)
-        print(f"# synthesized 10M-row corpus in {time.time() - t0:.1f}s")
+        _synth_tpch(lane_dir, n_orders, n_lineitem)
+        print(f"# synthesized {n_lineitem}-row corpus in {time.time() - t0:.1f}s")
 
-    o = spark.read.parquet(os.path.join(BUCKET_LANE_DIR, "orders.parquet"))
-    l = spark.read.parquet(os.path.join(BUCKET_LANE_DIR, "lineitem.parquet"))
+    o = spark.read.parquet(os.path.join(lane_dir, "orders.parquet"))
+    l = spark.read.parquet(os.path.join(lane_dir, "lineitem.parquet"))
 
     def join_agg(odf, ldf):
         j = odf.join(ldf, odf.o_orderkey == ldf.l_orderkey)
@@ -193,7 +195,7 @@ def bucketed_lane() -> None:
         per_order = j.groupBy("o_orderkey").agg(F.count("*").alias("items"))
         return per_order.groupBy("items").agg(F.count("*").alias("orders"))
 
-    result: dict = {"lane": "bucketed", "n_orders": N_ORDERS, "n_lineitem": N_LINEITEM}
+    result: dict = {"lane": "bucketed", "n_orders": n_orders, "n_lineitem": n_lineitem}
 
     t0 = time.time()
     raw_sum = _checksum(join_agg(o, l))
@@ -204,8 +206,9 @@ def bucketed_lane() -> None:
 
     n_buckets = 32
     t0 = time.time()
-    loc = os.path.join(BUCKET_LANE_DIR, "warehouse")
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS lane_buckets LOCATION '{loc}'")
+    loc = os.path.join(lane_dir, "warehouse")
+    db = f"lane_buckets_x{scale}"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
     for df, tbl, k in ((o, "orders_b", "o_orderkey"), (l, "lineitem_b", "l_orderkey")):
         (
             df.repartition(n_buckets, k)
@@ -213,12 +216,12 @@ def bucketed_lane() -> None:
             .sortBy(k)
             .mode("overwrite")
             .format("parquet")
-            .saveAsTable(f"lane_buckets.{tbl}")
+            .saveAsTable(f"{db}.{tbl}")
         )
     result["bucket_write_sec"] = round(time.time() - t0, 2)
 
-    ob = spark.table("lane_buckets.orders_b")
-    lb = spark.table("lane_buckets.lineitem_b")
+    ob = spark.table(f"{db}.orders_b")
+    lb = spark.table(f"{db}.lineitem_b")
     plan = (
         join_agg(ob, lb)._jdf.queryExecution().executedPlan().toString()
     )
@@ -248,11 +251,12 @@ def bucketed_lane() -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=("pq", "bucketed"), required=True)
+    ap.add_argument("--scale", type=int, default=1, help="bucketed mode: multiply the 10M/2.5M base")
     args = ap.parse_args()
     if args.mode == "pq":
         pq_lane()
     else:
-        bucketed_lane()
+        bucketed_lane(args.scale)
 
 
 if __name__ == "__main__":
