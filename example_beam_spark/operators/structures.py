@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from example_beam_spark.operators.corpus_ops import _BATCH_SOURCE
 from example_beam_spark.operators.dedup import (
     JACCARD_DUP_THRESHOLD,
+    _cluster_oracle,
     N_BANDS,
     N_HASHES,
     ROWS_PER_BAND,
@@ -1334,4 +1335,64 @@ def ann_topk_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_cluster_best_quality — production canonical selection
+# --------------------------------------------------------------------------
+#
+# dedup_cluster_canonical keeps each near-dup cluster's LOWEST doc_id —
+# the deterministic textbook choice. Production pipelines keep the BEST
+# document (near-dups differ by boilerplate, truncation, OCR noise —
+# the highest-quality copy is the one worth training on). This entry
+# composes the registered cluster builder with the budget-select
+# quality score (distinct-word ratio, the C4-ish proxy every quality
+# entry here shares) and flags per cluster the argmax-quality member
+# (ties to the smaller doc_id). Scale: the cluster frame is one row per
+# CLUSTERED doc (near-dups only, a small fraction of any deduped
+# corpus); the keeper window is keyed by cluster id — high cardinality,
+# partial WindowGroupLimit applies, no global sort anywhere beyond
+# what the cluster builder itself does.
+
+_BESTQ_ORACLE = f"""
+    WITH clusters AS ({_cluster_oracle()}),
+    q AS (
+        SELECT doc_id,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS quality
+        FROM documents
+    )
+    SELECT c.doc_id, c.canonical_id, c.cluster_size, q.quality,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY c.canonical_id ORDER BY q.quality DESC, c.doc_id
+           ) AS BIGINT) = 1 AS is_kept
+    FROM clusters c JOIN q ON q.doc_id = c.doc_id
+"""
+
+
+@register("dedup_cluster_best_quality", oracle=_BESTQ_ORACLE)
+def dedup_cluster_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: per near-dup cluster, keep the
+    highest-quality member (distinct-word-ratio score, ties to the
+    smaller doc_id); every clustered doc is emitted with its keep/drop
+    flag."""
+    from example_beam_spark.operators.dedup import dedup_cluster_canonical
+
+    clusters = dedup_cluster_canonical(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    quality = (
+        F.size(F.array_distinct(F.split(F.col("text"), " "))).cast("double")
+        / F.size(F.split(F.col("text"), " "))
+    )
+    scored = clusters.join(
+        docs.select("doc_id", quality.alias("quality")), "doc_id"
+    )
+    w = Window.partitionBy("canonical_id").orderBy(F.desc("quality"), "doc_id")
+    return scored.select(
+        "doc_id",
+        "canonical_id",
+        "cluster_size",
+        "quality",
+        (F.row_number().over(w) == 1).alias("is_kept"),
     )
