@@ -214,18 +214,34 @@ def band_keys(sig: DataFrame) -> DataFrame:
     ).select("doc_id", F.col("bandkey.band").alias("band"), F.col("bandkey.bk").alias("bk"))
 
 
-def _minhash_oracle() -> str:
-    sig_cols = ", ".join(
+def minhash_sig_cols_sql() -> str:
+    """The DuckDB projection computing the N_HASHES MinHash signature
+    columns (s0..s{N-1}) from shingle rows (doc_id, g). SINGLE source of
+    truth for every oracle that replicates this module's MinHash family
+    (the batch oracle below and structures.py's incremental-index
+    oracle) — edit here and both stay in lockstep."""
+    return ", ".join(
         "MIN(({a} * (CAST(('0x' || substr(md5(g),1,14)) AS BIGINT) % {p})"
         " + {b}) % {p}) AS s{i}".format(
             a=_affine_const(i)[0], b=_affine_const(i)[1], p=_MINHASH_P, i=i
         )
         for i in range(N_HASHES)
     )
-    band_rows = ", ".join(
+
+
+def minhash_band_rows_sql() -> str:
+    """The DuckDB VALUES rows mapping signature columns to LSH band
+    keys ((band, md5-of-row-concat) pairs) — shared with
+    structures.py's incremental oracle like minhash_sig_cols_sql."""
+    return ", ".join(
         f"({b}, md5(s{b * ROWS_PER_BAND} || '|' || s{b * ROWS_PER_BAND + 1} || '|' || s{b * ROWS_PER_BAND + 2}))"
         for b in range(N_BANDS)
     )
+
+
+def _minhash_oracle() -> str:
+    sig_cols = minhash_sig_cols_sql()
+    band_rows = minhash_band_rows_sql()
     return f"""
         WITH sh AS ({_SHINGLES_SQL}),
         sig AS (

@@ -38,13 +38,10 @@ from example_beam_spark.operators.corpus_ops import _BATCH_SOURCE
 from example_beam_spark.operators.dedup import (
     JACCARD_DUP_THRESHOLD,
     _cluster_oracle,
-    N_BANDS,
-    N_HASHES,
-    ROWS_PER_BAND,
-    _MINHASH_P,
     _SHINGLES_SQL,
-    _affine_const,
     band_keys,
+    minhash_band_rows_sql,
+    minhash_sig_cols_sql,
     minhash_signatures,
     shingles_raw,
 )
@@ -288,6 +285,13 @@ PQ_RERANK = 50  # ADC shortlist size fed to the exact re-rank
 _PQ_SHORTLIST_SQL = _PQ_ORACLE.replace(
     f"WHERE rk <= {TOP_K}", f"WHERE rk <= {PQ_RERANK}"
 )
+# Guard the textual substitution (round-11 advice): if _PQ_ORACLE is
+# ever reworded the replace would silently no-op and the rerank
+# oracle's shortlist would shrink from PQ_RERANK to TOP_K.
+assert _PQ_SHORTLIST_SQL != _PQ_ORACLE, (
+    "_PQ_ORACLE no longer contains the 'WHERE rk <= TOP_K' anchor; "
+    "update _PQ_SHORTLIST_SQL's substitution"
+)
 
 _PQ_RERANK_ORACLE = f"""
     WITH shortlist AS ({_PQ_SHORTLIST_SQL}),
@@ -388,38 +392,21 @@ def ann_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # colliding seen doc emit nothing — they are novel.
 
 
-def _minhash_sig_cols_sql() -> str:
-    return ", ".join(
-        "MIN(({a} * (CAST(('0x' || substr(md5(g),1,14)) AS BIGINT) % {p})"
-        " + {b}) % {p}) AS s{i}".format(
-            a=_affine_const(i)[0], b=_affine_const(i)[1], p=_MINHASH_P, i=i
-        )
-        for i in range(N_HASHES)
-    )
-
-
-def _band_rows_sql() -> str:
-    return ", ".join(
-        "({b}, md5(s{c0} || '|' || s{c1} || '|' || s{c2}))".format(
-            b=b,
-            c0=b * ROWS_PER_BAND,
-            c1=b * ROWS_PER_BAND + 1,
-            c2=b * ROWS_PER_BAND + 2,
-        )
-        for b in range(N_BANDS)
-    )
+# The signature/band-key SQL is shared with dedup.py's batch oracle
+# (round-11 advice: one source of truth so the two oracles cannot
+# drift if the MinHash family or band layout changes).
 
 
 _INCR_MINHASH_ORACLE = f"""
     WITH sh AS ({_SHINGLES_SQL}),
     src AS (SELECT doc_id, source FROM documents),
     sig AS (
-        SELECT doc_id, COUNT(DISTINCT g) AS n_shingles, {_minhash_sig_cols_sql()}
+        SELECT doc_id, COUNT(DISTINCT g) AS n_shingles, {minhash_sig_cols_sql()}
         FROM sh GROUP BY doc_id
     ),
     bands AS (
         SELECT doc_id, band, bk
-        FROM sig CROSS JOIN LATERAL (VALUES {_band_rows_sql()}) AS v(band, bk)
+        FROM sig CROSS JOIN LATERAL (VALUES {minhash_band_rows_sql()}) AS v(band, bk)
     ),
     cand AS (
         SELECT DISTINCT nb.doc_id AS new_id, sb.doc_id AS seen_id
@@ -582,8 +569,13 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     hit = _BUCKET_TABLES.get(key)
     if hit is not None:
         return hit
-    loc = tempfile.mkdtemp(prefix="ebs_bucketdb_")
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS {_BUCKET_DB} LOCATION '{loc}'")
+    # Only mint a temp dir when the database doesn't exist yet: once it
+    # does, CREATE DATABASE IF NOT EXISTS ignores the LOCATION clause
+    # and an unconditional mkdtemp would leak an orphan empty dir per
+    # cache miss (round-11 advice #4).
+    if not spark.catalog.databaseExists(_BUCKET_DB):
+        loc = tempfile.mkdtemp(prefix="ebs_bucketdb_")
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {_BUCKET_DB} LOCATION '{loc}'")
     tag = hashlib.md5(key[1].encode()).hexdigest()[:8]
     names = (f"{_BUCKET_DB}.orders_b_{tag}", f"{_BUCKET_DB}.lineitem_b_{tag}")
     for src, tbl, k in (
@@ -1162,7 +1154,15 @@ def _stream_partitioned_sink(spark: SparkSession, sf_dir: str) -> str:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        # awaitTermination(timeout) returns False on timeout with the
+        # query still RUNNING — reading the sink then would see a
+        # partial drain (silent oracle mismatch). Fail loudly instead
+        # (round-11 advice #1).
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "events stream drain did not terminate within 300s"
+            )
     finally:
         _restore_session(spark)
     return out
@@ -1187,7 +1187,9 @@ def events_stream_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFram
 #
 # The composition of the repo's two trained quantizers (Jégou et al.
 # 2011 §IV — "IVFADC"): the ivf.py spherical-k-means coarse quantizer
-# restricts each query to its IVF_TRAINED_NPROBE nearest cells, and
+# (k = ⌈√n⌉ via coarse_k_for — round-11 verdict #1: a fixed k let cells
+# grow linearly with the corpus and the 2M lane measured recall 0.76)
+# restricts each query to its nprobe_for(k) nearest cells, and
 # WITHIN those cells distances are approximated in code space with PQ
 # books trained on RESIDUALS (x̂ - centroid — residual energy is what
 # the codes must explain once the cell center absorbs the coarse
@@ -1208,28 +1210,37 @@ IVFPQ_RERANK = 200
 @register("ann_topk_ivfpq_trained", oracle=None)
 def ann_topk_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained IVF + residual-PQ ANN (FAISS's IVFADC shape): per query,
-    ADC-score only the IVF_TRAINED_NPROBE probed cells' members in code
-    space, exact-rerank the global top-IVFPQ_RERANK. Returns
-    (query_id, neighbor_id, cosine, rk), rk<=TOP_K. Measured recall@10:
-    1.0 on the planted-neighborhood 20k corpus (gate in
-    tests/test_structures.py); 0.2 on the structureless gaussian
-    fixture at sf0.01 — there cell pruning is capped by chance, the
-    same physics tools/planted.py documents for every sublinear method
-    on that fixture."""
+    ADC-score only the probed cells' members in code space
+    (k = ⌈√n⌉ cells, nprobe_for(k) probes, population-padded so the
+    probed cells are expected to hold >= max(4·TOP_K, IVFPQ_RERANK)
+    candidates), exact-rerank the global top-IVFPQ_RERANK. Returns
+    (query_id, neighbor_id, cosine, rk), rk<=TOP_K. Row-count contract:
+    the padding makes an under-TOP_K query practically impossible on
+    any non-adversarial corpus, but counts (like timings/recall) are
+    only reproducible for a fixed partition layout — initMode='random'
+    draws coarse centers per-partition (ivf.py determinism note).
+    Measured recall@10: 1.0 on the planted-neighborhood 20k corpus
+    (gate in tests/test_structures.py); low on the structureless
+    gaussian fixture at sf0.01 — there cell pruning is capped by
+    chance, the same physics tools/planted.py documents for every
+    sublinear method on that fixture."""
     import numpy as np
     import pandas as pd
 
     from example_beam_spark.operators.ivf import (
-        IVF_TRAINED_K,
-        IVF_TRAINED_NPROBE,
         KMEANS_SAMPLE,
+        coarse_k_for,
+        nprobe_for,
         train_coarse_centers,
     )
 
     emb = spread_small_input(load_table(spark, sf_dir, "embeddings"), spark).select(
         "vec_id", "embedding"
     )
-    C = train_coarse_centers(emb, IVF_TRAINED_K, KMEANS_SAMPLE)
+    n_total = emb.count()
+    k_cells = coarse_k_for(n_total)
+    nprobe = nprobe_for(k_cells)
+    C = train_coarse_centers(emb, k_cells, KMEANS_SAMPLE, n_total=n_total)
 
     # residual-PQ books on the bounded hash-rank sample (pq_trained's
     # sample discipline; deterministic given the trained centers)
@@ -1248,13 +1259,25 @@ def ann_topk_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     Q = np.stack(q_pdf["embedding"].to_numpy()).astype(np.float64)
     Q /= np.linalg.norm(Q, axis=1, keepdims=True)
     q_dot_c = Q @ C.T  # (Q, k): the q·centroid term of the ADC score
-    # probe sets: top-nprobe cells per query, ties to the lower cell
-    probes = np.stack(
-        [
-            np.lexsort((np.arange(C.shape[0]), -q_dot_c[i]))[:IVF_TRAINED_NPROBE]
-            for i in range(len(Q))
-        ]
-    )
+    # Probe sets: top-nprobe cells per query (ties to the lower cell),
+    # PADDED by estimated cell population until the probed cells are
+    # expected to hold enough candidates (round-11 advice #3: with
+    # adaptive k, small corpora get many near-empty cells and a fixed
+    # nprobe could shortlist fewer than TOP_K rows per query). The
+    # population estimate reuses the PQ training sample's cell
+    # assignment — no extra pass over the corpus.
+    sample_cells = (Xs @ C.T).argmax(axis=1)
+    est_pop = np.bincount(sample_cells, minlength=C.shape[0]).astype(
+        np.float64
+    ) * (n_total / max(len(Xs), 1))
+    cand_target = float(max(4 * TOP_K, IVFPQ_RERANK))
+    probes = []
+    for i in range(len(Q)):
+        order = np.lexsort((np.arange(C.shape[0]), -q_dot_c[i]))
+        take = nprobe
+        while take < len(order) and est_pop[order[:take]].sum() < cand_target:
+            take += 1
+        probes.append(order[:take])
     lut = np.einsum(
         "qmd,mkd->qmk", Q.reshape(len(Q), PQ_M, PQ_SUBDIM), books
     )
@@ -1396,3 +1419,188 @@ def dedup_cluster_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality",
         (F.row_number().over(w) == 1).alias("is_kept"),
     )
+
+
+# --------------------------------------------------------------------------
+# ann_range_search_ivf — triangle-bounded cell probing for threshold
+# retrieval (the FAISS range_search discipline)
+# --------------------------------------------------------------------------
+#
+# Round-11 verdict #2: sign-LSH buckets are the wrong index for LOW
+# similarity thresholds — at the benchmarked operating point (sf0.1,
+# threshold 0.2) the 1-bucket rung retrieved 1.9% of the exact answer
+# and Hamming<=2 multiprobe 29.3% (SURVEY §2.8); only near-identical
+# vectors agree on all sign bits. The correct scale path is the IVF
+# analog of FAISS `range_search`: probe every coarse cell whose
+# centroid could POSSIBLY contain a match by the spherical triangle
+# inequality, then exact-verify inside probed cells. For query q,
+# cell center c with angular radius r_c = max member angle to c, every
+# member x satisfies angle(q,x) >= angle(q,c) - r_c — so a cell can be
+# skipped iff angle(q,c) > θ_t + r_c where θ_t = arccos(threshold).
+# The bound is SOUND: the candidate set is a superset of every true
+# match, so the output is IDENTICAL to the exact twin and this entry is
+# gated by the exact twin's full value oracle (recall 1.0 by
+# construction — not a recall-vs-contract trade like the LSH rungs,
+# which stay as documented contrast rungs). Pruning is two-level, both
+# levels sound:
+#   1. CELL level — skip cells failing the radius bound above. At a low
+#      threshold matches spread across most cells (measured: planted
+#      20k at t=0.2 keeps 98% of cells), so this level mostly helps
+#      high thresholds / tight geometry;
+#   2. MEMBER level — within a probed cell, every member also satisfies
+#      angle(q,x) >= |angle(q,c) - angle(x,c)|, and angle(x,c) is known
+#      from assignment (ccos). cos(|aqc - axc|) < θ_t proves a member
+#      can't match with TWO scalar ops — the dim-length exact dot runs
+#      only on survivors (measured: planted 20k at t=0.2 drops exact
+#      work to ~9% of pairs; the FAISS range_search traverse-then-
+#      compute discipline). A structureless corpus degrades gracefully
+#      toward the full scan instead of silently losing matches.
+#
+# Plan shape: cell assignment + radii ride ONE zero-shuffle Arrow GEMM
+# pass (mapInPandas, embeddings carried through so candidates need no
+# second corpus join); per-cell radii are a k-row bounded collect; the
+# (query, cell) probe table is <= N_QUERIES·k rows broadcast; the
+# exact verify is the map-side quantized-cosine filter of the exact
+# twin. No wide shuffle anywhere. At 100 TB with the codes/cells
+# persisted cell-partitioned (ann_topk_ivfpq_cellpart's layout), the
+# probe table becomes PartitionFilters — unprobed cells are never read.
+
+RANGE_IVF_EPS = 1e-6  # absorbs decimal-quantized vs float64 cosine skew
+
+
+def range_search_ivf_frames(
+    emb: DataFrame, threshold: float | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """(results, candidates) for the cell-pruned exact range search.
+    The candidate frame lets lanes/tests measure the scanned fraction
+    (exact-dot evaluations / all pairs). threshold defaults to the
+    family's RANGE_THRESHOLD; the pruning depth adapts to it — see the
+    measured ladder in tests/test_structures.py and NOTES."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from example_beam_spark.operators.ivf import (
+        KMEANS_SAMPLE,
+        coarse_k_for,
+        train_coarse_centers,
+    )
+    from example_beam_spark.operators.trainprep import RANGE_THRESHOLD
+    from example_beam_spark.registry import defer_cleanup
+
+    if threshold is None:
+        threshold = RANGE_THRESHOLD
+
+    spark = emb.sparkSession
+    emb = emb.select("vec_id", "embedding")
+    n_total = emb.count()
+    k_cells = coarse_k_for(n_total)
+    C = train_coarse_centers(emb, k_cells, KMEANS_SAMPLE, n_total=n_total)
+
+    bc = spark.sparkContext.broadcast(C)
+
+    def assign(batches):
+        CC = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            nrm = np.linalg.norm(X, axis=1)
+            ok = nrm > 0  # zero-norm vectors can never pass the
+            # threshold (cosine undefined -> NaN filter on both
+            # sides); dropping them here keeps cell radii honest
+            if not ok.any():
+                continue
+            X, ids = X[ok] / nrm[ok, None], ids[ok]
+            S = X @ CC.T
+            cell = S.argmax(axis=1).astype("int32")
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "cell": cell,
+                    "ccos": S[np.arange(len(ids)), cell],
+                    "embedding": pdf["embedding"].to_numpy()[ok],
+                }
+            )
+
+    assigned = emb.mapInPandas(
+        assign, "vec_id long, cell int, ccos double, embedding array<float>"
+    ).persist()
+    defer_cleanup(lambda: assigned.unpersist())
+
+    # per-cell angular radius: a k-row bounded artifact (k = ⌈√n⌉)
+    radii = {
+        r["cell"]: math.acos(max(-1.0, min(1.0, r["rmin"])))
+        for r in assigned.groupBy("cell")
+        .agg(F.min("ccos").alias("rmin"))
+        .collect()
+    }
+
+    q_pdf = emb.filter(F.col("vec_id") < N_QUERIES).toPandas()
+    q_ids = q_pdf["vec_id"].to_numpy()
+    Q = np.stack(q_pdf["embedding"].to_numpy()).astype(np.float64)
+    q_nrm = np.linalg.norm(Q, axis=1)
+    theta_t = math.acos(max(-1.0, min(1.0, threshold)))
+    probe_rows = []
+    for i in range(len(Q)):
+        if q_nrm[i] == 0:
+            continue  # the exact twin emits nothing for this query
+        qdc = (Q[i] / q_nrm[i]) @ C.T
+        for c, r_c in radii.items():
+            bound = math.cos(min(math.pi, theta_t + r_c))
+            if qdc[c] >= bound - RANGE_IVF_EPS:
+                aqc = math.acos(max(-1.0, min(1.0, qdc[c])))
+                probe_rows.append((int(q_ids[i]), int(c), aqc))
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, cell int, aqc double"
+    )
+
+    # member-level bound (section comment level 2): two scalar ops
+    # decide whether the dim-length exact dot is worth computing
+    axc = F.acos(
+        F.greatest(F.lit(-1.0), F.least(F.lit(1.0), F.col("ccos")))
+    )
+    member_bound = F.cos(F.abs(F.col("aqc") - axc))
+    cands = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .filter(member_bound >= F.lit(threshold - RANGE_IVF_EPS))
+    )
+    queries = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            norm_dec("embedding").alias("q_nrm"),
+        )
+    )
+    scored = cands.join(F.broadcast(queries), "query_id").select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            dot_dec("q_emb", "embedding")
+            / (F.col("q_nrm") * norm_dec("embedding"))
+        ).alias("cosine"),
+    )
+    results = scored.filter(F.col("cosine") >= F.lit(threshold))
+    return results, cands.select("query_id", F.col("vec_id").alias("neighbor_id"))
+
+
+def _range_ivf_oracle() -> str:
+    # The EXACT twin's oracle verbatim: the cell pruning is sound, so
+    # the output must be value-identical to the full scan.
+    from example_beam_spark.operators.trainprep import _RANGE_ORACLE
+
+    return _RANGE_ORACLE
+
+
+@register("ann_range_search_ivf", oracle=_range_ivf_oracle())
+def ann_range_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact threshold retrieval through triangle-bounded IVF cell
+    pruning (section comment): identical values to ann_range_search —
+    the full exact-twin oracle gates it — with candidate work bounded
+    by the probed cells' population instead of the corpus."""
+    emb = spread_small_input(load_table(spark, sf_dir, "embeddings"), spark)
+    return range_search_ivf_frames(emb)[0]

@@ -794,10 +794,15 @@ _RANGE_LSH_ORACLE = f"""
 
 @register("ann_range_search_lsh", oracle=_RANGE_LSH_ORACLE)
 def ann_range_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed threshold retrieval (section comment): candidates =
-    the query's own LSH bucket, then the exact quantized-cosine
-    threshold — per-query work drops ~256x; at 100 TB the bucket join
-    is shuffle-local per bucket."""
+    """Bucketed threshold retrieval (section comment). CONTRAST RUNG,
+    not the scale path: sign-LSH buckets only collide for near-identical
+    vectors, so at the family's low threshold the measured recall vs the
+    exact twin is 0.019 (sf0.1, t=0.2 — SURVEY §2.8). Kept because the
+    recall loss is part of the value-oracle CONTRACT (the oracle
+    replicates the prefilter) and the ladder documents WHY sign buckets
+    fail here; the production path for threshold retrieval is
+    ann_range_search_ivf (structures.py) — triangle-bounded cell
+    probing, recall 1.0 by construction."""
     emb = spread_small_input(load_table(spark, sf_dir, "embeddings"), spark)
     base = emb.select(
         "vec_id",
@@ -875,7 +880,9 @@ def ann_range_search_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe threshold retrieval (section comment): per query,
     the 37 Hamming<=2 buckets (~14% of a uniform corpus) feed the exact
     quantized-cosine threshold — the measured middle ground between the
-    exact scan and the 1-bucket prune."""
+    exact scan and the 1-bucket prune (recall 0.293 at t=0.2/sf0.1 —
+    still a contrast rung; see ann_range_search_ivf for the sound
+    production path)."""
     from example_beam_spark.operators.similarity import _bucket_expr_spark
 
     emb = spread_small_input(load_table(spark, sf_dir, "embeddings"), spark)

@@ -390,3 +390,45 @@ def test_layout_cache_key_fingerprints_source(spark, tmp_path):
     os.utime(dst, ns=(os.stat(dst).st_atime_ns, os.stat(dst).st_mtime_ns + 1))
     k2 = _layout_key(spark, str(tmp_path), "events")
     assert k1 != k2
+
+
+def test_range_search_ivf_equals_exact_twin_and_prunes(spark, tmp_path):
+    """Triangle-bounded pruning is SOUND at every threshold (output
+    identical to the exact full scan — same rows, same cosines) and its
+    depth ADAPTS to threshold selectivity: at the family's loose
+    t=0.2 any sound method must touch nearly all pairs (matches span
+    most cells — the physics, recorded, not hidden), while at a
+    selective t=0.7 (in-cluster only on the planted corpus) the bounds
+    prune the exact-dot work to a small fraction."""
+    from example_beam_spark.operators.similarity import N_QUERIES
+    from example_beam_spark.operators.structures import range_search_ivf_frames
+    from example_beam_spark.operators.trainprep import RANGE_THRESHOLD
+    from example_beam_spark.sources import load_table
+    from tools.planted import planted_corpus
+
+    n = 20000
+    d = planted_corpus(str(tmp_path / "range_planted"), n=n)
+    R = load_registry()
+    exact_all = [
+        (r.query_id, r.neighbor_id, round(r.cosine, 9))
+        for r in _collect(R["ann_range_search"], spark, d)
+    ]
+    emb = load_table(spark, d, "embeddings")
+    scans = {}
+    for t in (RANGE_THRESHOLD, 0.5, 0.7):
+        results, cands = range_search_ivf_frames(emb, threshold=t)
+        got = sorted(
+            (r.query_id, r.neighbor_id, round(r.cosine, 9))
+            for r in results.collect()
+        )
+        scans[t] = cands.count() / (N_QUERIES * (n - 1))
+        drain_cleanups()
+        # matches at t >= RANGE_THRESHOLD are exactly the exact twin's
+        # rows re-filtered — soundness at every rung
+        assert got == sorted(p for p in exact_all if p[2] >= t), t
+    print(f"range-ivf planted scanned by threshold: {scans}")
+    # measured 0.94 / 0.58 / 0.26: the 0.26 floor at t=0.7 is coarse
+    # capacity (k=√n=142 cells < 200 planted clusters, so merged cells
+    # inflate member angles) — pinned with slack, monotone in t
+    assert scans[0.7] <= 0.35, scans  # selective threshold prunes deep
+    assert scans[0.7] < scans[0.5] < scans[RANGE_THRESHOLD] <= 1.0, scans
