@@ -169,6 +169,8 @@ _MODULE_ORDER = [
     # round 11
     "example_beam_spark.operators.trainprep",
     "example_beam_spark.operators.structures",
+    # round 12
+    "example_beam_spark.streaming.join_dlq_stream",
 ]
 
 

@@ -791,26 +791,11 @@ def read_events_stream_flushed(
     return apply_ns_shim(df) if shim else df
 
 
-@register(
-    "enrich_stream_stream_join",
-    oracle="""
-    SELECT c.event_id, c.user_id, c.ts,
-           v.event_id AS view_event_id, v.ts AS view_ts, v.value AS view_value
-    FROM events c
-    LEFT JOIN events v
-      ON v.user_id = c.user_id
-     AND v.event_type = 'view'
-     AND v.ts >= c.ts - INTERVAL 6 HOUR
-     AND v.ts <= c.ts
-    WHERE c.event_type = 'click'
-""",
-)
-def enrich_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2 as a REAL stream-stream left-outer join: clicks enriched with
-    the same user's views from the preceding 6 hours — the repeater-free
-    Spark replacement (see streaming/join_stream.py). Same oracle as the
-    batch enrich_time_range_join: after the sentinel drains the watermark,
-    the streaming result equals the batch join."""
+def stream_join_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The clicks⋈views streaming join graph shared by
+    enrich_stream_stream_join and the DLQ-fork twin
+    (streaming/join_dlq_stream.py): one watermark node, CASE-filter
+    side fork, time-range left-outer join."""
     from example_beam_spark.streaming.join_stream import (
         stream_stream_time_range_join,
     )
@@ -839,9 +824,32 @@ def enrich_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_time").alias("dim_event_time"),
         F.col("value").alias("view_value"),
     )
-    joined = stream_stream_time_range_join(
+    return stream_stream_time_range_join(
         facts, dims, key="user_id", ttl_seconds=6 * 3600
     )
+
+
+@register(
+    "enrich_stream_stream_join",
+    oracle="""
+    SELECT c.event_id, c.user_id, c.ts,
+           v.event_id AS view_event_id, v.ts AS view_ts, v.value AS view_value
+    FROM events c
+    LEFT JOIN events v
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view'
+     AND v.ts >= c.ts - INTERVAL 6 HOUR
+     AND v.ts <= c.ts
+    WHERE c.event_type = 'click'
+""",
+)
+def enrich_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 as a REAL stream-stream left-outer join: clicks enriched with
+    the same user's views from the preceding 6 hours — the repeater-free
+    Spark replacement (see streaming/join_stream.py). Same oracle as the
+    batch enrich_time_range_join: after the sentinel drains the watermark,
+    the streaming result equals the batch join."""
+    joined = stream_join_graph(spark, sf_dir)
     out = run_to_append(joined, spark)
     return out.select(
         "event_id",

@@ -37,7 +37,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
 
 def test_corpus_lane_all_entries_converge(spark, tmp_path):
-    """All seventeen stateful entries over the sf0.001 corpus split into 8
+    """All eighteen stateful entries over the sf0.001 corpus split into 8
     time-ordered chunks (10 micro-batches with the sentinels): exact
     oracle / simulator match per entry, delta classes enforced inside
     run_lane — plus the round-8 state-size measurements: eviction
@@ -46,7 +46,7 @@ def test_corpus_lane_all_entries_converge(spark, tmp_path):
     sketches, and zero rows dropped as late on the time-ordered
     schedule."""
     results = run_lane(SF_DIR, 8, spark)
-    assert len(results) == 17
+    assert len(results) == 18
     for r in results:
         assert r["match"], r
     by = {r["entry"]: r for r in results}
@@ -59,6 +59,7 @@ def test_corpus_lane_all_entries_converge(spark, tmp_path):
     for name in [
         "sessionize_events_stream",
         "enrich_stream_stream_join",
+        "enrich_stream_join_dlq",
         "ctr_custom_window_stream",
         "ctr_fixed_capped_stream",
         "ctr_sliding_total_stream",

@@ -28,6 +28,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 ENTRIES = [
     "sessionize_events_stream",
     "enrich_stream_stream_join",
+    # two-sink DLQ fork: the crash lands between batches with live
+    # outer-join state; the resumed drain must replay the failed batch
+    # into BOTH destinations exactly once (per-side overwrite-by-batch-id)
+    "enrich_stream_join_dlq",
     "lookup_cache_join_stream",
     "ctr_custom_window_stream",
     # O(1)-state append-mode entry: the replayed batch must OVERWRITE

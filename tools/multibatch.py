@@ -457,6 +457,23 @@ def run_lane(sf_dir: str, n_chunks: int, spark) -> list[dict]:
         {"sec": round(time.time() - t0, 1)},
     )
 
+    # 2b) stream-stream join DLQ fork — exact oracle convergence on BOTH
+    #     sides (matched + watermark-expired dlq rows emitted live as the
+    #     watermark advances between data batches)
+    t0 = time.time()
+    df = reg["enrich_stream_join_dlq"].fn(spark, derived)
+    rows = [tuple(r) for r in df.select(sorted(df.columns)).collect()]
+    cols, orc = run_oracle(reg["enrich_stream_join_dlq"].oracle, sf_dir)
+    r = report(
+        "enrich_stream_join_dlq",
+        rows,
+        _project(cols, orc),
+        {"sec": round(time.time() - t0, 1)},
+    )
+    side_ix = sorted(df.columns).index("side")
+    r["dlq_rows"] = sum(1 for t in rows if t[side_ix] == "dlq")
+    r["matched_rows"] = sum(1 for t in rows if t[side_ix] == "matched")
+
     # 3) lookup-cache join — simulator-exact + bounded delta vs the
     #    converged oracle
     t0 = time.time()

@@ -95,6 +95,17 @@ def pq_lane() -> None:
             "recall_at_10": round(rec, 3),
             "sec": round(sec, 2),
         }
+        rec, sec = recall_of("ann_topk_ivfpq_cellpart")
+        from example_beam_spark.operators.structures import ivfpq_cellpart_scan
+
+        _, _, n_probed, k_cells = ivfpq_cellpart_scan(spark, d)
+        row["ivfpq_cellpart"] = {
+            "recall_at_10": round(rec, 3),
+            "sec": round(sec, 2),
+            "probed_cells": n_probed,
+            "k": k_cells,
+        }
+        drain_cleanups()
         if n <= 200_000:
             rec, sec = recall_of("ann_topk_pq_rerank")
             row["pq_rerank_untrained"] = {
