@@ -171,6 +171,7 @@ _MODULE_ORDER = [
     "example_beam_spark.operators.structures",
     # round 12
     "example_beam_spark.streaming.join_dlq_stream",
+    "example_beam_spark.operators.decontam",
 ]
 
 

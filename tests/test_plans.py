@@ -864,3 +864,17 @@ def test_per_group_topk_windows_push_group_limit(spark):
             name,
             executed[:2000],
         )
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """docs_decontaminate joins the train gram stream against the eval
+    grams — the eval slice is ~1% by construction, so the gram join
+    must be a BroadcastHashJoin (no shuffle of the train grams by g)
+    and the per-doc counts stay partial+final aggregates."""
+    from example_beam_spark.plans import explain_formatted
+
+    q = load_registry()["docs_decontaminate"]
+    df = q.fn(spark, SF)
+    plan = explain_formatted(df)
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert plan.count("HashAggregate") >= 2, plan[:3000]
