@@ -1873,3 +1873,111 @@ def ann_topk_ivfpq_cellpart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# embedding_sq8_audit — int8 scalar quantization with a reconstruction
+# audit (the SQ8 rung of the compression ladder)
+# --------------------------------------------------------------------------
+#
+# Production vector stores ship scalar quantization (FAISS SQ8,
+# Milvus/pgvector int8) as the low-complexity sibling of PQ: per
+# DIMENSION, an affine [min, max] → [0, 255] map — 4× smaller than
+# float32, trivially SIMD-decodable, no codebook training. This entry
+# computes the per-dim quantizer from the corpus (a d-row bounded
+# artifact: min/max via partial+final aggregates over the exploded
+# elements) and audits what the compression costs: per dimension, the
+# mean and max absolute reconstruction error of
+# decode(encode(x)) = min + (code + .5)·(max−min)/256 — the number a
+# retrieval team reads before flipping a corpus to SQ8 (expected mean
+# error ≈ range/1024 for uniform data; a dimension with outliers shows
+# a max error far above its mean, the classic SQ failure PQ survives).
+# Everything is IEEE-deterministic scalar math (floor/clamp, one
+# division by the constant range) so DuckDB replicates it bit-for-bit;
+# error SUMS go through the DECIMAL(38,6) quantization like every
+# aggregate here. Constant dimensions (range 0) decode exactly (code 0,
+# xhat = min) via the NULLIF guard on both sides.
+#
+# Scale: one explode + two d-group partial+final aggregates (d=64
+# groups — nothing hot); the quantizer artifact is d rows; the audit
+# join broadcasts it back against the exploded stream. No window, no
+# driver-side row data.
+
+_SQ8_LEVELS = 256
+
+_SQ8_ORACLE = f"""
+    WITH elems AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) - 1 AS i
+        FROM embeddings
+    ),
+    q AS (
+        SELECT i, MIN(x) AS lo, MAX(x) AS hi FROM elems GROUP BY i
+    ),
+    coded AS (
+        SELECT e.i, e.x, q.lo, q.hi,
+               LEAST({_SQ8_LEVELS - 1}, GREATEST(0,
+                   CAST(FLOOR((e.x - q.lo) / NULLIF((q.hi - q.lo), 0)
+                        * {_SQ8_LEVELS}) AS BIGINT))) AS code
+        FROM elems e JOIN q ON q.i = e.i
+    ),
+    err AS (
+        SELECT i, lo, hi,
+               ABS(x - (lo + (code + 0.5) * (hi - lo) / {_SQ8_LEVELS})) AS e
+        FROM coded
+    )
+    SELECT i, lo AS min_x, hi AS max_x,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           {sql_dsum("e", "sum_abs_err")},
+           MAX(e) AS max_abs_err
+    FROM err
+    GROUP BY i, lo, hi
+"""
+
+
+@register("embedding_sq8_audit", oracle=_SQ8_ORACLE)
+def embedding_sq8_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension SQ8 quantizer + reconstruction-error audit
+    (section comment): (i, min_x, max_x, n_values, sum_abs_err,
+    max_abs_err) for the corpus's own affine int8 map."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    elems = emb.select(F.posexplode("embedding").alias("i", "x")).select(
+        "i", F.col("x").cast("double").alias("x")
+    )
+    q = elems.groupBy("i").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    lv = F.lit(_SQ8_LEVELS)
+    code = F.least(
+        F.lit(_SQ8_LEVELS - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor(
+                (F.col("x") - F.col("lo"))
+                / F.nullif(F.col("hi") - F.col("lo"), F.lit(0))
+                * lv
+            ).cast("long"),
+        ),
+    )
+    coded = elems.join(F.broadcast(q), "i").withColumn("code", code)
+    err = F.abs(
+        F.col("x")
+        - (F.col("lo") + (F.col("code") + F.lit(0.5)) * (F.col("hi") - F.col("lo")) / lv)
+    )
+    return (
+        coded.withColumn("e", err)
+        .groupBy("i", "lo", "hi")
+        .agg(
+            F.count("*").cast("long").alias("n_values"),
+            dsum("e", "sum_abs_err"),
+            F.max("e").alias("max_abs_err"),
+        )
+        .select(
+            "i",
+            F.col("lo").alias("min_x"),
+            F.col("hi").alias("max_x"),
+            "n_values",
+            "sum_abs_err",
+            "max_abs_err",
+        )
+    )
