@@ -1981,3 +1981,196 @@ def embedding_sq8_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_abs_err",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ann_topk_sq8 — SQ8 retrieval: approximate scan over decoded int8
+# vectors, exact rerank (completes the SQ8 rung as a search path)
+# --------------------------------------------------------------------------
+#
+# The retrieval half of embedding_sq8_audit: the corpus lives as int8
+# codes (4× smaller scans — at 100 TB that is 4× less I/O and cache
+# pressure on every query); search is ASYMMETRIC like FAISS SQ
+# (queries stay float — no reason to quantize the one vector you have
+# exactly), scoring each candidate by cosine against its DECODED form,
+# then exact-reranking the top-PQ_RERANK shortlist with raw floats —
+# the same shortlist discipline as the PQ ladder. Unlike PQ the map is
+# per-dimension affine with NO codebook, so the whole pipeline is
+# closed-form deterministic scalar math and the entry carries a FULL
+# value oracle (no recall gate needed: the oracle replicates encode,
+# decode, approximate rank, and exact rerank bit-for-bit). The
+# quantizer is the audit's d-row bounded artifact, collected and
+# re-broadcast as literal arrays; decode is three element-wise
+# zip_withs (JVM expressions) — interpreted-HOF cost is per element
+# like every dec-family dot here, with the same Arrow-kernel crossover
+# story at lane scale.
+
+SQ8_RERANK = PQ_RERANK  # shortlist size: same rung geometry as PQ
+
+# NOTE: i here is 1-BASED (bare generate_subscripts) because this CTE
+# joins against _ELEMS_SQL's 1-based i inside the topk oracle; the
+# audit oracle above keeps its own 0-based i to match posexplode output.
+_SQ8_DEC_SQL = f"""
+    SELECT e.vec_id, e.i,
+           q.lo + (LEAST({_SQ8_LEVELS - 1}, GREATEST(0,
+               CAST(FLOOR((e.x - q.lo) / NULLIF((q.hi - q.lo), 0)
+                    * {_SQ8_LEVELS}) AS BIGINT))) + 0.5)
+               * (q.hi - q.lo) / {_SQ8_LEVELS} AS xh
+    FROM (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings) e
+    JOIN (SELECT i, MIN(x) AS lo, MAX(x) AS hi FROM (
+              SELECT CAST(unnest(embedding) AS DOUBLE) AS x,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings) t
+          GROUP BY i) q ON q.i = e.i
+"""
+
+_SQ8_TOPK_ORACLE = f"""
+    WITH elems AS ({_ELEMS_SQL}),
+    norms AS ({_NORMS_SQL}),
+    dec AS ({_SQ8_DEC_SQL}),
+    nhat AS (
+        SELECT vec_id,
+               SQRT(CAST(SUM(CAST(FLOOR(xh * xh * {_SCALE}) AS BIGINT)) AS DOUBLE)
+                    / {_SCALE}) AS nrm
+        FROM dec GROUP BY vec_id
+    ),
+    approx AS (
+        SELECT qe.vec_id AS query_id, d.vec_id AS neighbor_id,
+               (CAST(SUM(CAST(FLOOR(qe.x * d.xh * {_SCALE}) AS BIGINT)) AS DOUBLE) / {_SCALE})
+                   / (nq.nrm * nh.nrm) AS acos
+        FROM elems qe
+        JOIN dec d ON d.i = qe.i AND d.vec_id <> qe.vec_id
+        JOIN norms nq ON nq.vec_id = qe.vec_id
+        JOIN nhat nh ON nh.vec_id = d.vec_id
+        WHERE qe.vec_id < {N_QUERIES}
+        GROUP BY qe.vec_id, d.vec_id, nq.nrm, nh.nrm
+    ),
+    shortlist AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY acos DESC, neighbor_id
+            ) AS srk FROM approx
+        ) WHERE srk <= {SQ8_RERANK}
+    ),
+    exact AS (
+        SELECT s.query_id, s.neighbor_id,
+               (CAST(SUM(CAST(FLOOR(q.x * d.x * {_SCALE}) AS BIGINT)) AS DOUBLE) / {_SCALE})
+                   / (nq.nrm * nd.nrm) AS cosine
+        FROM shortlist s
+        JOIN elems q ON q.vec_id = s.query_id
+        JOIN elems d ON d.vec_id = s.neighbor_id AND d.i = q.i
+        JOIN norms nq ON nq.vec_id = s.query_id
+        JOIN norms nd ON nd.vec_id = s.neighbor_id
+        GROUP BY s.query_id, s.neighbor_id, nq.nrm, nd.nrm
+    )
+    SELECT query_id, neighbor_id, cosine, rk FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+               ) AS BIGINT) AS rk
+        FROM exact
+    ) WHERE rk <= {TOP_K}
+"""
+
+
+@register("ann_topk_sq8", oracle=_SQ8_TOPK_ORACLE)
+def ann_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 ANN (section comment): cosine scan of float queries against
+    the int8-decoded corpus, exact rerank of the top-SQ8_RERANK.
+    Returns (query_id, neighbor_id, cosine, rk), rk<=TOP_K by exact
+    cosine."""
+    emb = spread_small_input(load_table(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", "embedding"
+    )
+    # the audit's d-row quantizer artifact, collected and re-broadcast
+    # as literal arrays (bounded: dim doubles)
+    q_rows = sorted(
+        (r.i, r.lo, r.hi)
+        for r in emb.select(F.posexplode("embedding").alias("i", "x"))
+        .select("i", F.col("x").cast("double").alias("x"))
+        .groupBy("i")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .collect()
+    )
+    lo_arr = F.array(*[F.lit(float(lo)) for _, lo, _ in q_rows])
+    rng_arr = F.array(*[F.lit(float(hi - lo)) for _, lo, hi in q_rows])
+
+    lv = float(_SQ8_LEVELS)
+    x_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dx = F.zip_with(x_d, lo_arr, lambda x, lo: x - lo)
+    code = F.zip_with(
+        dx,
+        rng_arr,
+        lambda d, r: F.when(r == F.lit(0.0), F.lit(0).cast("long")).otherwise(
+            F.least(
+                F.lit(_SQ8_LEVELS - 1).cast("long"),
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.floor(d / r * F.lit(lv)).cast("long"),
+                ),
+            )
+        ),
+    )
+    half_step = F.zip_with(
+        code, rng_arr, lambda c, r: (c + F.lit(0.5)) * r / F.lit(lv)
+    )
+    xhat = F.zip_with(half_step, lo_arr, lambda t, lo: t + lo)
+
+    decoded = emb.select("vec_id", xhat.alias("xhat")).withColumn(
+        "nrm_hat", norm_dec("xhat")
+    )
+    queries = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+        .withColumn("q_nrm", norm_dec("q_emb"))
+    )
+    acos = dot_dec("q_emb", "xhat") / (F.col("q_nrm") * F.col("nrm_hat"))
+    approx = (
+        decoded.join(F.broadcast(queries), decoded.vec_id != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), acos.alias("acos"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.desc("acos"), "neighbor_id")
+    shortlist = (
+        approx.withColumn("srk", F.row_number().over(ws))
+        .filter(F.col("srk") <= SQ8_RERANK)
+        .select("query_id", "neighbor_id")
+    )
+
+    base = emb.withColumn("nrm", norm_dec("embedding"))
+    exact = (
+        shortlist.join(
+            base.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("n_emb"),
+                F.col("nrm").alias("n_nrm"),
+            ),
+            "neighbor_id",
+        )
+        .join(
+            F.broadcast(
+                base.filter(F.col("vec_id") < N_QUERIES).select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("q_emb"),
+                    F.col("nrm").alias("q_nrm"),
+                )
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot_dec("q_emb", "n_emb") / (F.col("q_nrm") * F.col("n_nrm"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        exact.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )

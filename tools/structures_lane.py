@@ -112,6 +112,8 @@ def pq_lane() -> None:
                 "recall_at_10": round(rec, 3),
                 "sec": round(sec, 2),
             }
+            rec, sec = recall_of("ann_topk_sq8")
+            row["sq8"] = {"recall_at_10": round(rec, 3), "sec": round(sec, 2)}
         result["scales"].append(row)
         print(f"# {tag}: {json.dumps(row)}", flush=True)
     print(json.dumps(result))
