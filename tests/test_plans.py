@@ -878,3 +878,17 @@ def test_decontaminate_broadcasts_eval_side(spark):
     plan = explain_formatted(df)
     assert "BroadcastHashJoin" in plan, plan[:3000]
     assert plan.count("HashAggregate") >= 2, plan[:3000]
+
+
+def test_range_search_ivf_no_wide_shuffle(spark):
+    """ann_range_search_ivf's plan stays narrow: the probe and query
+    sides ride in as broadcasts over the assigned (persisted) scan —
+    no SortMergeJoin anywhere; the only aggregation is the k-row
+    radius artifact."""
+    from example_beam_spark.plans import explain_formatted
+
+    q = load_registry()["ann_range_search_ivf"]
+    df = q.fn(spark, SF)
+    plan = explain_formatted(df)
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
