@@ -159,3 +159,229 @@ def eval_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("leak_frac"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_source_overlap_matrix — cross-source duplication provenance
+# --------------------------------------------------------------------------
+#
+# The dataset-hygiene report behind every "where did our duplicates
+# come from" investigation: project the near-dup PAIR set (the
+# registered dedup_minhash_lsh operator — same bands, same verify,
+# same threshold) onto source labels and aggregate into a symmetric
+# (source_lo, source_hi) matrix of duplicate-pair counts + mean
+# jaccard. Off-diagonal mass = cross-source copying (mirrors,
+# scrapes-of-scrapes — the signal that tells a curation team two
+# "independent" sources are one); diagonal mass = within-source
+# duplication. Scale: two equi-joins on doc_id attach labels to the
+# pair frame (the doc→source map is corpus-sized — it shuffles by id
+# like every dedup join; Catalyst broadcasts it at fixture scale),
+# then a bounded |sources|² partial+final aggregate — the pair frame
+# itself is the dedup family's already-proven banded-LSH output,
+# linear in n.
+
+from example_beam_spark.operators.dedup import _minhash_oracle  # noqa: E402
+from example_beam_spark.registry import dsum, sql_dsum  # noqa: E402
+
+_SRC_MATRIX_ORACLE = f"""
+    WITH pairs AS ({_minhash_oracle()}),
+    src AS (SELECT doc_id, source FROM documents),
+    labeled AS (
+        SELECT LEAST(sa.source, sb.source) AS source_lo,
+               GREATEST(sa.source, sb.source) AS source_hi,
+               p.jaccard
+        FROM pairs p
+        JOIN src sa ON sa.doc_id = p.doc_a
+        JOIN src sb ON sb.doc_id = p.doc_b
+        WHERE p.is_dup
+    )
+    SELECT source_lo, source_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
+           {sql_dsum("jaccard", "sum_jaccard")}
+    FROM labeled
+    GROUP BY source_lo, source_hi
+"""
+
+
+@register("dedup_source_overlap_matrix", oracle=_SRC_MATRIX_ORACLE)
+def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric cross-source duplicate matrix (section comment):
+    (source_lo, source_hi, n_dup_pairs, sum_jaccard) over the
+    registered near-dup pair set at its own threshold."""
+    from example_beam_spark.operators.dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).filter(F.col("is_dup"))
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    labeled = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_lo"),
+            F.greatest("sa", "sb").alias("source_hi"),
+            "jaccard",
+        )
+    )
+    return labeled.groupBy("source_lo", "source_hi").agg(
+        F.count("*").cast("long").alias("n_dup_pairs"),
+        dsum("jaccard", "sum_jaccard"),
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding_matryoshka_audit — does the embedding survive truncation?
+# --------------------------------------------------------------------------
+#
+# Matryoshka Representation Learning (Kusupati et al. 2022) trains
+# embeddings whose PREFIX dimensions carry most of the signal, so a
+# retrieval stack can store/scan d/2 (or d/4) floats per vector. The
+# decision to flip a corpus to truncated storage needs exactly one
+# number per candidate prefix: how much of the full-dimension top-k
+# does prefix-only retrieval retain? This audit computes, per query,
+# overlap@TOP_K between the exact full-dim top-k and the exact top-k
+# over the first MAT_PREFIX_DIMS dimensions — both with the family's
+# quantized-decimal cosine and deterministic tie order, so the entry
+# carries a FULL value oracle (the "approximation" is the truncation
+# itself, replicated exactly). On the fixture's random gaussians the
+# expected overlap is low (prefix carries d/2 of i.i.d. signal);
+# MRL-trained embeddings are the case where it approaches 1 — the
+# audit is the measurement, not a quality gate. Scale: two broadcast-
+# query scans and two per-query top-k windows (high-cardinality key,
+# WindowGroupLimit applies), then a TOP_K-row-per-query overlap join.
+
+MAT_PREFIX_DIMS = 32  # audit the d/2 prefix of the fixture's 64 dims
+
+_MAT_ORACLE = f"""
+    WITH elems AS ({{elems}}),
+    norms AS (
+        SELECT vec_id,
+               SQRT(CAST(SUM(CAST(FLOOR(x * x * {{scale}}) AS BIGINT)) AS DOUBLE) / {{scale}}) AS nrm
+        FROM elems GROUP BY vec_id
+    ),
+    half AS (SELECT * FROM elems WHERE i <= {MAT_PREFIX_DIMS}),
+    hnorms AS (
+        SELECT vec_id,
+               SQRT(CAST(SUM(CAST(FLOOR(x * x * {{scale}}) AS BIGINT)) AS DOUBLE) / {{scale}}) AS nrm
+        FROM half GROUP BY vec_id
+    ),
+    full_top AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY (CAST(SUM(CAST(FLOOR(q.x * d.x * {{scale}}) AS BIGINT)) AS DOUBLE) / {{scale}})
+                                / (MAX(nq.nrm) * MAX(nd.nrm)) DESC, d.vec_id
+                   ) AS rk
+            FROM elems q
+            JOIN elems d ON d.i = q.i AND d.vec_id <> q.vec_id
+            JOIN norms nq ON nq.vec_id = q.vec_id
+            JOIN norms nd ON nd.vec_id = d.vec_id
+            WHERE q.vec_id < {{nq}}
+            GROUP BY q.vec_id, d.vec_id
+        ) WHERE rk <= {{topk}}
+    ),
+    half_top AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY (CAST(SUM(CAST(FLOOR(q.x * d.x * {{scale}}) AS BIGINT)) AS DOUBLE) / {{scale}})
+                                / (MAX(nq.nrm) * MAX(nd.nrm)) DESC, d.vec_id
+                   ) AS rk
+            FROM half q
+            JOIN half d ON d.i = q.i AND d.vec_id <> q.vec_id
+            JOIN hnorms nq ON nq.vec_id = q.vec_id
+            JOIN hnorms nd ON nd.vec_id = d.vec_id
+            WHERE q.vec_id < {{nq}}
+            GROUP BY q.vec_id, d.vec_id
+        ) WHERE rk <= {{topk}}
+    )
+    SELECT f.query_id,
+           CAST(COUNT(h.neighbor_id) AS BIGINT) AS n_overlap,
+           CAST(COUNT(h.neighbor_id) AS DOUBLE) / {{topk}} AS overlap_frac
+    FROM full_top f
+    LEFT JOIN half_top h
+      ON h.query_id = f.query_id AND h.neighbor_id = f.neighbor_id
+    GROUP BY f.query_id
+"""
+
+
+def _mat_oracle() -> str:
+    from example_beam_spark.operators.similarity import (
+        _ELEMS_SQL,
+        _SCALE,
+        N_QUERIES,
+        TOP_K,
+    )
+
+    return _MAT_ORACLE.format(
+        elems=_ELEMS_SQL, scale=_SCALE, nq=N_QUERIES, topk=TOP_K
+    )
+
+
+@register("embedding_matryoshka_audit", oracle=_mat_oracle())
+def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query overlap@TOP_K between full-dimension and
+    MAT_PREFIX_DIMS-prefix exact retrieval (section comment)."""
+    from pyspark.sql import Window
+
+    from example_beam_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        dot_dec,
+        norm_dec,
+    )
+    from example_beam_spark.sources import spread_small_input
+
+    emb = spread_small_input(load_table(spark, sf_dir, "embeddings"), spark)
+
+    def topk_of(df, col_expr):
+        base = df.select(
+            "vec_id", col_expr.alias("v")
+        ).withColumn("nrm", norm_dec("v"))
+        queries = base.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("q_v"),
+            F.col("nrm").alias("q_nrm"),
+        )
+        scored = (
+            base.withColumnRenamed("vec_id", "neighbor_id")
+            .join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                (dot_dec("q_v", "v") / (F.col("q_nrm") * F.col("nrm"))).alias(
+                    "cosine"
+                ),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    full_top = topk_of(emb, F.col("embedding"))
+    half_top = topk_of(emb, F.slice("embedding", 1, MAT_PREFIX_DIMS)).select(
+        "query_id", F.col("neighbor_id").alias("h_neighbor")
+    )
+    return (
+        full_top.join(
+            half_top,
+            (full_top.query_id == half_top.query_id)
+            & (full_top.neighbor_id == half_top.h_neighbor),
+            "left",
+        )
+        .drop(half_top.query_id)
+        .groupBy("query_id")
+        .agg(
+            F.count("h_neighbor").cast("long").alias("n_overlap"),
+            (F.count("h_neighbor").cast("double") / TOP_K).alias("overlap_frac"),
+        )
+    )
