@@ -385,3 +385,65 @@ def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("h_neighbor").cast("double") / TOP_K).alias("overlap_frac"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_exact_substring — char-level L-gram exact-substring dedup
+# --------------------------------------------------------------------------
+#
+# The OTHER half of Lee et al. 2022 ("Deduplicating Training Data ..."):
+# MinHash catches near-duplicate DOCUMENTS; exact-substring dedup
+# catches long verbatim SPANS embedded in otherwise-different documents
+# (boilerplate, licenses, quoted passages) — the spans a model
+# memorizes verbatim. The reference implementation is a suffix array;
+# the Spark-first shape is the same guarantee expressed relationally:
+# two docs share a >= L-char substring iff they share a char L-gram,
+# so DISTINCT L-grams per doc + a gram-equality self-join enumerate
+# exactly the span-sharing pairs (with n_shared_grams ~ shared span
+# length - L + 1 as the span-mass signal). Scale: the gram stream is
+# ~|text| rows per doc; at 100 TB the join key is md5(g) (16 bytes,
+# not the 40-char gram) and the heavy-gram head (boilerplate shared by
+# millions of docs) gets the skew treatment every dedup join here uses
+# — frequency-cap the gram before the self-join (a gram in f docs
+# contributes f² pairs; capping at f <= F bounds the quadratic blowup
+# and only drops pairs ALREADY connected through rarer grams or
+# flagged by the doc-level family). Fixture scale keeps raw grams and
+# no cap so the oracle is exact.
+
+SUBSTR_L = 40  # span length: well above SHINGLE_N word-grams (~15-20 chars)
+
+_SUBSTR_ORACLE = f"""
+    WITH grams AS (
+        SELECT DISTINCT doc_id, substr(text, i, {SUBSTR_L}) AS g
+        FROM documents
+        CROSS JOIN UNNEST(generate_series(1, GREATEST(len(text) - {SUBSTR_L - 1}, 0))) AS u(i)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+    FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+"""
+
+
+@register("dedup_exact_substring", oracle=_SUBSTR_ORACLE)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc pairs sharing a verbatim >= SUBSTR_L-char span (section
+    comment): (doc_a, doc_b, n_shared_grams), doc_a < doc_b; the gram
+    count is the shared-span mass."""
+    docs = load_table(spark, sf_dir, "documents")
+    gram_arr = F.expr(
+        f"""CASE WHEN length(text) >= {SUBSTR_L}
+            THEN array_distinct(transform(
+                sequence(1, length(text) - {SUBSTR_L - 1}),
+                i -> substring(text, i, {SUBSTR_L})))
+            ELSE array() END"""
+    )
+    grams = docs.select("doc_id", F.explode(gram_arr).alias("g"))
+    a = grams.select(F.col("doc_id").alias("doc_a"), "g")
+    b = grams.select(F.col("doc_id").alias("doc_b"), "g")
+    return (
+        a.join(b, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared_grams"))
+    )
