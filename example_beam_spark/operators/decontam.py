@@ -447,3 +447,87 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").cast("long").alias("n_shared_grams"))
     )
+
+
+# --------------------------------------------------------------------------
+# docs_final_train_manifest — the composed "what do we actually train
+# on" artifact
+# --------------------------------------------------------------------------
+#
+# The round-12 capstone composition: one manifest row per TRAIN-split
+# document carrying every hygiene verdict this repo computes —
+#   exact_dup      = a byte-identical earlier doc exists
+#                    (dedup_exact: dup_rank > 1),
+#   neardup_drop   = clustered by the near-dup CC and NOT the cluster's
+#                    argmax-quality keeper (dedup_cluster_best_quality),
+#   contaminated   = shares an n-gram with the held-out eval slice
+#                    (docs_decontaminate),
+# and the final keep = none of the above. This is the artifact a
+# training run actually consumes (the budget/packing manifests filter
+# on keep); emitting per-stage flags instead of a filtered corpus
+# keeps every drop ATTRIBUTABLE — curation reviews ask "why did we
+# lose this doc", not just "how many survived". Each stage is the
+# REGISTERED operator (same thresholds, same tie rules), so this
+# composition can never drift from the individually-oracled pieces;
+# the oracle composes the same three stage oracles. Scale: three
+# doc_id equi-joins over per-doc frames — partial+final all the way
+# down; the cluster stage's CC is the dedup family's proven
+# large-star/small-star engine.
+
+from example_beam_spark.operators.structures import _BESTQ_ORACLE  # noqa: E402
+
+_FINAL_MANIFEST_ORACLE = f"""
+    WITH split AS ({_SPLIT_ORACLE}),
+    exact AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1
+                   AS exact_dup
+        FROM documents
+    ),
+    bestq AS ({_BESTQ_ORACLE}),
+    decon AS ({_DECON_ORACLE})
+    SELECT s.doc_id,
+           e.exact_dup,
+           COALESCE(NOT b.is_kept, FALSE) AS neardup_drop,
+           NOT d.keep AS contaminated,
+           (NOT e.exact_dup) AND COALESCE(b.is_kept, TRUE) AND d.keep AS keep
+    FROM split s
+    JOIN exact e ON e.doc_id = s.doc_id
+    JOIN decon d ON d.doc_id = s.doc_id
+    LEFT JOIN bestq b ON b.doc_id = s.doc_id
+    WHERE s.split = 'train'
+"""
+
+
+@register("docs_final_train_manifest", oracle=_FINAL_MANIFEST_ORACLE)
+def docs_final_train_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-train-doc hygiene manifest (section comment): exact_dup,
+    neardup_drop, contaminated, keep — composed from the registered
+    stage operators."""
+    from example_beam_spark.operators.dedup import dedup_exact
+    from example_beam_spark.operators.structures import dedup_cluster_best_quality
+
+    exact = dedup_exact(spark, sf_dir).select(
+        "doc_id", (F.col("dup_rank") > 1).alias("exact_dup")
+    )
+    bestq = dedup_cluster_best_quality(spark, sf_dir).select(
+        "doc_id", "is_kept"
+    )
+    decon = docs_decontaminate(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("decon_keep")
+    )
+    return (
+        decon.join(exact, "doc_id")
+        .join(bestq, "doc_id", "left")
+        .select(
+            "doc_id",
+            "exact_dup",
+            F.coalesce(~F.col("is_kept"), F.lit(False)).alias("neardup_drop"),
+            (~F.col("decon_keep")).alias("contaminated"),
+            (
+                ~F.col("exact_dup")
+                & F.coalesce(F.col("is_kept"), F.lit(True))
+                & F.col("decon_keep")
+            ).alias("keep"),
+        )
+    )
