@@ -892,3 +892,41 @@ def test_range_search_ivf_no_wide_shuffle(spark):
     plan = explain_formatted(df)
     assert "SortMergeJoin" not in plan, plan[:3000]
     assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
+def test_runtime_bloom_filter_fires_on_selective_dim_join(spark):
+    """The 100-TB shuffle-join regime's other free win: Catalyst's
+    runtime bloom filter — a selective dim predicate (p_brand = one
+    value) induces a bloom_filter_might_contain guard on the FACT scan
+    side, so most lineitem rows die before the exchange. The feature is
+    size-gated (applicationSideScanSizeThreshold defaults to 10 GB — a
+    real fact table qualifies organically); the pin lowers the gate to
+    observe the injection at fixture scale, and restores every conf."""
+    from example_beam_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        l = load_table(spark, SF, "lineitem")
+        p = load_table(spark, SF, "part").filter(F.col("p_brand") == "Brand#13")
+        j = l.join(p, l.l_partkey == p.p_partkey).groupBy("p_brand").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "might_contain" in plan, plan[:3000]
