@@ -11,7 +11,8 @@ SHINGLE_N-gram machinery (dedup.shingles — same tokenization, same
 n, so "shares an n-gram" means exactly what the near-dup family
 means by it).
 
-Two artifacts, both oracle-gated:
+The module grew into the round-12 data-hygiene family — seven
+oracle-gated artifacts:
 
 - ``docs_decontaminate`` — the TRAIN-side manifest: every train doc
   with its leaked-gram count, the number of eval docs it collides
@@ -23,6 +24,15 @@ Two artifacts, both oracle-gated:
   doc, what fraction of its grams already occur in the train corpus
   (leak_frac 1.0 = the benchmark row is fully memorizable). This is
   the artifact that decides whether an eval stays valid at all.
+- ``dedup_source_overlap_matrix`` — cross-source duplication
+  provenance (which sources copy from which).
+- ``embedding_matryoshka_audit`` — full-dim vs prefix-dim retrieval
+  overlap (the truncated-storage decision number).
+- ``dedup_exact_substring`` — verbatim >= L-char span pairs (the
+  suffix-array guarantee expressed relationally).
+- ``docs_final_train_manifest`` — the capstone composition: per-doc
+  exact-dup / near-dup / contamination verdicts + final keep, every
+  flag from a registered stage operator.
 
 Scale: the gram join is the dedup family's equi-join shape — shuffle
 by gram, collision work linear in shared grams. The eval side is a
