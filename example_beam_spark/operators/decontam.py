@@ -541,3 +541,88 @@ def docs_final_train_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_longest_shared_span — how LONG is the verbatim overlap?
+# --------------------------------------------------------------------------
+#
+# dedup_exact_substring says THAT two docs share a >= L-char span;
+# curation thresholds (and memorization audits) want HOW LONG — a
+# 45-char match is a common sentence, a 300-char match is a copied
+# paragraph. Two docs' positional L-gram matches (ia, ib) extend a
+# shared span iff they advance together: consecutive ia on a constant
+# DIAGONAL ia - ib. So the longest shared span is a gaps-and-islands
+# query over match positions: group matches by (pair, diagonal),
+# island id = ia - row_number(ordered by ia), longest island run + L-1
+# chars. Scale: positional grams are ~|text| rows/doc (no per-doc
+# distinct here — positions matter); the island window is keyed by
+# (doc_a, doc_b, diag) — very high cardinality, tiny partitions (runs
+# are span-length bounded). Same boilerplate-gram skew note as the
+# pair operator: at 100 TB the match join frequency-caps the gram head
+# first.
+
+_SPAN_ORACLE = f"""
+    WITH g AS (
+        SELECT doc_id, i, substr(text, i, {SUBSTR_L}) AS gr
+        FROM documents
+        CROSS JOIN UNNEST(generate_series(1, GREATEST(len(text) - {SUBSTR_L - 1}, 0))) AS u(i)
+    ),
+    m AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.i AS ia, b.i AS ib
+        FROM g a JOIN g b ON a.gr = b.gr AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+        SELECT doc_a, doc_b, ia - ib AS diag,
+               ia - ROW_NUMBER() OVER (
+                   PARTITION BY doc_a, doc_b, ia - ib ORDER BY ia
+               ) AS isl
+        FROM m
+    ),
+    spans AS (
+        SELECT doc_a, doc_b, COUNT(*) AS run_len
+        FROM runs GROUP BY doc_a, doc_b, diag, isl
+    )
+    SELECT doc_a, doc_b,
+           CAST(MAX(run_len) + {SUBSTR_L - 1} AS BIGINT) AS span_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_spans
+    FROM spans GROUP BY doc_a, doc_b
+"""
+
+
+@register("dedup_longest_shared_span", oracle=_SPAN_ORACLE)
+def dedup_longest_shared_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, span_chars, n_spans): the longest verbatim shared
+    span per exact-substring pair, plus how many maximal diagonal spans
+    the pair shares (section comment)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    gram_arr = F.expr(
+        f"""CASE WHEN length(text) >= {SUBSTR_L}
+            THEN transform(
+                sequence(1, length(text) - {SUBSTR_L - 1}),
+                i -> struct(i AS i, substring(text, i, {SUBSTR_L}) AS gr))
+            ELSE array() END"""
+    )
+    g = docs.select("doc_id", F.explode(gram_arr).alias("p")).select(
+        "doc_id", F.col("p.i").alias("i"), F.col("p.gr").alias("gr")
+    )
+    m = (
+        g.select(F.col("doc_id").alias("doc_a"), F.col("i").alias("ia"), "gr")
+        .join(
+            g.select(F.col("doc_id").alias("doc_b"), F.col("i").alias("ib"), "gr"),
+            "gr",
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ia", "ib", (F.col("ia") - F.col("ib")).alias("diag"))
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("ia")
+    runs = m.withColumn("isl", F.col("ia") - F.row_number().over(w))
+    spans = runs.groupBy("doc_a", "doc_b", "diag", "isl").agg(
+        F.count("*").alias("run_len")
+    )
+    return spans.groupBy("doc_a", "doc_b").agg(
+        (F.max("run_len") + F.lit(SUBSTR_L - 1)).cast("long").alias("span_chars"),
+        F.count("*").cast("long").alias("n_spans"),
+    )
