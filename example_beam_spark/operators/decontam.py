@@ -11,8 +11,10 @@ SHINGLE_N-gram machinery (dedup.shingles — same tokenization, same
 n, so "shares an n-gram" means exactly what the near-dup family
 means by it).
 
-The module grew into the round-12 data-hygiene family — seven
-oracle-gated artifacts:
+The module grew into the round-12 data-hygiene family — eight
+oracle-gated artifacts (the list below plus
+``dedup_longest_shared_span``, the span-length companion of the
+exact-substring pairs):
 
 - ``docs_decontaminate`` — the TRAIN-side manifest: every train doc
   with its leaked-gram count, the number of eval docs it collides
