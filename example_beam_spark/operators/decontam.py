@@ -628,3 +628,161 @@ def dedup_longest_shared_span(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("run_len") + F.lit(SUBSTR_L - 1)).cast("long").alias("span_chars"),
         F.count("*").cast("long").alias("n_spans"),
     )
+
+
+# --------------------------------------------------------------------------
+# docs_decontaminate_stream — the contamination guard at INGESTION time
+# --------------------------------------------------------------------------
+#
+# Production pipelines don't just scrub contamination in batch — new
+# documents get checked against the frozen eval suite AS THEY ARRIVE,
+# so a leaked benchmark page never enters the lake at all. Streaming
+# shape (and the Spark feature this entry exists to demonstrate as a
+# registered, oracle-gated surface): a TRUE stream-static join — the
+# arriving doc stream explodes to grams INSIDE the streaming graph and
+# inner-joins the static per-gram eval summary (no foreachBatch
+# side-input refresh, no stateful kernel; Spark re-binds the static
+# side per micro-batch), then a watermarked event-time window
+# aggregates per-doc match counts in append mode. Self-matches are
+# excluded without a distinct (streaming aggs can't COUNT DISTINCT):
+# the static side is pre-aggregated to ONE row per gram
+# (cnt, only_id), so "some eval doc other than me shares g" is the
+# scalar predicate cnt >= 2 OR only_id <> doc_id, and a plain count
+# over the at-most-once (doc, g) matches equals the distinct count.
+# Emits ONLY contaminated docs — the alert stream. Scale: the static
+# side is the (small, frozen) eval gram summary, broadcast by
+# Catalyst; per-doc state is one window row; the arrival clock is the
+# staging-derived ts (doc_id seconds), sentinel-flushed like every
+# windowed stream here.
+
+_DOC_STREAM_STAGE: dict[tuple, str] = {}
+_DOC_BASE_TS = 1_704_067_200  # fixture epoch family
+_DOC_SENTINEL_TS = 4102444800  # 2100-01-01
+
+
+def _docs_stream_flushed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage documents as a time-ordered arrival stream (ts = BASE +
+    doc_id seconds) with two far-future sentinel files driving the
+    final watermark flush (the read_events_stream_flushed discipline);
+    cache keyed by source fingerprint."""
+    import os
+    import tempfile
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from example_beam_spark.sources.parquet import parquet_members, table_path
+    from example_beam_spark.streaming.entries import _prepare_stream_session
+
+    _prepare_stream_session(
+        spark, min(8, spark.sparkContext.defaultParallelism)
+    )
+    fp = tuple(
+        sorted(
+            (os.path.basename(m), os.stat(m).st_mtime_ns, os.stat(m).st_size)
+            for m in parquet_members(table_path(sf_dir, "documents"))
+        )
+    )
+    key = (os.path.abspath(sf_dir), fp)
+    d = _DOC_STREAM_STAGE.get(key)
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix="stream_src_documents_")
+        staged = (
+            load_table(spark, sf_dir, "documents")
+            .select(
+                "doc_id",
+                "text",
+                (
+                    F.lit(_DOC_BASE_TS * 1_000_000)
+                    + F.col("doc_id") * 1_000_000
+                ).cast("long").alias("ts_us"),
+            )
+        )
+        part_dir = os.path.join(d, "_stage")
+        staged.coalesce(1).sortWithinPartitions("ts_us").write.parquet(part_dir)
+        member = [p for p in os.listdir(part_dir) if p.endswith(".parquet")][0]
+        member_path = os.path.join(d, "docs-0000.parquet")
+        os.rename(os.path.join(part_dir, member), member_path)
+        base_ns = max(os.stat(member_path).st_mtime_ns, time.time_ns())
+        for i in range(2):
+            sentinel = os.path.join(d, f"zz_sentinel_{i}.parquet")
+            pq.write_table(
+                pa.table(
+                    {
+                        "doc_id": pa.array([-1], pa.int64()),
+                        "text": pa.array([""], pa.string()),
+                        "ts_us": pa.array(
+                            [(_DOC_SENTINEL_TS + i) * 1_000_000], pa.int64()
+                        ),
+                    }
+                ),
+                sentinel,
+            )
+            mt = base_ns + (i + 1) * 2_000_000_000
+            os.utime(sentinel, ns=(mt, mt))
+        _DOC_STREAM_STAGE[key] = d
+    return (
+        spark.readStream.schema("doc_id long, text string, ts_us long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+
+
+_DECON_STREAM_ORACLE = f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    split AS ({_SPLIT_ORACLE}),
+    eg AS (
+        SELECT e.g, COUNT(*) AS cnt, MIN(e.doc_id) AS only_id
+        FROM sh e JOIN split se ON se.doc_id = e.doc_id AND se.split = 'test'
+        GROUP BY e.g
+    )
+    SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+    FROM sh d JOIN eg ON eg.g = d.g
+    WHERE eg.cnt >= 2 OR eg.only_id <> d.doc_id
+    GROUP BY d.doc_id
+"""
+
+
+@register("docs_decontaminate_stream", oracle=_DECON_STREAM_ORACLE)
+def docs_decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming contamination alerts (section comment): every arriving
+    doc sharing an n-gram with a DIFFERENT doc of the frozen eval
+    slice, with its shared-gram count — stream-static gram join +
+    watermarked windowed count, append mode."""
+    from example_beam_spark.operators.dedup import _shingle_array
+    from example_beam_spark.streaming.entries import run_to_append
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = docs_train_split(spark, sf_dir).select("doc_id", "split")
+    eval_grams = (
+        shingles(docs)
+        .join(split.filter(F.col("split") == "test").select("doc_id"), "doc_id")
+        .groupBy("g")
+        .agg(F.count("*").alias("cnt"), F.min("doc_id").alias("only_id"))
+    )
+
+    stream = _docs_stream_flushed(spark, sf_dir)
+    wm = stream.withColumn(
+        "ts", F.timestamp_micros(F.col("ts_us"))
+    ).withWatermark("ts", "1 hour")
+    # drop sentinels AFTER the watermark node (unsplittable CASE
+    # predicate — the harness discipline)
+    live = wm.filter(F.when(F.col("doc_id") >= 0, F.col("ts")).isNotNull())
+    grams = live.select(
+        "doc_id",
+        "ts",
+        F.explode(F.array_distinct(_shingle_array(F.col("text")))).alias("g"),
+    )
+    matches = grams.join(eval_grams, "g").filter(
+        (F.col("cnt") >= 2) | (F.col("only_id") != F.col("doc_id"))
+    )
+    agg = matches.groupBy(F.window("ts", "1 hour"), "doc_id").agg(
+        F.count("*").alias("n_shared_grams")
+    )
+    out = run_to_append(agg, spark)
+    # one arrival second per doc -> exactly one window per doc; the sum
+    # is a schema-level fold, never a cross-window merge
+    return out.groupBy("doc_id").agg(
+        F.sum("n_shared_grams").cast("long").alias("n_shared_grams")
+    )

@@ -48,6 +48,10 @@ ENTRIES = [
     # final sketch equals the uninterrupted run
     "kmv_distinct_users_stream",
     "events_topk_types_stream",
+    # round-12 stream-static ingestion guard: the crash lands with live
+    # windowed-count state behind the stream-static gram join; resume
+    # must replay the failed batch's alerts exactly once
+    "docs_decontaminate_stream",
 ]
 
 
@@ -94,7 +98,13 @@ def _kill_resume(spark, chunked, name, fail_at=4):
 
 @pytest.mark.parametrize("name", ENTRIES)
 def test_kill_resume_matches_uninterrupted(spark, chunked, name):
-    _kill_resume(spark, chunked, name)
+    # the doc stream stages 3 micro-batches (member + 2 sentinels), so
+    # its crash must land inside that schedule; the event streams get
+    # 6 chunks -> crash mid-drain at batch 4
+    _kill_resume(
+        spark, chunked, name,
+        fail_at=1 if name == "docs_decontaminate_stream" else 4,
+    )
 
 
 def test_kill_resume_hdfs_provider(spark, chunked, monkeypatch):
