@@ -43,6 +43,16 @@ tiny), so Catalyst broadcasts it under the default threshold; the
 explicit broadcast hint pins the plan at fixture scale. Counts are
 partial+final aggregates; no window over row-scale data anywhere.
 
+Relation to ``corpusqa.eval_contamination`` (round 8): that entry is
+the span-hash primitive at a FIXED id-prefix eval split (doc_id < 20,
+8-token spans — the md5-span broadcast semi-join kernel). This family
+is the production workflow around the idea: the REGISTERED 98/1/1
+hash split as the eval definition, the dedup family's SHINGLE_N
+tokenization, keep flags both sides, the eval-validity report, the
+composed final manifest, and the streaming ingestion guard — the two
+coexist the way the ANN ladder keeps both its pedagogical and
+production rungs.
+
 Reference analog: none (the reference is an ad-event engine) — this
 family extends the corpus-curation surface the way SURVEY §2.8's
 training-prep block does.
