@@ -2174,3 +2174,128 @@ def ann_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# events_zorder_scan — Z-ORDER clustering: multi-column row-group skipping
+# --------------------------------------------------------------------------
+#
+# The fourth member of the physical-layout family (bucketed = co-located
+# joins, partitioned = directory pruning, compacted = file sizing):
+# Z-ORDER clustering — the Delta/Iceberg `OPTIMIZE ZORDER BY` shape —
+# makes MIN/MAX footer statistics selective on SEVERAL columns at once.
+# A lake sorted by ingest time prunes ts predicates beautifully and
+# user predicates not at all (every row group spans the whole id
+# domain); interleaving the bits of (user_id, ts) into a Morton code
+# and range-partitioning + sorting by it gives every file a NARROW
+# rectangle in (user, time) space, so the parquet reader's row-group
+# stats skip on either column. Both normalized to the full 16-bit
+# domain from a driver-side min/max (a 1-row bounded artifact) —
+# skipping an axis's normalization would park all its bits at zero and
+# silently degrade to single-column clustering. The registered query
+# reads a 1/8 user slice through the layout; values are identical to
+# the raw table (the oracle proves it — the layout changes the PLAN,
+# never the answer); tests/test_structures.py pins the skipping
+# PRECONDITION from the footers themselves: under the slice predicate
+# the z-ordered layout's must-read file fraction is a fraction of the
+# ts-sorted baseline's 1.0.
+
+_Z_FILES = 16
+_Z_BITS = 16
+_ZORDER_DIRS: dict[tuple, tuple[str, str]] = {}
+
+
+def _morton_z(u16, t16):
+    """Interleave two 16-bit long columns into a 32-bit Morton code
+    (u bits at odd positions, t bits at even)."""
+    import functools
+
+    parts = []
+    for b in range(_Z_BITS):
+        parts.append(
+            F.shiftleft(F.shiftright(u16, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        )
+        parts.append(
+            F.shiftleft(F.shiftright(t16, b).bitwiseAND(F.lit(1)), 2 * b)
+        )
+    return functools.reduce(lambda a, b: a.bitwiseOR(b), parts)
+
+
+def _zorder_layouts(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """(zorder_dir, ts_sorted_baseline_dir), built once per session per
+    source fingerprint — both _Z_FILES range-partitioned files, only
+    the clustering key differs."""
+    import tempfile
+
+    key = _layout_key(spark, sf_dir, "events")
+    hit = _ZORDER_DIRS.get(key)
+    if hit is not None:
+        return hit
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min("user_id").alias("ulo"),
+        F.max("user_id").alias("uhi"),
+        F.min(F.unix_micros("ts")).alias("tlo"),
+        F.max(F.unix_micros("ts")).alias("thi"),
+    ).collect()[0]
+    uspan = max(1, b.uhi - b.ulo)
+    tspan = max(1, b.thi - b.tlo)
+    u16 = ((F.col("user_id") - F.lit(b.ulo)) * 65535 / F.lit(uspan)).cast("long")
+    t16 = (
+        (F.unix_micros("ts") - F.lit(b.tlo)) * 65535 / F.lit(tspan)
+    ).cast("long")
+
+    zdir = tempfile.mkdtemp(prefix="ebs_events_zorder_")
+    (
+        ev.withColumn("_z", _morton_z(u16, t16))
+        .repartitionByRange(_Z_FILES, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(zdir)
+    )
+    tdir = tempfile.mkdtemp(prefix="ebs_events_tsorted_")
+    (
+        ev.repartitionByRange(_Z_FILES, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(tdir)
+    )
+    _ZORDER_DIRS[key] = (zdir, tdir)
+    return zdir, tdir
+
+
+_ZSCAN_ORACLE = f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum("value", "total_value")}
+    FROM events
+    WHERE user_id <= CAST(FLOOR((SELECT MAX(user_id) FROM events) / 8) AS BIGINT)
+    GROUP BY event_type
+"""
+
+
+def zorder_user_slice(spark: SparkSession, sf_dir: str):
+    """(pre-aggregation user-slice read off the z-ordered layout, the
+    slice bound) — shared by the registered query and the footer pin."""
+    zdir, _ = _zorder_layouts(spark, sf_dir)
+    hi = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.max("user_id"))
+        .collect()[0][0]
+        // 8
+    )
+    return spark.read.parquet(zdir).filter(F.col("user_id") <= hi), hi
+
+
+@register("events_zorder_scan", oracle=_ZSCAN_ORACLE)
+def events_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type activity for the bottom-1/8 user slice, read through
+    the Z-ORDERED layout (section comment): the user predicate is
+    skippable from footer stats even though the layout also clusters
+    time."""
+    day, _ = zorder_user_slice(spark, sf_dir)
+    return day.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        dsum("value", "total_value"),
+    )

@@ -515,3 +515,50 @@ def test_ivfpq_cellpart_prunes_directories_and_recall(spark, tmp_path):
     # probed fraction stays a small multiple of nprobe/k (padding may
     # widen it on tiny corpora; at 20k it must stay well under half)
     assert opened_frac <= 0.5, (len(opened_cells), k)
+
+
+def test_zorder_layout_makes_user_stats_skippable(spark):
+    """The Z-ORDER pin, from the parquet footers themselves: under the
+    registered 1/8-user-slice predicate, the fraction of files whose
+    user_id [min,max] range intersects the slice is a FRACTION of the
+    ts-sorted baseline's (which is 1.0 — every time-sorted file spans
+    the full user domain). Values are proven identical by the oracle;
+    this pins the skipping precondition the layout exists for."""
+    import pyarrow.parquet as pq
+
+    from example_beam_spark.operators.structures import (
+        _zorder_layouts,
+        zorder_user_slice,
+    )
+
+    zdir, tdir = _zorder_layouts(spark, SF)
+    _, hi = zorder_user_slice(spark, SF)
+
+    def must_read_fraction(root):
+        touch, total = 0, 0
+        for f in sorted(os.listdir(root)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(root, f))
+            lo = min(
+                md.row_group(i).column(_user_col(md)).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            total += 1
+            if lo <= hi:  # file intersects [0, hi] iff its min does
+                touch += 1
+        return touch, total
+
+    def _user_col(md):
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        return names.index("user_id")
+
+    z_touch, z_total = must_read_fraction(zdir)
+    t_touch, t_total = must_read_fraction(tdir)
+    print(
+        f"zorder must-read {z_touch}/{z_total}, "
+        f"ts-baseline {t_touch}/{t_total} at user_id <= {hi}"
+    )
+    assert z_total == t_total == 16
+    assert t_touch == t_total  # time-sorted files all span the user domain
+    assert z_touch <= z_total // 2, (z_touch, z_total)
