@@ -91,6 +91,18 @@ _DECON_ORACLE = f"""
 """
 
 
+# Broadcast gate for the eval gram side (round-12 advice): the eval
+# slice is corpus-DERIVED (~1% of docs by the hash split), so an
+# unconditional F.broadcast hint would force an arbitrarily large
+# broadcast at the scale this module targets. Gate the hint on a cheap
+# bounded estimate — the eval DOC count (one doc_id-only scan; grams
+# per doc are fixture-bounded, production eval suites are small by
+# construction). Above the gate, Catalyst picks the strategy
+# (autoBroadcastJoinThreshold / AQE); the BroadcastHashJoin plan pin
+# lives in tests/test_plans.py, not here.
+_EVAL_BCAST_MAX_DOCS = 50_000  # ~10M grams ≈ low-hundreds MB broadcast ceiling
+
+
 @register("docs_decontaminate", oracle=_DECON_ORACLE)
 def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-TRAIN-doc decontamination manifest (module doc): shared-gram
@@ -102,12 +114,14 @@ def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     train_sh = sh.join(
         split.filter(F.col("split") == "train").select("doc_id"), "doc_id"
     )
-    eval_sh = (
-        sh.join(split.filter(F.col("split") == "test").select("doc_id"), "doc_id")
-        .select(F.col("doc_id").alias("eval_id"), "g")
+    eval_ids = split.filter(F.col("split") == "test").select("doc_id")
+    eval_sh = sh.join(eval_ids, "doc_id").select(
+        F.col("doc_id").alias("eval_id"), "g"
     )
+    if eval_ids.count() <= _EVAL_BCAST_MAX_DOCS:
+        eval_sh = F.broadcast(eval_sh)
     shared = (
-        train_sh.join(F.broadcast(eval_sh), "g")
+        train_sh.join(eval_sh, "g")
         .groupBy("doc_id")
         .agg(
             F.countDistinct("g").cast("long").alias("n_shared_grams"),

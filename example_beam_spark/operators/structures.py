@@ -287,11 +287,14 @@ _PQ_SHORTLIST_SQL = _PQ_ORACLE.replace(
 )
 # Guard the textual substitution (round-11 advice): if _PQ_ORACLE is
 # ever reworded the replace would silently no-op and the rerank
-# oracle's shortlist would shrink from PQ_RERANK to TOP_K.
-assert _PQ_SHORTLIST_SQL != _PQ_ORACLE, (
-    "_PQ_ORACLE no longer contains the 'WHERE rk <= TOP_K' anchor; "
-    "update _PQ_SHORTLIST_SQL's substitution"
-)
+# oracle's shortlist would shrink from PQ_RERANK to TOP_K. A plain
+# raise, not an assert (round-12 advice): asserts are stripped under
+# `python -O`, which would silently disable a load-bearing guard.
+if _PQ_SHORTLIST_SQL == _PQ_ORACLE:
+    raise RuntimeError(
+        "_PQ_ORACLE no longer contains the 'WHERE rk <= TOP_K' anchor; "
+        "update _PQ_SHORTLIST_SQL's substitution"
+    )
 
 _PQ_RERANK_ORACLE = f"""
     WITH shortlist AS ({_PQ_SHORTLIST_SQL}),
@@ -1896,7 +1899,10 @@ def ann_topk_ivfpq_cellpart(spark: SparkSession, sf_dir: str) -> DataFrame:
 # division by the constant range) so DuckDB replicates it bit-for-bit;
 # error SUMS go through the DECIMAL(38,6) quantization like every
 # aggregate here. Constant dimensions (range 0) decode exactly (code 0,
-# xhat = min) via the NULLIF guard on both sides.
+# xhat = min) via an EXPLICIT zero-range branch on both sides (CASE
+# WHEN hi = lo in the oracle, F.when in Spark — round-12 advice: the
+# earlier NULLIF form leaned on GREATEST/LEAST null-skipping, a
+# version-sensitive behavior).
 #
 # Scale: one explode + two d-group partial+final aggregates (d=64
 # groups — nothing hot); the quantizer artifact is d rows; the audit
@@ -1916,9 +1922,10 @@ _SQ8_ORACLE = f"""
     ),
     coded AS (
         SELECT e.i, e.x, q.lo, q.hi,
-               LEAST({_SQ8_LEVELS - 1}, GREATEST(0,
-                   CAST(FLOOR((e.x - q.lo) / NULLIF((q.hi - q.lo), 0)
-                        * {_SQ8_LEVELS}) AS BIGINT))) AS code
+               CASE WHEN q.hi = q.lo THEN 0
+                    ELSE LEAST({_SQ8_LEVELS - 1}, GREATEST(0,
+                        CAST(FLOOR((e.x - q.lo) / (q.hi - q.lo)
+                             * {_SQ8_LEVELS}) AS BIGINT))) END AS code
         FROM elems e JOIN q ON q.i = e.i
     ),
     err AS (
@@ -1948,16 +1955,18 @@ def embedding_sq8_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("x").alias("lo"), F.max("x").alias("hi")
     )
     lv = F.lit(_SQ8_LEVELS)
-    code = F.least(
-        F.lit(_SQ8_LEVELS - 1),
-        F.greatest(
-            F.lit(0),
-            F.floor(
-                (F.col("x") - F.col("lo"))
-                / F.nullif(F.col("hi") - F.col("lo"), F.lit(0))
-                * lv
-            ).cast("long"),
-        ),
+    code = F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("long")).otherwise(
+        F.least(
+            F.lit(_SQ8_LEVELS - 1).cast("long"),
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.floor(
+                    (F.col("x") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * lv
+                ).cast("long"),
+            ),
+        )
     )
     coded = elems.join(F.broadcast(q), "i").withColumn("code", code)
     err = F.abs(
@@ -2010,11 +2019,15 @@ SQ8_RERANK = PQ_RERANK  # shortlist size: same rung geometry as PQ
 # NOTE: i here is 1-BASED (bare generate_subscripts) because this CTE
 # joins against _ELEMS_SQL's 1-based i inside the topk oracle; the
 # audit oracle above keeps its own 0-based i to match posexplode output.
+# Constant dimensions take an EXPLICIT zero-range branch (round-12
+# advice): the previous NULLIF guard leaned on GREATEST/LEAST skipping
+# the NULL — version-sensitive semantics, while CASE WHEN is ANSI.
 _SQ8_DEC_SQL = f"""
     SELECT e.vec_id, e.i,
-           q.lo + (LEAST({_SQ8_LEVELS - 1}, GREATEST(0,
-               CAST(FLOOR((e.x - q.lo) / NULLIF((q.hi - q.lo), 0)
-                    * {_SQ8_LEVELS}) AS BIGINT))) + 0.5)
+           q.lo + (CASE WHEN q.hi = q.lo THEN 0
+               ELSE LEAST({_SQ8_LEVELS - 1}, GREATEST(0,
+               CAST(FLOOR((e.x - q.lo) / (q.hi - q.lo)
+                    * {_SQ8_LEVELS}) AS BIGINT))) END + 0.5)
                * (q.hi - q.lo) / {_SQ8_LEVELS} AS xh
     FROM (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
                  generate_subscripts(embedding, 1) AS i
