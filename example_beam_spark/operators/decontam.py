@@ -60,6 +60,8 @@ training-prep block does.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -436,17 +438,98 @@ def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # two docs share a >= L-char substring iff they share a char L-gram,
 # so DISTINCT L-grams per doc + a gram-equality self-join enumerate
 # exactly the span-sharing pairs (with n_shared_grams ~ shared span
-# length - L + 1 as the span-mass signal). Scale: the gram stream is
-# ~|text| rows per doc; at 100 TB the join key is md5(g) (16 bytes,
-# not the 40-char gram) and the heavy-gram head (boilerplate shared by
-# millions of docs) gets the skew treatment every dedup join here uses
-# — frequency-cap the gram before the self-join (a gram in f docs
-# contributes f² pairs; capping at f <= F bounds the quadratic blowup
-# and only drops pairs ALREADY connected through rarer grams or
-# flagged by the doc-level family). Fixture scale keeps raw grams and
-# no cap so the oracle is exact.
+# length - L + 1 as the span-mass signal).
+#
+# Scale (round-13: the skew treatment is now CODE, not this comment —
+# exact_substring_pairs below): the gram stream is ~|text| rows per
+# doc; a gram occurring in f docs contributes f² join rows, so one
+# license header shared by a million docs would emit ~10¹² rows from a
+# single gram. Above SUBSTR_CAP_AUTO_DOCS documents the registered
+# entries therefore (a) FREQUENCY-CAP the gram head — drop grams with
+# doc-frequency > SUBSTR_DF_CAP before the self-join, bounding every
+# gram's contribution at F(F−1)/2 candidate pairs — and (b) join on
+# 16-byte unhex(md5(g)) keys instead of the 40-char gram string. The
+# recall argument for the cap: a doc pair sharing a >= L+1-char span
+# shares >= 2 distinct L-grams, so capped output only loses pairs whose
+# ENTIRE overlap is capped-out boilerplate — exactly the mass the
+# doc-level near-dup family already flags; same cap discipline as the
+# reference's repeater TTL (RepeatDoFn.scala:89-114 — every unbounded
+# blowup gets a bound). Fixture scale keeps raw grams and no cap so
+# the oracle is exact; the CAPPED semantics carry their own full value
+# oracle (operators/scalepaths.py: dedup_exact_substring_capped) and a
+# planted-boilerplate skew pin (tests/test_substring_cap.py).
 
 SUBSTR_L = 40  # span length: well above SHINGLE_N word-grams (~15-20 chars)
+# Production cap defaults: activate above fixture scale, env-tunable.
+SUBSTR_DF_CAP = int(os.environ.get("SPARK_GRAFT_SUBSTR_DF_CAP", "64"))
+SUBSTR_CAP_AUTO_DOCS = int(
+    os.environ.get("SPARK_GRAFT_SUBSTR_CAP_AUTO_DOCS", "100000")
+)
+
+
+def _substr_gram_arr(positional: bool):
+    """Array of char SUBSTR_L-grams of ``text`` — distinct for the pair
+    operator, positional (i, gr) structs for the span operator."""
+    if positional:
+        return F.expr(
+            f"""CASE WHEN length(text) >= {SUBSTR_L}
+                THEN transform(
+                    sequence(1, length(text) - {SUBSTR_L - 1}),
+                    i -> struct(i AS i, substring(text, i, {SUBSTR_L}) AS gr))
+                ELSE array() END"""
+        )
+    return F.expr(
+        f"""CASE WHEN length(text) >= {SUBSTR_L}
+            THEN array_distinct(transform(
+                sequence(1, length(text) - {SUBSTR_L - 1}),
+                i -> substring(text, i, {SUBSTR_L})))
+            ELSE array() END"""
+    )
+
+
+def _cap_grams(grams: DataFrame, gram_col: str, df_cap: int) -> DataFrame:
+    """The skew treatment (section comment): replace the raw gram string
+    with a 16-byte md5 key ``gk`` and drop grams whose DOC frequency
+    exceeds ``df_cap``. Doc frequency is counted over distinct
+    (doc_id, gk) so the positional stream (repeated in-doc grams) gets
+    the same per-CORPUS cap as the distinct stream. All three hops
+    (df count, light filter-join, downstream self-join) hash by the
+    same 16-byte key, so the exchanges co-partition."""
+    keyed = grams.withColumn("gk", F.unhex(F.md5(F.col(gram_col)))).drop(gram_col)
+    light = (
+        keyed.select("doc_id", "gk")
+        .distinct()
+        .groupBy("gk")
+        .agg(F.count("*").alias("df_g"))
+        .filter(F.col("df_g") <= df_cap)
+        .select("gk")
+    )
+    return keyed.join(light, "gk")
+
+
+def _auto_cap(docs: DataFrame) -> int | None:
+    """None (raw grams, oracle-exact) at fixture scale; SUBSTR_DF_CAP
+    above SUBSTR_CAP_AUTO_DOCS documents (one metadata-cheap count)."""
+    return SUBSTR_DF_CAP if docs.count() > SUBSTR_CAP_AUTO_DOCS else None
+
+
+def exact_substring_pairs(docs: DataFrame, df_cap: int | None = None) -> DataFrame:
+    """(doc_a, doc_b, n_shared_grams) over >= SUBSTR_L-char verbatim
+    spans. df_cap=None joins raw gram strings (bit-exact vs the SQL
+    oracle); df_cap=F activates the capped md5-keyed scale path."""
+    grams = docs.select("doc_id", F.explode(_substr_gram_arr(False)).alias("g"))
+    key = "g"
+    if df_cap is not None:
+        grams = _cap_grams(grams, "g", df_cap)
+        key = "gk"
+    a = grams.select(F.col("doc_id").alias("doc_a"), key)
+    b = grams.select(F.col("doc_id").alias("doc_b"), key)
+    return (
+        a.join(b, key)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared_grams"))
+    )
 
 _SUBSTR_ORACLE = f"""
     WITH grams AS (
@@ -465,24 +548,10 @@ _SUBSTR_ORACLE = f"""
 def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Doc pairs sharing a verbatim >= SUBSTR_L-char span (section
     comment): (doc_a, doc_b, n_shared_grams), doc_a < doc_b; the gram
-    count is the shared-span mass."""
+    count is the shared-span mass. The frequency-capped md5-keyed scale
+    path auto-activates above SUBSTR_CAP_AUTO_DOCS documents."""
     docs = load_table(spark, sf_dir, "documents")
-    gram_arr = F.expr(
-        f"""CASE WHEN length(text) >= {SUBSTR_L}
-            THEN array_distinct(transform(
-                sequence(1, length(text) - {SUBSTR_L - 1}),
-                i -> substring(text, i, {SUBSTR_L})))
-            ELSE array() END"""
-    )
-    grams = docs.select("doc_id", F.explode(gram_arr).alias("g"))
-    a = grams.select(F.col("doc_id").alias("doc_a"), "g")
-    b = grams.select(F.col("doc_id").alias("doc_b"), "g")
-    return (
-        a.join(b, "g")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").cast("long").alias("n_shared_grams"))
-    )
+    return exact_substring_pairs(docs, _auto_cap(docs))
 
 
 # --------------------------------------------------------------------------
@@ -584,9 +653,16 @@ def docs_final_train_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # chars. Scale: positional grams are ~|text| rows/doc (no per-doc
 # distinct here — positions matter); the island window is keyed by
 # (doc_a, doc_b, diag) — very high cardinality, tiny partitions (runs
-# are span-length bounded). Same boilerplate-gram skew note as the
-# pair operator: at 100 TB the match join frequency-caps the gram head
-# first.
+# are span-length bounded). Same boilerplate-gram skew hazard as the
+# pair operator, AMPLIFIED (a heavy gram produces occ_a x occ_b match
+# rows BEFORE the diagonal window): the registered entry auto-activates
+# the same _cap_grams treatment above SUBSTR_CAP_AUTO_DOCS — the doc
+# frequency is counted over DISTINCT (doc, gram) so in-doc repetition
+# (periodic text) never inflates a gram into the cap, while the
+# capped-out boilerplate head simply contributes no islands (rare-gram
+# islands are unaffected — island runs only ever shrink at capped-out
+# positions, by at most the boilerplate span the doc-level family
+# already flags).
 
 _SPAN_ORACLE = f"""
     WITH g AS (
@@ -616,29 +692,25 @@ _SPAN_ORACLE = f"""
 """
 
 
-@register("dedup_longest_shared_span", oracle=_SPAN_ORACLE)
-def dedup_longest_shared_span(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_a, doc_b, span_chars, n_spans): the longest verbatim shared
-    span per exact-substring pair, plus how many maximal diagonal spans
-    the pair shares (section comment)."""
+def longest_shared_span_pairs(docs: DataFrame, df_cap: int | None = None) -> DataFrame:
+    """(doc_a, doc_b, span_chars, n_spans) via positional-gram diagonal
+    islands (section comment). df_cap=None joins raw gram strings
+    (oracle-exact); df_cap=F drops grams with doc-frequency > F and
+    joins on the 16-byte md5 key."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
-    gram_arr = F.expr(
-        f"""CASE WHEN length(text) >= {SUBSTR_L}
-            THEN transform(
-                sequence(1, length(text) - {SUBSTR_L - 1}),
-                i -> struct(i AS i, substring(text, i, {SUBSTR_L}) AS gr))
-            ELSE array() END"""
-    )
-    g = docs.select("doc_id", F.explode(gram_arr).alias("p")).select(
+    g = docs.select("doc_id", F.explode(_substr_gram_arr(True)).alias("p")).select(
         "doc_id", F.col("p.i").alias("i"), F.col("p.gr").alias("gr")
     )
+    key = "gr"
+    if df_cap is not None:
+        g = _cap_grams(g, "gr", df_cap)
+        key = "gk"
     m = (
-        g.select(F.col("doc_id").alias("doc_a"), F.col("i").alias("ia"), "gr")
+        g.select(F.col("doc_id").alias("doc_a"), F.col("i").alias("ia"), key)
         .join(
-            g.select(F.col("doc_id").alias("doc_b"), F.col("i").alias("ib"), "gr"),
-            "gr",
+            g.select(F.col("doc_id").alias("doc_b"), F.col("i").alias("ib"), key),
+            key,
         )
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "ia", "ib", (F.col("ia") - F.col("ib")).alias("diag"))
@@ -652,6 +724,16 @@ def dedup_longest_shared_span(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("run_len") + F.lit(SUBSTR_L - 1)).cast("long").alias("span_chars"),
         F.count("*").cast("long").alias("n_spans"),
     )
+
+
+@register("dedup_longest_shared_span", oracle=_SPAN_ORACLE)
+def dedup_longest_shared_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, span_chars, n_spans): the longest verbatim shared
+    span per exact-substring pair, plus how many maximal diagonal spans
+    the pair shares (section comment). The frequency-capped md5-keyed
+    scale path auto-activates above SUBSTR_CAP_AUTO_DOCS documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    return longest_shared_span_pairs(docs, _auto_cap(docs))
 
 
 # --------------------------------------------------------------------------

@@ -172,6 +172,8 @@ _MODULE_ORDER = [
     # round 12
     "example_beam_spark.streaming.join_dlq_stream",
     "example_beam_spark.operators.decontam",
+    # round 13
+    "example_beam_spark.operators.scalepaths",
 ]
 
 
