@@ -527,11 +527,14 @@ def test_zorder_layout_makes_user_stats_skippable(spark):
     import pyarrow.parquet as pq
 
     from example_beam_spark.operators.structures import (
-        _zorder_layouts,
+        _zorder_layout,
+        _zorder_ts_baseline,
         zorder_user_slice,
     )
 
-    zdir, tdir = _zorder_layouts(spark, SF)
+    zdir = _zorder_layout(spark, SF)
+    tdir = _zorder_ts_baseline(spark, SF)  # contrast layout: built HERE,
+    # not by the registered entry (round-12 verdict note #3)
     _, hi = zorder_user_slice(spark, SF)
 
     def must_read_fraction(root):
