@@ -19,9 +19,16 @@ against DuckDB running the registered oracle SQL on the same parquet;
 mismatches are listed in a "tainted_queries" field and the process exits
 non-zero so the driver can see the run is partially invalid.
 
-A "control" block (round 9) carries the run's own machine-noise bar:
-five warm re-runs of the plan-frozen q1_pricing_summary. Cross-round
-wall comparisons should be read relative to the control medians.
+A "control" block (round 9, widened round 13) carries the run's own
+machine-noise bar. The single-query q1 control mislabeled machine state
+two rounds running (r11's phantom drift, r12's 8.4-vs-10.9 ambiguity),
+so the control is now THREE plan-frozen queries (q1_pricing_summary +
+dedup_exact + enrich_broadcast_latest — different plan shapes: scan-agg,
+hash-agg-window, broadcast join) run in blocks interleaved BEFORE, MID,
+and AFTER the sweep; legacy14_normalized uses the median of the three
+queries' anchor ratios, so one query's fluke can't relabel the machine.
+Cross-round wall comparisons should be read relative to the control
+medians.
 """
 
 from __future__ import annotations
@@ -57,11 +64,46 @@ def main() -> None:
     # warm the JVM + parquet footers once with the cheapest action
     next(iter(headline.values())).fn(spark, sf_dir).limit(1).collect()
 
+    # ---- interleaved 3-query machine-state control (round-12 verdict #5)
+    # Anchors are the r9 machine's warm walls (BENCH_r09.json: q1 control
+    # median; the other two queries' recorded warm runs) — the series'
+    # normalization origin since r10.
+    _CONTROL_ANCHORS = {
+        "q1_pricing_summary": 0.225,
+        "dedup_exact": 0.116,
+        "enrich_broadcast_latest": 0.179,
+    }
+    control_samples: dict[str, list[float]] = {n: [] for n in _CONTROL_ANCHORS}
+
+    def control_block(tag: str) -> None:
+        for cname in _CONTROL_ANCHORS:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                reg[cname].fn(spark, sf_dir).count()
+                control_samples[cname].append(
+                    round(time.perf_counter() - t0, 3)
+                )
+        drain_cleanups()
+        print(f"# control[{tag}]: "
+              + " ".join(f"{n}={control_samples[n][-2:]}" for n in _CONTROL_ANCHORS),
+              file=sys.stderr)
+
+    # warm the control trio once (untimed) so the 'before' block measures
+    # machine state, not first-run codegen
+    for cname in _CONTROL_ANCHORS:
+        reg[cname].fn(spark, sf_dir).count()
+    drain_cleanups()
+    control_block("before")
+
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
     counts: dict[str, int] = {}
     unstable: list[tuple[str, int, int]] = []
+    _sweep_names = sorted(headline)
+    _mid_at = _sweep_names[len(_sweep_names) // 2] if _sweep_names else None
     for name, q in sorted(headline.items()):
+        if name == _mid_at:
+            control_block("mid")
         t0 = time.perf_counter()
         df = q.fn(spark, sf_dir)
         counts[name] = df.count()
@@ -84,29 +126,44 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    # Machine-noise control (round-9 verdict #5): the bench series crept
-    # 11.2 → 13.2 s cold over r6-r8 with zero code changes to the headline
-    # queries — attributed to machine load via ad-hoc old-commit re-runs
-    # recorded only in NOTES. Make the control part of the artifact: five
-    # warm re-runs of q1_pricing_summary (graded-window position 11,
-    # plan-frozen since round 1 — any cross-round wall change on it is
-    # environment, not code). A future round separates code from machine
-    # by comparing its control median against this one before reading
-    # anything into the headline totals.
-    control_runs: list[float] = []
-    q1 = reg["q1_pricing_summary"]
-    for _ in range(5):
-        t0 = time.perf_counter()
-        q1.fn(spark, sf_dir).count()
-        control_runs.append(round(time.perf_counter() - t0, 3))
-    control = {
-        "query": "q1_pricing_summary",
-        "runs": control_runs,
-        "min": min(control_runs),
-        "median": sorted(control_runs)[len(control_runs) // 2],
-        "max": max(control_runs),
+    control_block("after")
+
+    def _median(xs: list[float]) -> float:
+        s = sorted(xs)
+        return s[len(s) // 2]
+
+    # Per-query anchor ratios; the machine factor is their MEDIAN, so a
+    # single query's fluke (the r11/r12 failure mode) cannot relabel the
+    # machine. control.median stays the q1 median for continuity with the
+    # r9-r12 series artifacts.
+    per_query = {
+        n: {
+            "runs": control_samples[n],
+            "median": _median(control_samples[n]),
+            "anchor": _CONTROL_ANCHORS[n],
+            "ratio": round(_CONTROL_ANCHORS[n] / _median(control_samples[n]), 4)
+            if _median(control_samples[n]) > 0
+            else None,
+        }
+        for n in _CONTROL_ANCHORS
     }
-    print(f"# control q1_pricing_summary warm x5: {control_runs}", file=sys.stderr)
+    machine_factor = _median(
+        [v["ratio"] for v in per_query.values() if v["ratio"] is not None]
+    )
+    control = {
+        "queries": per_query,
+        "machine_factor": machine_factor,
+        # legacy fields (q1-only) for cross-round continuity
+        "query": "q1_pricing_summary",
+        "runs": control_samples["q1_pricing_summary"],
+        "median": per_query["q1_pricing_summary"]["median"],
+    }
+    print(
+        f"# control medians: "
+        + " ".join(f"{n}={v['median']}" for n, v in per_query.items())
+        + f" machine_factor={machine_factor}",
+        file=sys.stderr,
+    )
 
     # Taint guard (outside the timed section): a timing only counts if the
     # query computed the right thing — check each row count against DuckDB
@@ -158,17 +215,17 @@ def main() -> None:
                 "legacy14_total": round(
                     sum(timings[n] for n in _LEGACY14 if n in timings), 3
                 ),
-                # Control-normalized series (r10 verdict #6): cross-round
-                # comparisons in one field. 0.225 s is the r9 anchor
-                # control median (BENCH_r09.json) — multiplying by
-                # (anchor / this run's control median) expresses this
-                # run's legacy total in r9-machine seconds.
+                # Control-normalized series (r10 verdict #6; widened r13):
+                # cross-round comparisons in one field, in r9-machine
+                # seconds. The factor is the MEDIAN of the three control
+                # queries' anchor ratios over the interleaved
+                # before/mid/after blocks (see control_block above).
                 "legacy14_normalized": round(
                     sum(timings[n] for n in _LEGACY14 if n in timings)
-                    * (0.225 / control["median"]),
+                    * machine_factor,
                     3,
                 )
-                if control["median"] > 0
+                if machine_factor
                 else None,
                 "control": control,
                 "sf": sf,
