@@ -367,20 +367,40 @@ KMEANS_SAMPLE = 100_000  # training-sample cap: coarse quantizer, not a fit
 # (FAISS guidelines; also this module's own section comment) is
 # k ∝ √n: cells and per-cell population both grow as √n, so probing a
 # fixed FRACTION of cells keeps both recall and scanned fraction stable
-# across scale. k is capped so the bounded training sample still feeds
-# >= IVF_CELL_TRAIN_BUDGET points per centroid, and nprobe scales with
-# k at IVF_PROBE_FRAC (floor 3 — the historical operating point).
+# across scale. The SINGLE-LEVEL k is capped so the bounded training
+# sample still feeds >= IVF_CELL_TRAIN_BUDGET points per centroid;
+# beyond that clamp (k = ⌈√n⌉ > 3,125, i.e. n ≳ 10M vectors — the
+# round-12 verdict's capacity frontier) coarse_plan_for switches to the
+# TWO-LEVEL quantizer below, whose capacity is k1 × sub-cells — the
+# IMI shape (Babenko & Lempitsky, "The Inverted Multi-Index", CVPR
+# 2012), trained per-cell on a sample that scales with k. nprobe
+# scales with EFFECTIVE k at IVF_PROBE_FRAC (floor 3).
 IVF_COARSE_MIN_K = 16
 IVF_CELL_TRAIN_BUDGET = 32  # training points per centroid floor
 IVF_PROBE_FRAC = 0.04
+IVF_L1_K = 256  # level-1 cells of the two-level coarse quantizer
 
 
 def coarse_k_for(n: int, sample_cap: int = KMEANS_SAMPLE) -> int:
-    """k = ⌈√n⌉ clamped to [IVF_COARSE_MIN_K, sample_cap // budget]."""
+    """Single-level k = ⌈√n⌉ clamped to [IVF_COARSE_MIN_K,
+    sample_cap // budget]. Callers that can consume a two-level
+    quantizer should use coarse_plan_for instead — this clamp is the
+    capacity frontier the two-level path lifts."""
     import math
 
     k = max(IVF_COARSE_MIN_K, math.isqrt(max(n, 1) - 1) + 1)
     return min(k, max(IVF_COARSE_MIN_K, sample_cap // IVF_CELL_TRAIN_BUDGET))
+
+
+def coarse_plan_for(n: int, sample_cap: int = KMEANS_SAMPLE) -> tuple[str, int]:
+    """('flat', ⌈√n⌉) while the single-level training clamp holds;
+    ('two_level', ⌈√n⌉) beyond it — k keeps tracking the corpus
+    instead of saturating at sample_cap // budget cells."""
+    import math
+
+    k_raw = max(IVF_COARSE_MIN_K, math.isqrt(max(n, 1) - 1) + 1)
+    flat_cap = max(IVF_COARSE_MIN_K, sample_cap // IVF_CELL_TRAIN_BUDGET)
+    return ("flat", k_raw) if k_raw <= flat_cap else ("two_level", k_raw)
 
 
 def nprobe_for(k: int) -> int:
@@ -456,6 +476,87 @@ def train_coarse_centers(emb: DataFrame, k: int, sample_cap: int, n_total: int |
     return C
 
 
+def _lloyd(X, k: int, rng, iters: int = KMEANS_MAXITER):
+    """Seeded driver-side spherical k-means over UNIT rows (assign by
+    max dot == min Euclidean on the sphere; centers re-normalized each
+    step). Deterministic given (X, k, rng state) — unlike the
+    distributed fit's RANDOM init (see train_coarse_centers' contract
+    note), which is why the two-level trainer uses this for BOTH
+    levels. Empty clusters reseed to the point farthest from its
+    center (standard k-means repair)."""
+    import numpy as np
+
+    m = len(X)
+    if k >= m:
+        C = X.copy()
+        return C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    C = X[rng.choice(m, size=k, replace=False)].copy()
+    for _ in range(iters):
+        S = X @ C.T
+        a = S.argmax(axis=1)
+        best = S[np.arange(m), a]
+        newC = np.zeros_like(C)
+        np.add.at(newC, a, X)
+        counts = np.bincount(a, minlength=k)
+        empty = np.flatnonzero(counts == 0)
+        if len(empty):
+            # reseed each empty center at a worst-fit point
+            worst = np.argsort(best)[: len(empty)]
+            newC[empty] = X[worst]
+            counts[empty] = 1
+        newC /= np.maximum(
+            np.linalg.norm(newC, axis=1, keepdims=True), 1e-12
+        )
+        C = newC
+    return C
+
+
+def train_two_level_centers(
+    emb: DataFrame, k_target: int, n_total: int, seed: int = KMEANS_SEED
+):
+    """(C1 (k1,d), C2 (k_eff,d), offsets (k1+1,)) — the two-level coarse
+    quantizer that lifts the single-level √n clamp (module comment):
+    IVF_L1_K level-1 cells trained on a hash-threshold sample that
+    SCALES with k_target (k_target × IVF_CELL_TRAIN_BUDGET rows — still
+    a bounded driver artifact: ~200k × d doubles at k=6,000), then
+    per-level-1-cell sub-quantizers sized proportionally to the cell's
+    sample mass so Σ sub-cells ≈ k_target. Effective cell ids are
+    offsets[c1] + j, contiguous per level-1 cell. All training is the
+    seeded driver-side Lloyd above — deterministic given the sample,
+    closing the distributed fit's init nondeterminism as a bonus."""
+    import numpy as np
+
+    sample_cap = min(n_total, max(KMEANS_SAMPLE, k_target * IVF_CELL_TRAIN_BUDGET))
+    sample = emb.select("embedding")
+    if n_total > sample_cap:
+        denom = 1_000_000
+        thresh = -(-sample_cap * denom // n_total)  # ceil
+        sample = emb.filter(
+            F.pmod(F.xxhash64("vec_id", F.lit(seed)), F.lit(denom))
+            < F.lit(thresh)
+        ).select("embedding")
+    pdf = sample.toPandas()
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+
+    rng = np.random.default_rng(seed)
+    k1 = min(IVF_L1_K, max(1, len(X) // IVF_CELL_TRAIN_BUDGET))
+    C1 = _lloyd(X, k1, rng)
+    a1 = (X @ C1.T).argmax(axis=1)
+    subs, offsets = [], [0]
+    for c in range(len(C1)):
+        pts = X[a1 == c]
+        if len(pts) == 0:
+            sub = C1[c : c + 1]
+        else:
+            k2 = max(1, round(k_target * len(pts) / len(X)))
+            sub = _lloyd(pts, min(k2, len(pts)), rng)
+        subs.append(sub)
+        offsets.append(offsets[-1] + len(sub))
+    C2 = np.vstack(subs)
+    return C1, C2, np.asarray(offsets, dtype=np.int64)
+
+
 def ivf_trained_frames(
     emb: DataFrame,
     k: int | None = None,
@@ -465,14 +566,15 @@ def ivf_trained_frames(
     """(top-k results, candidate pairs) for the trained-centroid IVF.
     The candidate frame is exposed so callers (recall lane, tests) can
     measure the scanned fraction |candidates| / (n_queries · (n−1)).
-    k/nprobe default to the adaptive √n sizing (coarse_k_for /
-    nprobe_for); pass explicit values only for controlled experiments."""
+    k/nprobe default to the adaptive √n sizing (coarse_plan_for /
+    nprobe_for — flat centroids below the training clamp, the
+    two-level quantizer beyond it); pass explicit values only for
+    controlled experiments (explicit k forces the flat path)."""
     spark = emb.sparkSession
     n_total = emb.count()
+    mode = "flat"
     if k is None:
-        k = coarse_k_for(n_total, sample_cap)
-    if nprobe is None:
-        nprobe = nprobe_for(k)
+        mode, k = coarse_plan_for(n_total, sample_cap)
     base = emb.select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),
@@ -489,45 +591,107 @@ def ivf_trained_frames(
     # inside the Arrow kernel below. Both touch raw float32 embeddings,
     # halving the scan/transfer bytes too. Sample/caching/determinism
     # contract: see train_coarse_centers.
-    C = train_coarse_centers(emb, k, sample_cap, n_total=n_total)
+    import numpy as np
+    import pandas as pd
+
+    if mode == "two_level":
+        C1, C2, OFF = train_two_level_centers(emb, k, n_total)
+        k = int(C2.shape[0])  # effective cell count (Σ sub-cells)
+    else:
+        C = train_coarse_centers(emb, k, sample_cap, n_total=n_total)
+    if nprobe is None:
+        nprobe = nprobe_for(k)
 
     # Nearest / top-nprobe cells per vector as a broadcast-centers GEMM
     # (see section comment): one X @ Cᵀ + argmax per Arrow batch replaces
     # the n×k join + window. Ties rank lowest cell first (np.argmax picks
     # the first maximum; the lexsort key order below does the same), the
     # exact tie rule the window's orderBy(desc(cos), cell) used.
-    import numpy as np
-    import pandas as pd
-
-    bc = spark.sparkContext.broadcast(C)
     n_queries, n_probe = N_QUERIES, nprobe  # close over plain ints
 
-    def assign(batches):
-        CC = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ids = pdf["vec_id"].to_numpy()
-            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            X /= np.linalg.norm(X, axis=1, keepdims=True)
-            S = X @ CC.T  # unit rows × unit centers: cosine
-            top1 = S.argmax(axis=1).astype("int32")
-            out = {"vec_id": ids, "cell": top1, "crk": np.ones(len(ids), "int32")}
-            q = np.flatnonzero(ids < n_queries)
-            if len(q) and n_probe > 1:
-                extra_id, extra_cell, extra_crk = [], [], []
-                for i in q:
-                    order = np.lexsort((np.arange(S.shape[1]), -S[i]))
-                    for r, cell in enumerate(order[1:n_probe], start=2):
-                        extra_id.append(ids[i])
-                        extra_cell.append(cell)
-                        extra_crk.append(r)
+    if mode == "two_level":
+        # Hierarchical assignment: level-1 argmax (n × k1 GEMM), then
+        # argmax within the winning cell's sub-centroids (n × ~k/k1) —
+        # ~n × (k1 + k/k1) work instead of the flat n × k, which is the
+        # whole point of the two-level shape at k in the thousands.
+        # QUERY rows still rank ALL effective cells exactly (a 5-row
+        # GEMM against C2) so probe order matches the flat contract:
+        # crk=1 is the query's member cell AND its first probe.
+        bc2 = spark.sparkContext.broadcast((C1, C2, OFF))
+
+        def assign(batches):
+            L1, L2, OF = bc2.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                ids = pdf["vec_id"].to_numpy()
+                X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                X /= np.maximum(
+                    np.linalg.norm(X, axis=1, keepdims=True), 1e-12
+                )
+                a1 = (X @ L1.T).argmax(axis=1)
+                cell = np.empty(len(X), dtype="int32")
+                for c in np.unique(a1):
+                    m = np.flatnonzero(a1 == c)
+                    sub = L2[OF[c] : OF[c + 1]]
+                    cell[m] = OF[c] + (X[m] @ sub.T).argmax(axis=1)
                 out = {
-                    "vec_id": np.concatenate([out["vec_id"], extra_id]),
-                    "cell": np.concatenate([out["cell"], extra_cell]).astype("int32"),
-                    "crk": np.concatenate([out["crk"], extra_crk]).astype("int32"),
+                    "vec_id": ids,
+                    "cell": cell,
+                    "crk": np.ones(len(ids), "int32"),
                 }
-            yield pd.DataFrame(out)
+                q = np.flatnonzero(ids < n_queries)
+                if len(q):
+                    Sq = X[q] @ L2.T  # exact global rank for the few queries
+                    extra_id, extra_cell, extra_crk = [], [], []
+                    for row, i in enumerate(q):
+                        order = np.lexsort((np.arange(L2.shape[0]), -Sq[row]))
+                        cell[i] = order[0]  # member cell = global top1
+                        for r, cc in enumerate(order[1:n_probe], start=2):
+                            extra_id.append(ids[i])
+                            extra_cell.append(cc)
+                            extra_crk.append(r)
+                    if extra_id:
+                        out = {
+                            "vec_id": np.concatenate([out["vec_id"], extra_id]),
+                            "cell": np.concatenate(
+                                [out["cell"], extra_cell]
+                            ).astype("int32"),
+                            "crk": np.concatenate(
+                                [out["crk"], extra_crk]
+                            ).astype("int32"),
+                        }
+                yield pd.DataFrame(out)
+
+    else:
+        bc = spark.sparkContext.broadcast(C)
+
+        def assign(batches):
+            CC = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                ids = pdf["vec_id"].to_numpy()
+                X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                X /= np.linalg.norm(X, axis=1, keepdims=True)
+                S = X @ CC.T  # unit rows × unit centers: cosine
+                top1 = S.argmax(axis=1).astype("int32")
+                out = {"vec_id": ids, "cell": top1, "crk": np.ones(len(ids), "int32")}
+                q = np.flatnonzero(ids < n_queries)
+                if len(q) and n_probe > 1:
+                    extra_id, extra_cell, extra_crk = [], [], []
+                    for i in q:
+                        order = np.lexsort((np.arange(S.shape[1]), -S[i]))
+                        for r, cell in enumerate(order[1:n_probe], start=2):
+                            extra_id.append(ids[i])
+                            extra_cell.append(cell)
+                            extra_crk.append(r)
+                    out = {
+                        "vec_id": np.concatenate([out["vec_id"], extra_id]),
+                        "cell": np.concatenate([out["cell"], extra_cell]).astype("int32"),
+                        "crk": np.concatenate([out["crk"], extra_crk]).astype("int32"),
+                    }
+                yield pd.DataFrame(out)
 
     # Persist the assignment: the index build is materialized ONCE and
     # then consumed four times (probes broadcast, members side, and the

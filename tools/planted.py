@@ -47,22 +47,42 @@ def planted_corpus(
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
     cluster = np.arange(n) % n_clusters
     sigma = noise / np.sqrt(dim)  # noise VECTOR norm ≈ `noise`
-    vecs = (centers[cluster] + sigma * rng.standard_normal((n, dim))).astype(
-        np.float32
-    )
 
     os.makedirs(out_dir, exist_ok=True)
-    # zero-copy list<float32> construction (offsets + flat values) — the
-    # tolist() path allocates n python lists, which matters at the
-    # second-decade scale (2M vectors)
-    offsets = pa.array(np.arange(0, (n + 1) * dim, dim, dtype=np.int32))
-    emb = pa.ListArray.from_arrays(offsets, pa.array(vecs.reshape(-1)))
-    table = pa.table(
-        {
-            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
-            "embedding": emb,
-            "label": pa.array(cluster.astype("int32"), type=pa.int32()),
-        }
-    )
-    pq.write_table(table, os.path.join(out_dir, "embeddings.parquet"))
+
+    def chunk_table(lo: int, hi: int) -> "pa.Table":
+        # zero-copy list<float32> construction (offsets + flat values) —
+        # the tolist() path allocates n python lists, which matters at
+        # the second-decade scale (2M+ vectors)
+        cl = cluster[lo:hi]
+        vecs = (
+            centers[cl] + sigma * rng.standard_normal((hi - lo, dim))
+        ).astype(np.float32)
+        offsets = pa.array(np.arange(0, (hi - lo + 1) * dim, dim, dtype=np.int32))
+        emb = pa.ListArray.from_arrays(offsets, pa.array(vecs.reshape(-1)))
+        return pa.table(
+            {
+                "vec_id": pa.array(np.arange(lo, hi, dtype=np.int64)),
+                "embedding": emb,
+                "label": pa.array(cl.astype("int32"), type=pa.int32()),
+            }
+        )
+
+    path = os.path.join(out_dir, "embeddings.parquet")
+    if n <= 2_000_000:
+        pq.write_table(chunk_table(0, n), path)
+    else:
+        # third-decade corpora (20M): stream 1M-row row groups through one
+        # ParquetWriter — the noise stream is drawn sequentially, so the
+        # values are IDENTICAL to the one-shot path (same rng stream, same
+        # row-major order), only peak memory changes (~0.5 GB per chunk
+        # instead of ~10 GB)
+        chunk = 1_000_000
+        first = chunk_table(0, min(chunk, n))
+        with pq.ParquetWriter(path, first.schema) as w:
+            w.write_table(first)
+            lo = chunk
+            while lo < n:
+                w.write_table(chunk_table(lo, min(lo + chunk, n)))
+                lo += chunk
     return out_dir

@@ -475,12 +475,137 @@ def neardup_lane(out_dir: str) -> None:
     print(json.dumps(result))
 
 
+def exact_topk_truth(spark, sf_dir: str) -> dict[int, set[int]]:
+    """Fast exact float64 cosine top-TOP_K ground truth for the planted
+    lanes: per-Arrow-batch GEMM against the broadcast query block +
+    per-batch top-K, then a global window merge over the tiny
+    (batches × queries × K) partial frame. Replaces the dec-quantized
+    ann_topk_bruteforce entry as the truth source at the third decade
+    (75 s at 2M → ~13 min at 20M for the HOF path; this kernel reads
+    the corpus once through BLAS). Recall measured against float64
+    exact cosine — ties are measure-zero on planted gaussians."""
+    import numpy as np
+
+    from example_beam_spark.operators.similarity import N_QUERIES, TOP_K
+    from example_beam_spark.sources.parquet import load_table
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q_pdf = emb.filter(F.col("vec_id") < N_QUERIES).toPandas()
+    q_ids = q_pdf["vec_id"].to_numpy()
+    Q = np.stack(q_pdf["embedding"].to_numpy()).astype(np.float64)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((q_ids, Q))
+    topk = TOP_K
+
+    def scan(batches):
+        import pandas as pd
+
+        qids, QQ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            S = X @ QQ.T  # (b, nq)
+            out_q, out_n, out_c = [], [], []
+            for j, qid in enumerate(qids):
+                keep = ids != qid
+                s, nid = S[keep, j], ids[keep]
+                order = np.lexsort((nid, -s))[:topk]
+                out_q.append(np.full(len(order), qid, dtype=np.int64))
+                out_n.append(nid[order])
+                out_c.append(s[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
+
+    local = emb.mapInPandas(scan, "query_id long, neighbor_id long, cosine double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    rows = (
+        local.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= topk)
+        .collect()
+    )
+    truth: dict[int, set[int]] = {}
+    for r in rows:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return truth
+
+
+def ann_third_decade(out_dir: str, n: int = 20_000_000) -> None:
+    """Round-13 verdict #2: the capacity point PAST the single-level
+    training clamp (k = ⌈√n⌉ > 3,125 → coarse_plan_for goes
+    'two_level'). 20M planted vectors (constant cluster size 100, the
+    scale-invariant geometry of the 2M lane); measure the two-level
+    trained IVF at its adaptive operating point: effective cells,
+    nprobe, recall@10 vs float64-exact truth, scanned fraction, and
+    walls for corpus build / truth / train+index+query. Gate:
+    recall@10 >= 0.9 with k_eff > 3,125 at a ~4% scan."""
+    from example_beam_spark.operators.ivf import (
+        coarse_plan_for,
+        ivf_trained_frames,
+        nprobe_for,
+        train_two_level_centers,
+    )
+    from example_beam_spark.operators.similarity import N_QUERIES
+    from example_beam_spark.registry import drain_cleanups
+    from example_beam_spark.session import get_spark
+    from example_beam_spark.sources.parquet import load_table
+    from tools.planted import planted_corpus
+
+    spark = get_spark(app_name="stress_lane_ann20m")
+    d = os.path.join(out_dir, "planted_1000x")
+    row: dict = {"n": n}
+    if not os.path.exists(os.path.join(d, "embeddings.parquet")):
+        t0 = time.time()
+        planted_corpus(d, n=n, n_clusters=n // 100)
+        row["corpus_build_sec"] = round(time.time() - t0, 1)
+        print(f"# planted {n} vectors in {row['corpus_build_sec']}s -> {d}")
+
+    t0 = time.time()
+    truth = exact_topk_truth(spark, d)
+    row["truth_sec"] = round(time.time() - t0, 1)
+    print(f"# exact truth in {row['truth_sec']}s", flush=True)
+
+    mode, k_target = coarse_plan_for(n)
+    row["mode"], row["k_target"] = mode, k_target
+    emb = load_table(spark, d, "embeddings")
+    # one explicit train for reporting k_eff (deterministic — the frames
+    # call below retrains to the identical quantizer)
+    t0 = time.time()
+    _, C2, _ = train_two_level_centers(emb, k_target, n)
+    k_eff = int(C2.shape[0])
+    row["train_sec"] = round(time.time() - t0, 1)
+    row["k_eff"], row["nprobe"] = k_eff, nprobe_for(k_eff)
+    print(f"# two-level quantizer: k_eff={k_eff} nprobe={row['nprobe']} "
+          f"(train {row['train_sec']}s)", flush=True)
+
+    t0 = time.time()
+    topk, cands = ivf_trained_frames(emb)
+    got: dict[int, set[int]] = {}
+    for r in topk.collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(got.get(q, set()) & t) / len(t) for q, t in truth.items()]
+    row["recall_at_10"] = round(sum(recalls) / len(recalls), 3)
+    row["scanned_frac"] = round(cands.count() / (N_QUERIES * (n - 1)), 4)
+    row["ivf_sec"] = round(time.time() - t0, 1)
+    drain_cleanups()
+    print(json.dumps(row), flush=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out-dir", default="/tmp/spark_graft_stress")
     ap.add_argument(
         "--lane",
-        choices=("10x", "100x", "ann2m", "neardup2m"),
+        choices=("10x", "100x", "ann2m", "neardup2m", "ann20m"),
         default="10x",
         help="100x runs the core-dedup second-decade lane (own corpus "
         "dir); ann2m runs the planted-ANN second decade (200k + 2M "
@@ -495,6 +620,9 @@ def main() -> None:
         return
     if args.lane == "neardup2m":
         neardup_lane(args.out_dir.rstrip("/") + "_ann2m")
+        return
+    if args.lane == "ann20m":
+        ann_third_decade(args.out_dir.rstrip("/") + "_ann20m")
         return
 
     if not all(

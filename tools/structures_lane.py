@@ -261,15 +261,67 @@ def bucketed_lane(scale: int = 1) -> None:
     print(json.dumps(result))
 
 
+def ivfpq_sq8_lane() -> None:
+    """Round-13 verdict #6 gate: the IVF,PQ+SQ8 composition at 200k and
+    2M planted vectors — recall@10 vs exact truth, wall, and the
+    rerank-side byte ratio (persisted SQ8 codes vs the float corpus the
+    float-rerank sibling scans)."""
+    from example_beam_spark.operators.scalepaths import sq8_codes_table
+    from example_beam_spark.registry import drain_cleanups, load_registry
+    from example_beam_spark.session import get_spark
+    from tools.planted import planted_corpus
+    from tools.stress_lane import exact_topk_truth
+
+    spark = get_spark(app_name="structures_lane_ivfpq_sq8")
+    reg = load_registry()
+    result: dict = {"lane": "ivfpq_sq8", "scales": []}
+    for n, tag in ((200_000, "10x"), (2_000_000, "100x")):
+        d = os.path.join(ANN_DIR, f"planted_{tag}")
+        if not os.path.exists(os.path.join(d, "embeddings.parquet")):
+            planted_corpus(d, n=n, n_clusters=n // 100)
+        truth = exact_topk_truth(spark, d)
+        t0 = time.time()
+        got: dict[int, set[int]] = {}
+        for r in reg["ann_topk_ivfpq_sq8"].fn(spark, d).collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        sec = round(time.time() - t0, 2)
+        drain_cleanups()
+        recalls = [len(got.get(q, set()) & t) / len(t) for q, t in truth.items()]
+        codes_dir, _, _ = sq8_codes_table(spark, d)
+        sq8_bytes = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(codes_dir)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        float_bytes = os.path.getsize(os.path.join(d, "embeddings.parquet"))
+        row = {
+            "n": n,
+            "tag": tag,
+            "recall_at_10": round(sum(recalls) / len(recalls), 3),
+            "sec": sec,
+            "sq8_rerank_bytes": sq8_bytes,
+            "float_corpus_bytes": float_bytes,
+            "byte_ratio": round(sq8_bytes / float_bytes, 3),
+        }
+        result["scales"].append(row)
+        print(f"# {tag}: {json.dumps(row)}", flush=True)
+    print(json.dumps(result))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=("pq", "bucketed", "compact"), required=True)
+    ap.add_argument(
+        "--mode", choices=("pq", "bucketed", "compact", "ivfpq-sq8"), required=True
+    )
     ap.add_argument("--scale", type=int, default=1, help="bucketed mode: multiply the 10M/2.5M base")
     args = ap.parse_args()
     if args.mode == "pq":
         pq_lane()
     elif args.mode == "compact":
         compact_lane()
+    elif args.mode == "ivfpq-sq8":
+        ivfpq_sq8_lane()
     else:
         bucketed_lane(args.scale)
 
