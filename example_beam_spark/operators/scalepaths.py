@@ -44,10 +44,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from example_beam_spark.operators.corpus_ops import _SPLIT_ORACLE, docs_train_split
 from example_beam_spark.operators.decontam import (
     SUBSTR_L,
+    _EVAL_BCAST_MAX_DOCS,
     exact_substring_pairs,
 )
+from example_beam_spark.operators.dedup import shingles
 from example_beam_spark.registry import register
 from example_beam_spark.sources import load_table, spread_small_input
 
@@ -236,4 +239,94 @@ def ann_topk_ivfpq_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# docs_decontaminate_13gram — the scrub at the PRODUCTION n
+# --------------------------------------------------------------------------
+#
+# The registered docs_decontaminate shares the dedup family's
+# SHINGLE_N=3 tokenization so "shares an n-gram" means the same thing
+# across the whole hygiene family — but 3-word grams are a chance-hit
+# magnet on any real corpus (the hygiene lane's synthetic 2M corpus
+# saturates at ~99.6% contaminated purely from vocabulary collisions).
+# Production scrubs use long grams for exactly this reason: GPT-3's
+# appendix C filtered on 13-grams. This entry is the SAME manifest
+# relation at n=13 — a doc is flagged only when THIRTEEN consecutive
+# tokens occur verbatim in a held-out doc, which is vanishingly
+# unlikely by chance and overwhelmingly likely for a true benchmark
+# leak. Same composition (registered hash split + the dedup family's
+# shingle machinery with its n parameter), same gated eval-side
+# broadcast, full DuckDB value oracle. Scale shape identical to the
+# n=3 entry: the gram join shuffles by gram, the eval side is a ~1%
+# slice, counts are partial+final.
+
+DECON_PROD_N = 13  # GPT-3 appendix C
+
+_SHINGLES13_SQL = f"""
+    SELECT DISTINCT doc_id, array_to_string(s[i:i+{DECON_PROD_N - 1}], ' ') AS g
+    FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents) t
+    CROSS JOIN UNNEST(generate_series(1, GREATEST(len(s) - {DECON_PROD_N - 1}, 0))) AS u(i)
+"""
+
+_DECON13_ORACLE = f"""
+    WITH sh AS ({_SHINGLES13_SQL}),
+    split AS ({_SPLIT_ORACLE}),
+    shared AS (
+        SELECT t.doc_id,
+               COUNT(DISTINCT t.g) AS n_shared_grams,
+               COUNT(DISTINCT e.doc_id) AS n_eval_docs
+        FROM sh t
+        JOIN split st ON st.doc_id = t.doc_id AND st.split = 'train'
+        JOIN sh e ON e.g = t.g
+        JOIN split se ON se.doc_id = e.doc_id AND se.split = 'test'
+        GROUP BY t.doc_id
+    )
+    SELECT s.doc_id,
+           CAST(COALESCE(x.n_shared_grams, 0) AS BIGINT) AS n_shared_grams,
+           CAST(COALESCE(x.n_eval_docs, 0) AS BIGINT) AS n_eval_docs,
+           COALESCE(x.n_shared_grams, 0) = 0 AS keep
+    FROM split s
+    LEFT JOIN shared x ON x.doc_id = s.doc_id
+    WHERE s.split = 'train'
+"""
+
+
+@register("docs_decontaminate_13gram", oracle=_DECON13_ORACLE)
+def docs_decontaminate_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-train-doc decontamination manifest at the production gram
+    length (section comment): 13-token grams, keep = no verbatim
+    13-gram shared with the held-out test slice."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = docs_train_split(spark, sf_dir).select("doc_id", "split")
+    sh = shingles(docs, DECON_PROD_N)
+    train_sh = sh.join(
+        split.filter(F.col("split") == "train").select("doc_id"), "doc_id"
+    )
+    eval_ids = split.filter(F.col("split") == "test").select("doc_id")
+    eval_sh = sh.join(eval_ids, "doc_id").select(
+        F.col("doc_id").alias("eval_id"), "g"
+    )
+    if eval_ids.count() <= _EVAL_BCAST_MAX_DOCS:
+        eval_sh = F.broadcast(eval_sh)
+    shared = (
+        train_sh.join(eval_sh, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").cast("long").alias("n_shared_grams"),
+            F.countDistinct("eval_id").cast("long").alias("n_eval_docs"),
+        )
+    )
+    train_docs = split.filter(F.col("split") == "train").select("doc_id")
+    return (
+        train_docs.join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared_grams", F.lit(0)).cast("long").alias(
+                "n_shared_grams"
+            ),
+            F.coalesce("n_eval_docs", F.lit(0)).cast("long").alias("n_eval_docs"),
+            (F.coalesce("n_shared_grams", F.lit(0)) == 0).alias("keep"),
+        )
     )
