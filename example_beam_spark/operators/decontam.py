@@ -504,7 +504,14 @@ def _cap_grams(grams: DataFrame, gram_col: str, df_cap: int) -> DataFrame:
         .filter(F.col("df_g") <= df_cap)
         .select("gk")
     )
-    return keyed.join(light, "gk")
+    # MERGE hint (round-13 lane finding): the light key set is
+    # CORPUS-sized (~every distinct gram survives the cap), but Catalyst's
+    # post-aggregate size estimate can look broadcastable — at the 200k-doc
+    # lane it tried to broadcast ~1 GB of keys and killed the driver.
+    # Sort-merge keeps both sides shuffled by gk (the partitioning the df
+    # aggregate and the downstream self-join already use) and spills
+    # gracefully; this path only runs above fixture scale.
+    return keyed.join(light.hint("merge"), "gk")
 
 
 def _auto_cap(docs: DataFrame) -> int | None:
@@ -524,6 +531,8 @@ def exact_substring_pairs(docs: DataFrame, df_cap: int | None = None) -> DataFra
         key = "gk"
     a = grams.select(F.col("doc_id").alias("doc_a"), key)
     b = grams.select(F.col("doc_id").alias("doc_b"), key)
+    if df_cap is not None:
+        b = b.hint("merge")  # corpus-sized both sides (see _cap_grams)
     return (
         a.join(b, key)
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -706,10 +715,13 @@ def longest_shared_span_pairs(docs: DataFrame, df_cap: int | None = None) -> Dat
     if df_cap is not None:
         g = _cap_grams(g, "gr", df_cap)
         key = "gk"
+    b_side = g.select(F.col("doc_id").alias("doc_b"), F.col("i").alias("ib"), key)
+    if df_cap is not None:
+        b_side = b_side.hint("merge")  # corpus-sized both sides (_cap_grams)
     m = (
         g.select(F.col("doc_id").alias("doc_a"), F.col("i").alias("ia"), key)
         .join(
-            g.select(F.col("doc_id").alias("doc_b"), F.col("i").alias("ib"), key),
+            b_side,
             key,
         )
         .filter(F.col("doc_a") < F.col("doc_b"))
