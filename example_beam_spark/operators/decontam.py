@@ -523,7 +523,13 @@ def _auto_cap(docs: DataFrame) -> int | None:
 def exact_substring_pairs(docs: DataFrame, df_cap: int | None = None) -> DataFrame:
     """(doc_a, doc_b, n_shared_grams) over >= SUBSTR_L-char verbatim
     spans. df_cap=None joins raw gram strings (bit-exact vs the SQL
-    oracle); df_cap=F activates the capped md5-keyed scale path."""
+    oracle); df_cap=F activates the capped md5-keyed scale path.
+    spread_small_input: the ~250× gram expansion (+ md5 on the capped
+    path) is the CPU stage — on a few-split input it would run on a
+    handful of cores before its first shuffle (no-op at real scale)."""
+    from example_beam_spark.sources import spread_small_input
+
+    docs = spread_small_input(docs, docs.sparkSession)
     grams = docs.select("doc_id", F.explode(_substr_gram_arr(False)).alias("g"))
     key = "g"
     if df_cap is not None:
@@ -705,9 +711,13 @@ def longest_shared_span_pairs(docs: DataFrame, df_cap: int | None = None) -> Dat
     """(doc_a, doc_b, span_chars, n_spans) via positional-gram diagonal
     islands (section comment). df_cap=None joins raw gram strings
     (oracle-exact); df_cap=F drops grams with doc-frequency > F and
-    joins on the 16-byte md5 key."""
+    joins on the 16-byte md5 key. spread_small_input: see
+    exact_substring_pairs."""
     from pyspark.sql import Window
 
+    from example_beam_spark.sources import spread_small_input
+
+    docs = spread_small_input(docs, docs.sparkSession)
     g = docs.select("doc_id", F.explode(_substr_gram_arr(True)).alias("p")).select(
         "doc_id", F.col("p.i").alias("i"), F.col("p.gr").alias("gr")
     )
