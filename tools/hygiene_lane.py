@@ -170,10 +170,19 @@ def run_scale(spark, d: str, n_docs: int) -> dict:
     ):
         t0 = time.time()
         out = reg[name].fn(spark, d)
-        n_out = out.count()
+        # consume VALUES, not count(): a bare count() lets Catalyst
+        # eliminate left joins whose (unique-keyed) right side is
+        # unreferenced — at 2M it collapsed docs_decontaminate's whole
+        # gram join to a count of the split (measured "1.0s"). The
+        # xxhash64-over-all-columns sum forces every column of every row.
+        agg = out.agg(
+            F.count("*").alias("n"),
+            # decimal sum: a long sum of xxhash64 values overflows ANSI mode
+            F.sum(F.xxhash64(*out.columns).cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
         sec = round(time.time() - t0, 1)
         drain_cleanups()
-        row[name] = {"rows": n_out, "sec": sec}
+        row[name] = {"rows": agg.n, "sec": sec}
         if name == "docs_final_train_manifest":
             t0 = time.time()
             kept = reg[name].fn(spark, d).filter(F.col("keep")).count()
