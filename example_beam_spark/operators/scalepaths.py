@@ -330,3 +330,64 @@ def docs_decontaminate_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("n_shared_grams", F.lit(0)) == 0).alias("keep"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_longest_shared_span_capped — the span operator's capped witness
+# --------------------------------------------------------------------------
+#
+# Companion of dedup_exact_substring_capped: the SAME frequency cap on
+# the POSITIONAL gram stream (doc frequency counted over DISTINCT
+# (doc, gram), so in-doc repetition never inflates a gram into the
+# cap), then the diagonal gaps-and-islands span extraction over only
+# the surviving matches. The full value oracle proves the capped
+# md5-keyed Spark path computes exactly the "islands over grams with
+# doc-frequency <= F" relation — capped-out boilerplate contributes no
+# islands, rare-gram spans are bit-identical to the raw path (pinned
+# against the raw operator in tests/test_substring_cap.py).
+
+from example_beam_spark.operators.decontam import longest_shared_span_pairs  # noqa: E402
+
+_CAPPED_SPAN_ORACLE = f"""
+    WITH g AS (
+        SELECT doc_id, i, substr(text, i, {SUBSTR_L}) AS gr
+        FROM documents
+        CROSS JOIN UNNEST(generate_series(1, GREATEST(len(text) - {SUBSTR_L - 1}, 0))) AS u(i)
+    ),
+    f AS (
+        SELECT gr, COUNT(DISTINCT doc_id) AS df_g FROM g GROUP BY gr
+    ),
+    light AS (
+        SELECT g.doc_id, g.i, g.gr
+        FROM g JOIN f ON f.gr = g.gr
+        WHERE f.df_g <= {SUBSTR_CAP_FIXTURE}
+    ),
+    m AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.i AS ia, b.i AS ib
+        FROM light a JOIN light b ON a.gr = b.gr AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+        SELECT doc_a, doc_b, ia - ib AS diag,
+               ia - ROW_NUMBER() OVER (
+                   PARTITION BY doc_a, doc_b, ia - ib ORDER BY ia
+               ) AS isl
+        FROM m
+    ),
+    spans AS (
+        SELECT doc_a, doc_b, COUNT(*) AS run_len
+        FROM runs GROUP BY doc_a, doc_b, diag, isl
+    )
+    SELECT doc_a, doc_b,
+           CAST(MAX(run_len) + {SUBSTR_L - 1} AS BIGINT) AS span_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_spans
+    FROM spans GROUP BY doc_a, doc_b
+"""
+
+
+@register("dedup_longest_shared_span_capped", oracle=_CAPPED_SPAN_ORACLE)
+def dedup_longest_shared_span_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest verbatim shared span over the frequency-capped positional
+    gram set (section comment): F = SUBSTR_CAP_FIXTURE, md5-keyed
+    matches, diagonal islands over survivors only."""
+    docs = load_table(spark, sf_dir, "documents")
+    return longest_shared_span_pairs(docs, df_cap=SUBSTR_CAP_FIXTURE)

@@ -75,3 +75,20 @@ def test_ivfpq_sq8_runs_on_driver_fixture(spark):
     for ranks in per_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= TOP_K
+
+
+def test_ivfpq_sq8_rerank_plan_reads_codes_via_broadcast(spark):
+    """The rerank-side plan shape: the Q×R shortlist rides into the
+    SQ8 codes scan as a BROADCAST (never a shuffle of the codes
+    table), and the scan the join probes is the persisted
+    ebs_sq8_codes parquet — the d-bytes/row read the byte claim is
+    about. No SortMergeJoin anywhere in the entry."""
+    from example_beam_spark.plans import explain_formatted
+
+    reg = load_registry()
+    df = reg["ann_topk_ivfpq_sq8"].fn(spark, SF)
+    plan = explain_formatted(df)
+    drain_cleanups()
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert "ebs_sq8_codes" in plan, plan[:3000]
