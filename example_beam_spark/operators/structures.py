@@ -1681,8 +1681,9 @@ def _ivfpq_cellpart_index(spark: SparkSession, sf_dir: str) -> tuple:
 
     from example_beam_spark.operators.ivf import (
         KMEANS_SAMPLE,
-        coarse_k_for,
+        coarse_plan_for,
         train_coarse_centers,
+        train_two_level_centers,
     )
 
     key = _layout_key(spark, sf_dir, "embeddings")
@@ -1694,8 +1695,17 @@ def _ivfpq_cellpart_index(spark: SparkSession, sf_dir: str) -> tuple:
         "vec_id", "embedding"
     )
     n_total = emb.count()
-    k_cells = coarse_k_for(n_total)
-    C = train_coarse_centers(emb, k_cells, KMEANS_SAMPLE, n_total=n_total)
+    # round 13: past the single-level training clamp the coarse
+    # quantizer comes from the two-level trainer, FLATTENED — the
+    # persisted index keeps its one-directory-per-cell layout and the
+    # encode pass assigns by exact argmax over all k_eff cells (an n ×
+    # k_eff BLAS GEMM — unlike the in-memory trained path, the index
+    # build is one-off, so exactness beats the hierarchical shortcut).
+    mode, k_target = coarse_plan_for(n_total)
+    if mode == "two_level":
+        _, C, _ = train_two_level_centers(emb, k_target, n_total)
+    else:
+        C = train_coarse_centers(emb, k_target, KMEANS_SAMPLE, n_total=n_total)
     sample_pdf = (
         emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(PQ_TRAIN_SAMPLE)
@@ -1752,7 +1762,7 @@ def ivfpq_cellpart_scan(spark: SparkSession, sf_dir: str):
     opened-files fraction on the same frames the entry uses."""
     import numpy as np
 
-    from example_beam_spark.operators.ivf import coarse_k_for, nprobe_for
+    from example_beam_spark.operators.ivf import nprobe_for
 
     codes_dir, C, books, n_total = _ivfpq_cellpart_index(spark, sf_dir)
     emb = spread_small_input(load_table(spark, sf_dir, "embeddings"), spark).select(
@@ -1763,7 +1773,9 @@ def ivfpq_cellpart_scan(spark: SparkSession, sf_dir: str):
     Q = np.stack(q_pdf["embedding"].to_numpy()).astype(np.float64)
     Q /= np.linalg.norm(Q, axis=1, keepdims=True)
     q_dot_c = Q @ C.T
-    nprobe = nprobe_for(coarse_k_for(n_total))
+    # nprobe from the INDEX's actual cell count (== coarse_k_for below
+    # the clamp; == the two-level k_eff beyond it)
+    nprobe = nprobe_for(C.shape[0])
     # same top-nprobe probe discipline as the in-memory kernel (the
     # population padding there guards tiny fixtures; here every probed
     # cell is READ in full, so pad by cells until the probed dirs hold

@@ -600,12 +600,79 @@ def ann_third_decade(out_dir: str, n: int = 20_000_000) -> None:
     print(json.dumps(row), flush=True)
 
 
+def cellpart_third_decade(out_dir: str, n: int = 20_000_000) -> None:
+    """Round-13 composition point: the PERSISTED cell-partitioned
+    IVFPQ index (and its SQ8-rerank variant) built with the two-level
+    coarse quantizer at 20M vectors — k_eff directories, directory
+    pruning at ~nprobe/k_eff, recall vs float64-exact truth for both
+    the float-rerank and SQ8-rerank entries, plus the rerank-side byte
+    ratio. Reuses the ann20m planted corpus."""
+    from example_beam_spark.operators.scalepaths import sq8_codes_table
+    from example_beam_spark.operators.structures import ivfpq_cellpart_scan
+    from example_beam_spark.registry import drain_cleanups, load_registry
+    from example_beam_spark.session import get_spark
+    from tools.planted import planted_corpus
+
+    spark = get_spark(app_name="stress_lane_cellpart20m")
+    reg = load_registry()
+    d = os.path.join(out_dir, "planted_1000x")
+    row: dict = {"n": n}
+    if not os.path.exists(os.path.join(d, "embeddings.parquet")):
+        t0 = time.time()
+        planted_corpus(d, n=n, n_clusters=n // 100)
+        row["corpus_build_sec"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    truth = exact_topk_truth(spark, d)
+    row["truth_sec"] = round(time.time() - t0, 1)
+    print(f"# exact truth in {row['truth_sec']}s", flush=True)
+
+    def recall_of(name: str) -> tuple[float, float]:
+        t0 = time.time()
+        got: dict[int, set[int]] = {}
+        for r in reg[name].fn(spark, d).collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        sec = round(time.time() - t0, 1)
+        drain_cleanups()
+        recalls = [len(got.get(q, set()) & t) / len(t) for q, t in truth.items()]
+        return round(sum(recalls) / len(recalls), 3), sec
+
+    rec, sec = recall_of("ann_topk_ivfpq_cellpart")
+    _, _, n_probed, k_cells = ivfpq_cellpart_scan(spark, d)
+    drain_cleanups()
+    row["cellpart"] = {
+        "recall_at_10": rec,
+        "sec": sec,
+        "k_eff": k_cells,
+        "probed_cells": n_probed,
+        "probed_frac": round(n_probed / k_cells, 4),
+    }
+    print(f"# cellpart: {json.dumps(row['cellpart'])}", flush=True)
+
+    rec, sec = recall_of("ann_topk_ivfpq_sq8")
+    codes_dir, _, _ = sq8_codes_table(spark, d)
+    sq8_bytes = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(codes_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    float_bytes = os.path.getsize(os.path.join(d, "embeddings.parquet"))
+    row["ivfpq_sq8"] = {
+        "recall_at_10": rec,
+        "sec": sec,
+        "byte_ratio": round(sq8_bytes / float_bytes, 3),
+    }
+    drain_cleanups()
+    print(json.dumps(row), flush=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out-dir", default="/tmp/spark_graft_stress")
     ap.add_argument(
         "--lane",
-        choices=("10x", "100x", "ann2m", "neardup2m", "ann20m"),
+        choices=("10x", "100x", "ann2m", "neardup2m", "ann20m", "cellpart20m"),
         default="10x",
         help="100x runs the core-dedup second-decade lane (own corpus "
         "dir); ann2m runs the planted-ANN second decade (200k + 2M "
@@ -623,6 +690,9 @@ def main() -> None:
         return
     if args.lane == "ann20m":
         ann_third_decade(args.out_dir.rstrip("/") + "_ann20m")
+        return
+    if args.lane == "cellpart20m":
+        cellpart_third_decade(args.out_dir.rstrip("/") + "_ann20m")
         return
 
     if not all(
