@@ -92,3 +92,18 @@ def test_ivfpq_sq8_rerank_plan_reads_codes_via_broadcast(spark):
     assert "BroadcastHashJoin" in plan, plan[:3000]
     assert "SortMergeJoin" not in plan, plan[:3000]
     assert "ebs_sq8_codes" in plan, plan[:3000]
+
+
+def test_capped_substring_plan_never_broadcasts_gram_keys(spark):
+    """The capped gram path's two joins (light-key filter, pair
+    self-join) are big-big joins over corpus-sized key sets — the
+    merge hints must hold them in SortMergeJoin (at the 200k lane
+    Catalyst's post-aggregate estimate tried to broadcast ~1 GB of
+    keys and exceeded driver maxResultSize)."""
+    from example_beam_spark.plans import explain_formatted
+
+    reg = load_registry()
+    df = reg["dedup_exact_substring_capped"].fn(spark, SF)
+    plan = explain_formatted(df)
+    assert "SortMergeJoin" in plan, plan[:3000]
+    assert "BroadcastHashJoin" not in plan, plan[:3000]
