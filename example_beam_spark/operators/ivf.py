@@ -557,11 +557,169 @@ def train_two_level_centers(
     return C1, C2, np.asarray(offsets, dtype=np.int64)
 
 
+# --------------------------------------------------------------------------
+# Distributed full-corpus k-means (the clamp-free trainer)
+# --------------------------------------------------------------------------
+#
+# Both trainers above fit on a bounded DRIVER-side sample — the honest
+# 100-TB limitation being that centroid quality is capped by what a
+# ~200k-row sketch can see. This trainer refines over the FULL corpus
+# with Lloyd iterations executed as Spark jobs (the classic distributed
+# k-means shape: broadcast centers, map-side partial sums, k-row
+# reduce), so the training set is the corpus itself and k is limited
+# only by the k×d-double broadcast — no sample clamp at all.
+#
+# Per iteration: the current (k, d) centers broadcast to every
+# executor; one mapInPandas pass assigns each Arrow batch by GEMM
+# (X @ Cᵀ argmax — same kernel as the probe path) and accumulates
+# per-cell PARTIAL sums; each task emits ≤ k rows (cell, count,
+# d-long sum vector), a groupBy(cell) reduce adds the partials, and
+# the driver collects k rows to form the next centers. Shuffle volume
+# is tasks × k rows of (8 + 8d) bytes per iteration — independent of n.
+#
+# Determinism (the distributed fit's known gap — see
+# train_coarse_centers' contract note): naive float partial sums would
+# make the result depend on partitioning and reduce order. Instead
+# every accumulated element is quantized ONCE to fixed point
+# (floor(x · 2^24) as int64, the repo's standard order-independence
+# trick — similarity.dot_dec) and all reduction is exact int64
+# addition, which is associative and commutative. The trained centers
+# are therefore BIT-IDENTICAL for any partitioning of the same rows
+# (pinned by tests/test_dkmeans.py), closing the init nondeterminism
+# as well because the seeded driver-side _lloyd on the hash-threshold
+# sample provides the init. Overflow headroom: |floor(x·2^24)| ≤ 2^24
+# per unit-vector element, so a cell of m members sums to < m·2^24 —
+# int64 holds to m ≈ 5.5e11 rows per cell (guarded below).
+
+DKMEANS_SCALE = 1 << 24  # fixed-point quantum for order-invariant sums
+DKMEANS_REFINE_ITERS = 5  # full-corpus passes after the sampled init
+
+
+def train_coarse_centers_distributed(
+    emb: DataFrame,
+    k: int,
+    n_total: int | None = None,
+    seed: int = KMEANS_SEED,
+    iters: int = DKMEANS_REFINE_ITERS,
+):
+    """(C (k, d) unit float64, obj_history [iters] mean-cosine) — the
+    full-corpus distributed Lloyd refinement (section comment). The
+    objective is the mean best-cosine of the PREVIOUS iteration's
+    centers measured during assignment, itself an exact fixed-point
+    sum, so the history is deterministic too and spherical k-means'
+    monotone improvement is assertable."""
+    import numpy as np
+    import pandas as pd
+
+    from example_beam_spark.registry import defer_cleanup
+
+    spark = emb.sparkSession
+    src = emb.select("embedding").persist()
+    defer_cleanup(lambda: src.unpersist())
+    if n_total is None:
+        n_total = src.count()
+    if n_total >= (1 << 62) // DKMEANS_SCALE:
+        raise ValueError("fixed-point reduce overflow bound exceeded")
+
+    # seeded init: driver _lloyd on the standard hash-threshold sample
+    # (bounded artifact — k·IVF_CELL_TRAIN_BUDGET rows, same contract
+    # as train_two_level_centers)
+    sample_cap = min(n_total, max(KMEANS_SAMPLE, k * IVF_CELL_TRAIN_BUDGET))
+    sample = emb.select("vec_id", "embedding")
+    if n_total > sample_cap:
+        denom = 1_000_000
+        thresh = -(-sample_cap * denom // n_total)  # ceil
+        sample = sample.filter(
+            F.pmod(F.xxhash64("vec_id", F.lit(seed)), F.lit(denom))
+            < F.lit(thresh)
+        )
+    # the collected sample is sorted by vec_id BEFORE the seeded init —
+    # toPandas row order follows partition order, so without the sort
+    # the init (hence the whole fit) would depend on the layout, the
+    # exact nondeterminism this trainer exists to close
+    pdf = sample.toPandas().sort_values("vec_id")
+    X0 = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    X0 /= np.maximum(np.linalg.norm(X0, axis=1, keepdims=True), 1e-12)
+    C = _lloyd(X0, k, np.random.default_rng(seed))
+    k = int(C.shape[0])  # _lloyd may return fewer when k >= sample size
+    d = int(C.shape[1])
+
+    out_schema = "cell int, cnt long, s array<long>, obj long"
+    obj_history: list[float] = []
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(C)
+
+        def partials(batches):
+            CC = bc.value
+            kk, dd = CC.shape
+            acc = np.zeros((kk, dd), dtype=np.int64)
+            cnt = np.zeros(kk, dtype=np.int64)
+            obj = np.int64(0)
+            for pdf_ in batches:
+                if len(pdf_) == 0:
+                    continue
+                X = np.stack(pdf_["embedding"].to_numpy()).astype(np.float64)
+                X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+                S = X @ CC.T
+                a = S.argmax(axis=1)
+                np.add.at(
+                    acc, a, np.floor(X * DKMEANS_SCALE).astype(np.int64)
+                )
+                cnt += np.bincount(a, minlength=kk).astype(np.int64)
+                obj += np.floor(
+                    S[np.arange(len(X)), a] * DKMEANS_SCALE
+                ).astype(np.int64).sum()
+            nz = np.flatnonzero(cnt)
+            if len(nz) == 0:
+                return
+            ocol = np.zeros(len(nz), dtype=np.int64)
+            ocol[0] = obj  # partition objective rides on one row
+            yield pd.DataFrame(
+                {
+                    "cell": nz.astype("int32"),
+                    "cnt": cnt[nz],
+                    "s": [acc[i] for i in nz],
+                    "obj": ocol,
+                }
+            )
+
+        def reduce_cell(pdf_: "pd.DataFrame") -> "pd.DataFrame":
+            return pd.DataFrame(
+                {
+                    "cell": [pdf_["cell"].iloc[0]],
+                    "cnt": [int(pdf_["cnt"].sum())],
+                    "s": [np.sum(np.stack(pdf_["s"].to_numpy()), axis=0)],
+                    "obj": [int(pdf_["obj"].sum())],
+                }
+            )
+
+        rows = (
+            src.mapInPandas(partials, out_schema)
+            .groupBy("cell")
+            .applyInPandas(reduce_cell, out_schema)
+            .collect()
+        )
+        bc.unpersist()
+        newC = C.copy()  # empty cells keep their center (deterministic)
+        total_obj = 0
+        for r in rows:
+            total_obj += r.obj
+            v = np.asarray(r.s, dtype=np.float64) / (DKMEANS_SCALE * r.cnt)
+            nrm = np.linalg.norm(v)
+            if nrm > 1e-12:
+                newC[r.cell] = v / nrm
+        C = newC
+        obj_history.append(total_obj / DKMEANS_SCALE / n_total)
+    return C, obj_history
+
+
 def ivf_trained_frames(
     emb: DataFrame,
     k: int | None = None,
     nprobe: int | None = None,
     sample_cap: int = KMEANS_SAMPLE,
+    centers=None,
+    members_filter: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(top-k results, candidate pairs) for the trained-centroid IVF.
     The candidate frame is exposed so callers (recall lane, tests) can
@@ -569,11 +727,20 @@ def ivf_trained_frames(
     k/nprobe default to the adaptive √n sizing (coarse_plan_for /
     nprobe_for — flat centroids below the training clamp, the
     two-level quantizer beyond it); pass explicit values only for
-    controlled experiments (explicit k forces the flat path)."""
+    controlled experiments (explicit k forces the flat path).
+    ``centers``: pre-trained (k, d) unit float64 centroids (e.g. the
+    distributed trainer's) — skips training, forces the flat path.
+    ``members_filter``: single-column (neighbor_id) frame; when given,
+    the probed-cell scan is PRE-filtered to those ids (filtered-ANN
+    semantics — the predicate restricts candidates before the exact
+    dot, so selectivity cuts scan work instead of post-truncating the
+    top-k)."""
     spark = emb.sparkSession
     n_total = emb.count()
     mode = "flat"
-    if k is None:
+    if centers is not None:
+        k = int(centers.shape[0])
+    elif k is None:
         mode, k = coarse_plan_for(n_total, sample_cap)
     base = emb.select(
         "vec_id",
@@ -594,7 +761,9 @@ def ivf_trained_frames(
     import numpy as np
     import pandas as pd
 
-    if mode == "two_level":
+    if centers is not None:
+        C = np.asarray(centers, dtype=np.float64)
+    elif mode == "two_level":
         C1, C2, OFF = train_two_level_centers(emb, k, n_total)
         k = int(C2.shape[0])  # effective cell count (Σ sub-cells)
     else:
@@ -719,6 +888,9 @@ def ivf_trained_frames(
         ),
         cells.vec_id == F.col("neighbor_id"),
     ).select("neighbor_id", "cell", "n_v", "n_nrm")
+    if members_filter is not None:
+        # pre-filter: candidates drop BEFORE the exact dot (docstring)
+        members = members.join(members_filter, "neighbor_id", "left_semi")
     queries = base.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("q_v"),

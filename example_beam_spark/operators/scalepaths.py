@@ -34,6 +34,19 @@ module holds the round-13 members:
   (tools/stress_lane.py --mode ivfpq-sq8) plus the opened-bytes
   comparison recorded in NOTES.
 
+- ``docs_decontaminate_13gram``, ``dedup_longest_shared_span_capped`` —
+  see their section comments.
+
+- ``ann_topk_ivf_dkmeans`` — IVF over the DISTRIBUTED full-corpus
+  k-means trainer (ivf.train_coarse_centers_distributed): Lloyd
+  refinement executed as Spark jobs with an order-invariant fixed-point
+  reduction, so training needs no sample clamp and the fit is
+  bit-deterministic under any partitioning.
+
+- ``ann_topk_filtered`` / ``ann_topk_filtered_ivf`` — hybrid
+  predicate + vector search: exact pre-filtered top-k with a full value
+  oracle, and the same pre-filter composed with the trained IVF probe.
+
 Reference analog: none directly (the reference is an ad-event engine);
 the cap discipline mirrors its repeater TTL bound
 (RepeatDoFn.scala:89-114) — every unbounded blowup gets a bound.
@@ -391,3 +404,304 @@ def dedup_longest_shared_span_capped(spark: SparkSession, sf_dir: str) -> DataFr
     matches, diagonal islands over survivors only."""
     docs = load_table(spark, sf_dir, "documents")
     return longest_shared_span_pairs(docs, df_cap=SUBSTR_CAP_FIXTURE)
+
+
+# --------------------------------------------------------------------------
+# ann_topk_ivf_dkmeans — IVF over the DISTRIBUTED full-corpus trainer
+# --------------------------------------------------------------------------
+#
+# Every other trained rung fits its quantizer on a bounded driver-side
+# sample — the honest 100-TB caveat being that centroid quality is
+# capped by what a ~200k-row sketch can see, and k by the sample/budget
+# clamp (the two-level quantizer lifts the CAPACITY limit but still
+# trains on a sample). This entry uses
+# ivf.train_coarse_centers_distributed: Lloyd iterations executed as
+# Spark jobs over the FULL corpus (broadcast centers -> map-side GEMM
+# assignment + fixed-point partial sums -> k-row reduce), so the
+# training set is the corpus itself and k = ceil(sqrt(n)) needs NO
+# clamp at any n. The fixed-point (floor(x*2^24) int64) reduction makes
+# the fit bit-deterministic under any partitioning — closing the
+# distributed-fit init nondeterminism documented in
+# train_coarse_centers — which tests/test_dkmeans.py pins along with
+# monotone objective improvement and the planted recall/scan gate.
+# Rows-only driver contract like its trained siblings.
+
+from example_beam_spark.operators.ivf import (  # noqa: E402
+    IVF_COARSE_MIN_K,
+    ivf_trained_frames,
+    nprobe_for,
+    train_coarse_centers_distributed,
+)
+
+
+@register("ann_topk_ivf_dkmeans", oracle=None)
+def ann_topk_ivf_dkmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-centroid IVF whose coarse quantizer is refined over the
+    FULL corpus by the distributed fixed-point Lloyd trainer (section
+    comment): k = ceil(sqrt(n)) unclamped, nprobe = the standard 4%
+    fraction, probed-cell exact cosine top-k."""
+    import math
+
+    emb = spread_small_input(load_table(spark, sf_dir, "embeddings"), spark)
+    n = emb.count()
+    k = max(IVF_COARSE_MIN_K, math.isqrt(max(n, 1) - 1) + 1)
+    C, _hist = train_coarse_centers_distributed(emb, k, n_total=n)
+    return ivf_trained_frames(emb, centers=C, nprobe=nprobe_for(len(C)))[0]
+
+
+# --------------------------------------------------------------------------
+# ann_topk_filtered — predicate + vector search (hybrid retrieval)
+# --------------------------------------------------------------------------
+#
+# The training-data shape "nearest neighbors AMONG documents matching a
+# metadata predicate" (dedup within a language slice, per-source hard
+# negatives, curated-subset retrieval). Two standard strategies:
+#
+# - PRE-filter (this exact entry + the IVF variant below): restrict the
+#   candidate set before scoring, so selectivity CUTS scan work. The
+#   predicate pushes to the documents parquet scan (PushedFilters,
+#   doc_id-only ReadSchema — pinned in tests/test_scalepaths.py) and
+#   joins the embedding scan as a left-semi on id; at 100 TB the
+#   semijoin shuffles only ids, never vectors.
+# - POST-filter (the naive alternative, deliberately not shipped):
+#   top-k first, filter after — returns < k rows whenever the filter is
+#   selective, which is why production vector stores treat it as a
+#   recall bug, not a strategy.
+#
+# Exact scan here = full value oracle (the same decimal-quantized
+# cosine as ann_topk_bruteforce, corpus restricted to lang = FILT_LANG
+# documents); ann_topk_filtered_ivf composes the SAME pre-filter with
+# the trained IVF probe (members semijoined before the exact dot) and
+# carries the rows-only + measured-recall contract of the trained
+# rungs.
+
+from example_beam_spark.operators.similarity import (  # noqa: E402
+    N_QUERIES,
+    TOP_K,
+    _SCALE,
+    dot_dec,
+    norm_dec,
+)
+
+FILT_LANG = "en"
+
+_FELEMS_SQL = """
+    SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+"""
+
+_FILTERED_ORACLE = f"""
+    WITH elems AS ({_FELEMS_SQL}),
+    norms AS (
+        SELECT vec_id,
+               SQRT(CAST(SUM(CAST(FLOOR(x * x * {_SCALE}) AS BIGINT)) AS DOUBLE) / {_SCALE}) AS nrm
+        FROM elems GROUP BY vec_id
+    ),
+    allowed AS (SELECT doc_id FROM documents WHERE lang = '{FILT_LANG}'),
+    dots AS (
+        SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+               CAST(SUM(CAST(FLOOR(q.x * d.x * {_SCALE}) AS BIGINT)) AS DOUBLE) / {_SCALE} AS dot
+        FROM elems q
+        JOIN elems d ON q.i = d.i AND q.vec_id <> d.vec_id
+        JOIN allowed al ON al.doc_id = d.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+        GROUP BY q.vec_id, d.vec_id
+    ),
+    scored AS (
+        SELECT t.query_id, t.neighbor_id,
+               t.dot / (nq.nrm * nd.nrm) AS cosine
+        FROM dots t
+        JOIN norms nq ON nq.vec_id = t.query_id
+        JOIN norms nd ON nd.vec_id = t.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rk FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+               ) AS BIGINT) AS rk
+        FROM scored
+    ) WHERE rk <= {TOP_K}
+"""
+
+
+def _allowed_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(neighbor_id) — documents passing the metadata predicate; the
+    lang filter pushes to the parquet scan and only doc_id is read."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("lang") == FILT_LANG)
+        .select(F.col("doc_id").alias("neighbor_id"))
+    )
+
+
+@register("ann_topk_filtered", oracle=_FILTERED_ORACLE)
+def ann_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact filtered vector search (section comment): cosine top-k per
+    query over only the documents with lang = FILT_LANG — pre-filter
+    semijoin, then the bruteforce scan's decimal-quantized scoring."""
+    emb = spread_small_input(load_table(spark, sf_dir, "embeddings"), spark)
+    base = emb.select("vec_id", "embedding", norm_dec("embedding").alias("nrm"))
+    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cand = base.withColumnRenamed("vec_id", "neighbor_id").join(
+        _allowed_ids(spark, sf_dir), "neighbor_id", "left_semi"
+    )
+    pairs = cand.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        (dot_dec("q_emb", "embedding") / (F.col("q_nrm") * F.col("nrm"))).alias(
+            "cosine"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+@register("ann_topk_filtered_ivf", oracle=None)
+def ann_topk_filtered_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN with the trained IVF index (section comment): the
+    SAME pre-filter semijoin applied to the probed-cell members before
+    the exact dot — candidates drop with predicate selectivity instead
+    of post-truncating the top-k. Rows-only driver contract (fitted
+    quantizer); soundness (every neighbor satisfies the predicate) and
+    recall vs the exact filtered twin are gated by
+    tests/test_scalepaths.py on the planted corpus."""
+    emb = spread_small_input(load_table(spark, sf_dir, "embeddings"), spark)
+    return ivf_trained_frames(
+        emb, members_filter=_allowed_ids(spark, sf_dir)
+    )[0]
+
+
+# --------------------------------------------------------------------------
+# ann_topk_ivfpq_append — index maintenance: ADD without RETRAIN
+# --------------------------------------------------------------------------
+#
+# At 100 TB the vector index is never rebuilt per ingestion batch: the
+# production lifecycle (FAISS train()/add(), every vector store's
+# "insert") trains quantizers ONCE on the standing corpus and then
+# APPENDS new vectors by encoding them with the FROZEN quantizers and
+# writing new inverted-list files into the existing cell directories —
+# no rewrite of standing lists, no retrain, ingestion cost linear in
+# the delta only. This entry exercises exactly that: a deterministic
+# hash split carves ~10% of the corpus out as the "arriving" delta;
+# the cell-partitioned IVFPQ index is built on the base alone
+# (training AND encoding), then the delta is encoded with the frozen
+# (C, books) and appended via mode("append").partitionBy("cell") —
+# new parquet files land inside existing (or new) cell directories,
+# the layout the query path's PartitionFilters prune. The query path
+# is byte-identical to ann_topk_ivfpq_cellpart's over the merged
+# directory.
+#
+# Correctness contract: because pq_encode_frame is per-row
+# deterministic given (C, books), appending the delta is PROVABLY
+# equal to rebuilding the whole index with the same base-trained
+# quantizers — tests/test_scalepaths.py pins the full topk frame equal
+# between the appended index and a one-pass rebuild twin. Rows-only
+# driver check (fitted quantizers), like every trained rung. The
+# honest caveat is drift, not correctness: quantizers trained on the
+# base stay frozen, so a delta from a shifted distribution degrades
+# recall until a retrain — the audit for that is recall tracking
+# (embedding_sq8_audit's pattern), not this entry's equality pin.
+
+APPEND_SPLIT_DENOM = 10  # ~10% of rows arrive as the append delta
+APPEND_SPLIT_SEED = 20260816
+
+_APPEND_DIRS: dict[tuple, tuple] = {}
+
+
+def _append_split(emb: DataFrame):
+    """(base, delta) — deterministic hash split; delta = bucket 0."""
+    bucket = F.pmod(
+        F.xxhash64("vec_id", F.lit(APPEND_SPLIT_SEED)), F.lit(APPEND_SPLIT_DENOM)
+    )
+    return emb.filter(bucket != 0), emb.filter(bucket == 0)
+
+
+def _ivfpq_appended_index(spark: SparkSession, sf_dir: str) -> tuple:
+    """(codes_dir, C, books, n_total) — index trained AND initially
+    encoded on the base slice only, delta appended with frozen
+    quantizers (section comment). Cached per session per source
+    fingerprint like its cellpart sibling."""
+    import tempfile
+
+    import numpy as np
+
+    from example_beam_spark.operators.ivf import (
+        KMEANS_SAMPLE,
+        coarse_plan_for,
+        train_coarse_centers,
+        train_two_level_centers,
+    )
+    from example_beam_spark.operators.structures import (
+        PQ_TRAIN_SAMPLE,
+        _layout_key,
+        _train_pq_books,
+        pq_encode_frame,
+    )
+
+    key = _layout_key(spark, sf_dir, "embeddings")
+    hit = _APPEND_DIRS.get(key)
+    if hit is not None:
+        return hit
+
+    emb = spread_small_input(load_table(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", "embedding"
+    )
+    base, delta = _append_split(emb)
+    n_base = base.count()
+
+    # train on the BASE only — the frozen-quantizer contract
+    mode, k_target = coarse_plan_for(n_base)
+    if mode == "two_level":
+        _, C, _ = train_two_level_centers(base, k_target, n_base)
+    else:
+        C = train_coarse_centers(base, k_target, KMEANS_SAMPLE, n_total=n_base)
+    sample_pdf = (
+        base.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(PQ_TRAIN_SAMPLE)
+        .toPandas()
+    )
+    Xs = np.stack(sample_pdf["embedding"].to_numpy()).astype(np.float64)
+    Xs /= np.linalg.norm(Xs, axis=1, keepdims=True)
+    books = _train_pq_books(Xs - C[(Xs @ C.T).argmax(axis=1)])
+
+    out = tempfile.mkdtemp(prefix="ebs_ivfpq_append_")
+    enc = lambda df: pq_encode_frame(df, C, books).repartition(F.col("cell"))  # noqa: E731
+    enc(base).write.partitionBy("cell").mode("overwrite").parquet(out)
+    # THE APPEND: new inverted-list files land in the cell directories;
+    # standing base files are untouched (pinned by mtime/name in tests)
+    enc(delta).write.partitionBy("cell").mode("append").parquet(out)
+
+    hit = (out, C, books, emb.count())
+    _APPEND_DIRS[key] = hit
+    return hit
+
+
+@register("ann_topk_ivfpq_append", oracle=None)
+def ann_topk_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC top-k over the appended index (section comment): same
+    pruned-directory scan + ADC shortlist + exact rerank as
+    ann_topk_ivfpq_cellpart, but the index was grown by a frozen-
+    quantizer append instead of a rebuild — pinned equal to the
+    rebuild twin in tests/test_scalepaths.py."""
+    from example_beam_spark.operators.structures import (
+        exact_rerank_topk,
+        ivfpq_scan_codes,
+    )
+
+    codes_dir, C, books, n_total = _ivfpq_appended_index(spark, sf_dir)
+    emb = spread_small_input(load_table(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", "embedding"
+    )
+    shortlist, _, _, _ = ivfpq_scan_codes(spark, emb, codes_dir, C, books, n_total)
+    return exact_rerank_topk(emb, shortlist)

@@ -1671,6 +1671,46 @@ def ann_range_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CODES_DIRS: dict[tuple, tuple] = {}
 
 
+def pq_encode_frame(emb: DataFrame, C, books) -> DataFrame:
+    """(vec_id, cell, codes) — coarse-cell assignment + residual-PQ
+    encoding with FROZEN quantizers: exact argmax over all cells (an
+    n × k BLAS GEMM per Arrow batch), then per-subspace nearest
+    codeword on the residual. Per-row deterministic given (C, books) —
+    encoding a corpus in one pass or in base+delta passes yields
+    byte-identical rows, which is what makes the append-without-retrain
+    entry (operators/scalepaths.py ann_topk_ivfpq_append) provably
+    equal to a full rebuild."""
+    import numpy as np
+    import pandas as pd
+
+    bc = emb.sparkSession.sparkContext.broadcast((C, books))
+
+    def encode(batches):
+        CC, B = bc.value
+        cn = (B**2).sum(axis=2)  # (M, K)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            Xb = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            nrm = np.linalg.norm(Xb, axis=1)
+            nrm[nrm == 0] = 1.0
+            Xb = Xb / nrm[:, None]
+            cells = (Xb @ CC.T).argmax(axis=1)
+            Rb = (Xb - CC[cells]).reshape(len(Xb), PQ_M, PQ_SUBDIM)
+            dots = np.einsum("imd,mkd->imk", Rb, B)
+            codes = (cn[None, :, :] - 2.0 * dots).argmin(axis=2)  # (b, M)
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "cell": cells.astype("int32"),
+                    "codes": list(codes.astype("int32")),
+                }
+            )
+
+    return emb.mapInPandas(encode, "vec_id long, cell int, codes array<int>")
+
+
 def _ivfpq_cellpart_index(spark: SparkSession, sf_dir: str) -> tuple:
     """(codes_dir, C, books, n_total) — built once per session per
     source fingerprint."""
@@ -1716,36 +1756,11 @@ def _ivfpq_cellpart_index(spark: SparkSession, sf_dir: str) -> tuple:
     res = Xs - C[(Xs @ C.T).argmax(axis=1)]
     books = _train_pq_books(res)
 
-    bc = spark.sparkContext.broadcast((C, books))
-
-    def encode(batches):
-        CC, B = bc.value
-        cn = (B**2).sum(axis=2)  # (M, K)
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ids = pdf["vec_id"].to_numpy()
-            Xb = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            nrm = np.linalg.norm(Xb, axis=1)
-            nrm[nrm == 0] = 1.0
-            Xb = Xb / nrm[:, None]
-            cells = (Xb @ CC.T).argmax(axis=1)
-            Rb = (Xb - CC[cells]).reshape(len(Xb), PQ_M, PQ_SUBDIM)
-            dots = np.einsum("imd,mkd->imk", Rb, B)
-            codes = (cn[None, :, :] - 2.0 * dots).argmin(axis=2)  # (b, M)
-            yield pd.DataFrame(
-                {
-                    "vec_id": ids,
-                    "cell": cells.astype("int32"),
-                    "codes": list(codes.astype("int32")),
-                }
-            )
-
     out = tempfile.mkdtemp(prefix="ebs_ivfpq_codes_")
     # one encode pass (the index build), written cell-partitioned; the
     # per-cell repartition keeps one file per inverted list
     (
-        emb.mapInPandas(encode, "vec_id long, cell int, codes array<int>")
+        pq_encode_frame(emb, C, books)
         .repartition(F.col("cell"))
         .write.partitionBy("cell")
         .mode("overwrite")
@@ -1760,14 +1775,24 @@ def ivfpq_cellpart_scan(spark: SparkSession, sf_dir: str):
     """(shortlist DataFrame, pruned codes read, probed cell count, k) —
     exposed so the plan/pruning test can pin PartitionFilters and the
     opened-files fraction on the same frames the entry uses."""
-    import numpy as np
-
-    from example_beam_spark.operators.ivf import nprobe_for
-
     codes_dir, C, books, n_total = _ivfpq_cellpart_index(spark, sf_dir)
     emb = spread_small_input(load_table(spark, sf_dir, "embeddings"), spark).select(
         "vec_id", "embedding"
     )
+    return ivfpq_scan_codes(spark, emb, codes_dir, C, books, n_total)
+
+
+def ivfpq_scan_codes(
+    spark: SparkSession, emb: DataFrame, codes_dir: str, C, books, n_total: int
+):
+    """The cellpart query path over an EXPLICIT (codes_dir, quantizers)
+    index — shared by ivfpq_cellpart_scan and the append-without-retrain
+    entry, whose index directory holds base + appended inverted-list
+    files."""
+    import numpy as np
+
+    from example_beam_spark.operators.ivf import nprobe_for
+
     q_pdf = emb.filter(F.col("vec_id") < N_QUERIES).toPandas()
     q_ids = q_pdf["vec_id"].to_numpy()
     Q = np.stack(q_pdf["embedding"].to_numpy()).astype(np.float64)
@@ -1857,7 +1882,13 @@ def ann_topk_ivfpq_cellpart(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding"
     )
     shortlist, _, _, _ = ivfpq_cellpart_scan(spark, sf_dir)
+    return exact_rerank_topk(emb, shortlist)
 
+
+def exact_rerank_topk(emb: DataFrame, shortlist: DataFrame) -> DataFrame:
+    """Exact decimal-quantized cosine rerank of a (query_id,
+    neighbor_id) shortlist against the float corpus, window top-k —
+    the shared tail of the shortlist-producing ANN entries."""
     base = emb.withColumn("nrm", norm_dec("embedding"))
     queries = base.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),

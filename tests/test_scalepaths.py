@@ -10,6 +10,8 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+from pyspark.sql import functions as F
+
 from example_beam_spark.registry import drain_cleanups, load_registry
 from tests.conftest import SF_DIR as SF
 from tools.planted import planted_corpus
@@ -107,3 +109,165 @@ def test_capped_substring_plan_never_broadcasts_gram_keys(spark):
     plan = explain_formatted(df)
     assert "SortMergeJoin" in plan, plan[:3000]
     assert "BroadcastHashJoin" not in plan, plan[:3000]
+
+
+def test_filtered_ivf_soundness_and_recall_on_planted(spark, tmp_path):
+    """Filtered ANN with the trained index: on the planted corpus with
+    an even-id-only allow set (selectivity 0.5), every returned
+    neighbor satisfies the predicate (pre-filter soundness) and
+    recall@10 vs the exact FILTERED truth stays production-grade —
+    the filter must not degrade the probe, only restrict candidates."""
+    import numpy as np
+
+    from example_beam_spark.operators.ivf import ivf_trained_frames
+    from example_beam_spark.operators.similarity import N_QUERIES, TOP_K
+    from example_beam_spark.sources import load_table
+
+    N = 4000
+    d = planted_corpus(str(tmp_path / "filt_planted"), n=N, n_clusters=100)
+    emb = load_table(spark, d, "embeddings")
+    allowed = emb.filter((F.col("vec_id") % 2) == 0).select(
+        F.col("vec_id").alias("neighbor_id")
+    )
+
+    # exact filtered truth, driver-side (4000x64 floats is trivial)
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    ids, X = ids[order], X[order]
+    truth: dict[int, set[int]] = {}
+    for q in range(N_QUERIES):
+        cos = X @ X[q]
+        mask = (ids % 2 == 0) & (ids != q)
+        cand = np.flatnonzero(mask)
+        top = cand[np.argsort(-cos[cand])][:TOP_K]
+        truth[q] = set(int(ids[i]) for i in top)
+
+    topk, cands = ivf_trained_frames(emb, members_filter=allowed)
+    got: dict[int, set[int]] = {}
+    for r in topk.collect():
+        assert r.neighbor_id % 2 == 0, r  # soundness
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    n_cands = cands.count()
+    drain_cleanups()
+    recalls = [len(got.get(q, set()) & t) / len(t) for q, t in truth.items()]
+    recall = sum(recalls) / len(recalls)
+    print(f"filtered-ivf planted recall@10={recall:.3f} cands={n_cands}")
+    assert recall >= 0.8, (recall, recalls)
+    # pre-filter cuts candidate work ~with selectivity: at 0.5 the
+    # scan must be well under the unfiltered probe volume
+    assert n_cands <= 0.05 * N_QUERIES * (N - 1) * 0.75, n_cands
+
+
+def test_filtered_exact_plan_pushes_lang_filter(spark):
+    """The predicate reaches the documents parquet scan (PushedFilters
+    on lang) and only doc_id is read from it (ReadSchema pruning) —
+    the 100-TB claim in the section comment."""
+    import re
+
+    from example_beam_spark.plans import explain_formatted
+
+    reg = load_registry()
+    df = reg["ann_topk_filtered"].fn(spark, SF)
+    plan = explain_formatted(df)
+    doc_scans = [
+        b for b in plan.split("\n\n") if "documents" in b and "Scan parquet" in b
+    ]
+    assert doc_scans, plan[:3000]
+    blk = doc_scans[0]
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", blk)
+    assert m and "lang" in m.group(1), blk
+    rs = re.search(r"ReadSchema: [^\n]*", blk)
+    assert rs and "doc_id" in rs.group(0) and "text" not in rs.group(0), blk
+
+
+def test_ivfpq_append_equals_rebuild(spark, tmp_path):
+    """The frozen-quantizer append contract: growing the index by
+    encoding the delta with the base-trained (C, books) and appending
+    its files must produce EXACTLY the topk frame of a one-pass rebuild
+    with the same quantizers — per-row-deterministic encoding makes
+    add-without-retrain lossless. Also pins the physical claim: the
+    base's parquet files are untouched by the append (same names and
+    sizes before/after)."""
+    import tempfile
+
+    from example_beam_spark.operators.scalepaths import _ivfpq_appended_index
+    from example_beam_spark.operators.structures import (
+        exact_rerank_topk,
+        ivfpq_scan_codes,
+        pq_encode_frame,
+    )
+    from example_beam_spark.sources import load_table
+
+    d = planted_corpus(str(tmp_path / "append_planted"), n=4000, n_clusters=100)
+    codes_dir, C, books, n_total = _ivfpq_appended_index(spark, d)
+    emb = load_table(spark, d, "embeddings").select("vec_id", "embedding")
+
+    # rebuild twin: one encode pass over the FULL corpus, same quantizers
+    rebuild_dir = tempfile.mkdtemp(prefix="ebs_ivfpq_rebuild_")
+    (
+        pq_encode_frame(emb, C, books)
+        .repartition(F.col("cell"))
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(rebuild_dir)
+    )
+
+    def topk_rows(cd):
+        shortlist, _, _, _ = ivfpq_scan_codes(spark, emb, cd, C, books, n_total)
+        return sorted(
+            (r.query_id, r.rk, r.neighbor_id, r.cosine)
+            for r in exact_rerank_topk(emb, shortlist).collect()
+        )
+
+    appended, rebuilt = topk_rows(codes_dir), topk_rows(rebuild_dir)
+    drain_cleanups()
+    assert appended == rebuilt
+    assert len(appended) >= 5  # all five queries produced neighbors
+
+
+def test_ivfpq_append_leaves_base_files_untouched(spark, tmp_path):
+    """Ingestion cost is linear in the delta: the append writes NEW
+    files into the cell directories and never rewrites standing ones."""
+    import tempfile
+
+    from example_beam_spark.operators.scalepaths import _append_split
+    from example_beam_spark.operators.structures import pq_encode_frame
+    from example_beam_spark.operators.ivf import train_coarse_centers
+    from example_beam_spark.operators.structures import _train_pq_books
+    from example_beam_spark.sources import load_table
+
+    import numpy as np
+
+    d = planted_corpus(str(tmp_path / "append_files"), n=2000, n_clusters=50)
+    emb = load_table(spark, d, "embeddings").select("vec_id", "embedding")
+    base, delta = _append_split(emb)
+    C = train_coarse_centers(base, 16, 100_000)
+    pdf = base.limit(512).toPandas()
+    Xs = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    Xs /= np.linalg.norm(Xs, axis=1, keepdims=True)
+    books = _train_pq_books(Xs - C[(Xs @ C.T).argmax(axis=1)])
+
+    out = tempfile.mkdtemp(prefix="ebs_append_files_")
+    enc = lambda df: pq_encode_frame(df, C, books).repartition(F.col("cell"))  # noqa: E731
+
+    enc(base).write.partitionBy("cell").mode("overwrite").parquet(out)
+    before = {
+        os.path.join(dp, f): os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(out)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    enc(delta).write.partitionBy("cell").mode("append").parquet(out)
+    after = {
+        os.path.join(dp, f): os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(out)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert set(before) <= set(after)  # nothing deleted
+    for p, sz in before.items():
+        assert after[p] == sz, p  # nothing rewritten
+    assert len(after) > len(before)  # the delta landed as new files

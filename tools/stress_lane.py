@@ -667,12 +667,88 @@ def cellpart_third_decade(out_dir: str, n: int = 20_000_000) -> None:
     print(json.dumps(row), flush=True)
 
 
+def dkmeans_lane(out_dir: str) -> None:
+    """Round-13: the distributed full-corpus trainer at the second
+    decade. At 200k and 2M planted vectors (reusing the ann2m corpora):
+    train k = ⌈√n⌉ UNCLAMPED centers with
+    train_coarse_centers_distributed (the clamp-free path — at 2M this
+    is k=1415 like the two-level quantizer, but trained on all n rows
+    instead of a sample), then measure recall@10 / scanned fraction /
+    walls against the same brute-force truth as the sampled rungs. The
+    lane's claim: full-corpus training costs iters extra linear passes
+    and buys sampling-independent, bit-deterministic centroids — the
+    recall delta vs the sampled trainer is the measured price of
+    sampling."""
+    import math
+
+    from example_beam_spark.operators.ivf import (
+        ivf_trained_frames,
+        nprobe_for,
+        train_coarse_centers_distributed,
+    )
+    from example_beam_spark.operators.similarity import N_QUERIES
+    from example_beam_spark.registry import drain_cleanups, load_registry
+    from example_beam_spark.session import get_spark
+    from example_beam_spark.sources.parquet import load_table
+    from tools.planted import planted_corpus
+
+    spark = get_spark(app_name="stress_lane_dkmeans")
+    reg = load_registry()
+    result: dict = {"scales": []}
+    for n, tag in ((200_000, "10x"), (2_000_000, "100x")):
+        d = os.path.join(out_dir, f"planted_{tag}")
+        if not os.path.exists(os.path.join(d, "embeddings.parquet")):
+            t0 = time.time()
+            planted_corpus(d, n=n, n_clusters=n // 100)
+            print(f"# planted {n} vectors in {time.time() - t0:.1f}s -> {d}")
+
+        row: dict = {"n": n, "tag": tag}
+        t0 = time.time()
+        truth: dict[int, set[int]] = {}
+        for r in reg["ann_topk_bruteforce"].fn(spark, d).collect():
+            truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+        row["bruteforce_sec"] = round(time.time() - t0, 2)
+        drain_cleanups()
+
+        emb = load_table(spark, d, "embeddings")
+        k = math.isqrt(n - 1) + 1
+        t0 = time.time()
+        C, hist = train_coarse_centers_distributed(emb, k, n_total=n)
+        row["train_sec"] = round(time.time() - t0, 2)
+        row["k"] = int(C.shape[0])
+        row["nprobe"] = nprobe_for(len(C))
+        row["obj_history"] = [round(h, 5) for h in hist]
+        t0 = time.time()
+        topk, cands = ivf_trained_frames(
+            emb, centers=C, nprobe=nprobe_for(len(C))
+        )
+        got: dict[int, set[int]] = {}
+        for r in topk.collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        recalls = [len(got.get(q, set()) & t) / len(t) for q, t in truth.items()]
+        row["recall_at_10"] = round(sum(recalls) / len(recalls), 3)
+        row["scanned_frac"] = round(cands.count() / (N_QUERIES * (n - 1)), 4)
+        row["query_sec"] = round(time.time() - t0, 2)
+        drain_cleanups()
+        result["scales"].append(row)
+        print(f"# {tag}: {json.dumps(row)}", flush=True)
+    print(json.dumps(result))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out-dir", default="/tmp/spark_graft_stress")
     ap.add_argument(
         "--lane",
-        choices=("10x", "100x", "ann2m", "neardup2m", "ann20m", "cellpart20m"),
+        choices=(
+            "10x",
+            "100x",
+            "ann2m",
+            "neardup2m",
+            "ann20m",
+            "cellpart20m",
+            "dkmeans2m",
+        ),
         default="10x",
         help="100x runs the core-dedup second-decade lane (own corpus "
         "dir); ann2m runs the planted-ANN second decade (200k + 2M "
@@ -693,6 +769,9 @@ def main() -> None:
         return
     if args.lane == "cellpart20m":
         cellpart_third_decade(args.out_dir.rstrip("/") + "_ann20m")
+        return
+    if args.lane == "dkmeans2m":
+        dkmeans_lane(args.out_dir.rstrip("/") + "_ann2m")
         return
 
     if not all(
