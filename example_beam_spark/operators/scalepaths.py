@@ -47,6 +47,11 @@ module holds the round-13 members:
   predicate + vector search: exact pre-filtered top-k with a full value
   oracle, and the same pre-filter composed with the trained IVF probe.
 
+- ``ann_topk_ivfpq_append`` / ``ann_topk_ivfpq_append_stream`` — index
+  maintenance: the FAISS train()/add() lifecycle in batch and as a
+  stream; frozen-quantizer encoding makes both pinned EXACTLY equal to
+  a one-pass rebuild (see their section comments).
+
 Reference analog: none directly (the reference is an ad-event engine);
 the cap discipline mirrors its repeater TTL bound
 (RepeatDoFn.scala:89-114) — every unbounded blowup gets a bound.
@@ -627,13 +632,14 @@ def _append_split(emb: DataFrame):
     return emb.filter(bucket != 0), emb.filter(bucket == 0)
 
 
-def _ivfpq_appended_index(spark: SparkSession, sf_dir: str) -> tuple:
-    """(codes_dir, C, books, n_total) — index trained AND initially
-    encoded on the base slice only, delta appended with frozen
-    quantizers (section comment). Cached per session per source
-    fingerprint like its cellpart sibling."""
-    import tempfile
+_FROZEN_Q: dict[tuple, tuple] = {}
 
+
+def _append_frozen_quantizers(spark: SparkSession, sf_dir: str) -> tuple:
+    """(C, books, n_base) — coarse centers + PQ codebooks trained on
+    the BASE slice only (the frozen-quantizer contract); shared by the
+    batch-append and streamed-ingestion indexes so their equality pins
+    compare like with like. Cached per session per source fingerprint."""
     import numpy as np
 
     from example_beam_spark.operators.ivf import (
@@ -646,21 +652,18 @@ def _ivfpq_appended_index(spark: SparkSession, sf_dir: str) -> tuple:
         PQ_TRAIN_SAMPLE,
         _layout_key,
         _train_pq_books,
-        pq_encode_frame,
     )
 
     key = _layout_key(spark, sf_dir, "embeddings")
-    hit = _APPEND_DIRS.get(key)
+    hit = _FROZEN_Q.get(key)
     if hit is not None:
         return hit
 
     emb = spread_small_input(load_table(spark, sf_dir, "embeddings"), spark).select(
         "vec_id", "embedding"
     )
-    base, delta = _append_split(emb)
+    base, _ = _append_split(emb)
     n_base = base.count()
-
-    # train on the BASE only — the frozen-quantizer contract
     mode, k_target = coarse_plan_for(n_base)
     if mode == "two_level":
         _, C, _ = train_two_level_centers(base, k_target, n_base)
@@ -674,6 +677,30 @@ def _ivfpq_appended_index(spark: SparkSession, sf_dir: str) -> tuple:
     Xs = np.stack(sample_pdf["embedding"].to_numpy()).astype(np.float64)
     Xs /= np.linalg.norm(Xs, axis=1, keepdims=True)
     books = _train_pq_books(Xs - C[(Xs @ C.T).argmax(axis=1)])
+    hit = (C, books, n_base)
+    _FROZEN_Q[key] = hit
+    return hit
+
+
+def _ivfpq_appended_index(spark: SparkSession, sf_dir: str) -> tuple:
+    """(codes_dir, C, books, n_total) — index trained AND initially
+    encoded on the base slice only, delta appended with frozen
+    quantizers (section comment). Cached per session per source
+    fingerprint like its cellpart sibling."""
+    import tempfile
+
+    from example_beam_spark.operators.structures import _layout_key, pq_encode_frame
+
+    key = _layout_key(spark, sf_dir, "embeddings")
+    hit = _APPEND_DIRS.get(key)
+    if hit is not None:
+        return hit
+
+    emb = spread_small_input(load_table(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", "embedding"
+    )
+    base, delta = _append_split(emb)
+    C, books, _n_base = _append_frozen_quantizers(spark, sf_dir)
 
     out = tempfile.mkdtemp(prefix="ebs_ivfpq_append_")
     enc = lambda df: pq_encode_frame(df, C, books).repartition(F.col("cell"))  # noqa: E731
@@ -705,3 +732,266 @@ def ann_topk_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shortlist, _, _, _ = ivfpq_scan_codes(spark, emb, codes_dir, C, books, n_total)
     return exact_rerank_topk(emb, shortlist)
+
+
+# --------------------------------------------------------------------------
+# ann_topk_ivfpq_append_stream — index ingestion as a STREAM
+# --------------------------------------------------------------------------
+#
+# The streaming form of the add-without-retrain lifecycle: new vectors
+# arrive on a stream and are encoded INSIDE the streaming graph (the
+# same frozen-quantizer pq_encode_frame kernel, mapInPandas on a
+# streaming DataFrame — a stateless Arrow transform, so no watermark or
+# state store), and each micro-batch lands as its own cell-partitioned
+# parquet directory through the repo's idempotent per-batch-id
+# overwrite sink (the run_to_append delivery discipline: a redelivered
+# batch REPLACES its own output, giving exactly-once index growth under
+# at-least-once foreachBatch). The queryable index is then the base
+# directory plus the batch directories — ivfpq_scan_codes prunes
+# probed-cell subdirectories under EVERY root, so the directory-pruning
+# story survives ingestion (each batch dir is just another
+# cell-partitioned lake segment; a compaction pass — the registered
+# events_compact_small_files shape — folds batch dirs into the base on
+# whatever cadence I/O fragmentation warrants).
+#
+# Correctness contract: same as the batch append — frozen-quantizer
+# encoding is per-row deterministic, so the streamed index's topk frame
+# is pinned EQUAL to the batch-appended index's (which is itself pinned
+# equal to a one-pass rebuild): stream ingestion loses nothing. The
+# delta stream is staged as multiple files with maxFilesPerTrigger=1,
+# so the equality holds across REAL multi-micro-batch ingestion, not a
+# single-batch degenerate. Rows-only driver contract (fitted
+# quantizers).
+
+_STREAM_INDEX: dict[tuple, tuple] = {}
+
+
+def _ivfpq_streamed_index(spark: SparkSession, sf_dir: str) -> tuple:
+    """(roots, C, books, n_total) — base encoded in batch, delta
+    ingested through an availableNow stream (section comment)."""
+    import glob
+    import os
+    import tempfile
+
+    from example_beam_spark.operators.structures import _layout_key, pq_encode_frame
+    from example_beam_spark.streaming.entries import (
+        _prepare_stream_session,
+        _restore_session,
+    )
+
+    key = _layout_key(spark, sf_dir, "embeddings")
+    hit = _STREAM_INDEX.get(key)
+    if hit is not None:
+        return hit
+
+    emb = spread_small_input(load_table(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", "embedding"
+    )
+    base, delta = _append_split(emb)
+    C, books, _n_base = _append_frozen_quantizers(spark, sf_dir)
+
+    base_dir = tempfile.mkdtemp(prefix="ebs_ivfpq_sbase_")
+    (
+        pq_encode_frame(base, C, books)
+        .repartition(F.col("cell"))
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(base_dir)
+    )
+
+    # stage the arriving vectors as >= 3 files so maxFilesPerTrigger=1
+    # drives a genuine multi-micro-batch ingestion
+    stage_dir = tempfile.mkdtemp(prefix="ebs_ivfpq_sstage_")
+    delta.repartition(3).write.mode("overwrite").parquet(stage_dir)
+
+    out_dir = tempfile.mkdtemp(prefix="ebs_ivfpq_sbatches_")
+    ckpt = tempfile.mkdtemp(prefix="ebs_ivfpq_sckpt_")
+    _prepare_stream_session(spark, min(8, spark.sparkContext.defaultParallelism))
+
+    def sink(bdf: DataFrame, bid: int) -> None:
+        # idempotent per batch id: overwrite THIS batch's directory
+        (
+            bdf.repartition(F.col("cell"))
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(os.path.join(out_dir, f"batch-{bid:09d}"))
+        )
+
+    try:
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage_dir)
+        )
+        q = (
+            pq_encode_frame(stream, C, books)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        _restore_session(spark)
+
+    roots = [base_dir] + sorted(
+        glob.glob(os.path.join(glob.escape(out_dir), "batch-*"))
+    )
+    hit = (roots, C, books, emb.count())
+    _STREAM_INDEX[key] = hit
+    return hit
+
+
+@register("ann_topk_ivfpq_append_stream", oracle=None)
+def ann_topk_ivfpq_append_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC top-k over the STREAM-ingested index (section comment):
+    identical scan/rerank to the batch-appended sibling, index roots =
+    base dir + one cell-partitioned dir per ingestion micro-batch;
+    pinned equal to the batch append in tests/test_scalepaths.py."""
+    from example_beam_spark.operators.structures import (
+        exact_rerank_topk,
+        ivfpq_scan_codes,
+    )
+
+    roots, C, books, n_total = _ivfpq_streamed_index(spark, sf_dir)
+    emb = spread_small_input(load_table(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", "embedding"
+    )
+    shortlist, _, _, _ = ivfpq_scan_codes(spark, emb, roots, C, books, n_total)
+    return exact_rerank_topk(emb, shortlist)
+
+
+# --------------------------------------------------------------------------
+# dedup_minhash_estimate_audit — how tight is the sketch?
+# --------------------------------------------------------------------------
+#
+# The audit-family member for the MinHash sketch (the pattern of
+# embedding_sq8_audit / embedding_matryoshka_audit: before trusting a
+# lossy representation at scale, MEASURE what it loses on this corpus).
+# dedup_minhash_lsh already verifies candidates with exact Jaccard —
+# the production question this entry answers is the opposite one: if a
+# 100-TB pipeline skipped the exact verify (pairs too hot to re-read),
+# how far off would the signature-only estimate be? For every LSH
+# candidate pair it emits the MinHash estimate (matching signature
+# components / N_HASHES — the unbiased per-component P(match) = J
+# estimator), the exact Jaccard, and the absolute error. E[err] ~
+# sqrt(J(1-J)/12) ≈ 0.14 at J=0.5 for this 12-component family — the
+# measured distribution on the fixtures is the evidence the repo's own
+# LSH entries keep their exact-verify stage. Full DuckDB value oracle
+# (the signature family is integer-exact in both engines, shared SQL
+# fragments from operators/dedup.py).
+#
+# Scale shape: identical to dedup_minhash_lsh up to the candidate join
+# (signature agg partial+final, banded candidates linear in n), then a
+# 12-integer comparison per pair instead of a shingle-set intersect —
+# strictly cheaper than the verified entry.
+
+from example_beam_spark.operators.dedup import (  # noqa: E402
+    N_HASHES,
+    _SHINGLES_SQL,
+    band_keys,
+    minhash_band_rows_sql,
+    minhash_sig_cols_sql,
+    minhash_signatures,
+    shingles_raw,
+)
+
+_EST_MATCH_SQL = " + ".join(
+    f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)" for i in range(N_HASHES)
+)
+
+_MINHASH_AUDIT_ORACLE = f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sig AS (
+        SELECT doc_id, COUNT(DISTINCT g) AS n_shingles, {minhash_sig_cols_sql()}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, band, bk
+        FROM sig CROSS JOIN LATERAL (VALUES {minhash_band_rows_sql()}) AS v(band, bk)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b AND y.g = x.g
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST({_EST_MATCH_SQL} AS BIGINT) AS n_sig_match,
+           CAST({_EST_MATCH_SQL} AS DOUBLE) / {N_HASHES} AS jaccard_est,
+           CAST(COALESCE(v.n_shared, 0) AS DOUBLE)
+               / (sa.n_shingles + sb.n_shingles - COALESCE(v.n_shared, 0))
+               AS jaccard,
+           ABS(CAST({_EST_MATCH_SQL} AS DOUBLE) / {N_HASHES}
+               - CAST(COALESCE(v.n_shared, 0) AS DOUBLE)
+                 / (sa.n_shingles + sb.n_shingles - COALESCE(v.n_shared, 0)))
+               AS abs_err
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b
+    LEFT JOIN verified v ON v.doc_a = c.doc_a AND v.doc_b = c.doc_b
+"""
+
+
+@register("dedup_minhash_estimate_audit", oracle=_MINHASH_AUDIT_ORACLE)
+def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-LSH-candidate sketch-quality audit (section comment):
+    MinHash estimate (matching components / N_HASHES) vs exact Jaccard
+    vs absolute error — the measured cost of skipping the exact-verify
+    stage."""
+    docs = spread_small_input(load_table(spark, sf_dir, "documents"), spark)
+    sig = minhash_signatures(shingles_raw(docs)).cache()
+    from example_beam_spark.registry import defer_cleanup
+
+    defer_cleanup(lambda: sig.unpersist())
+    bands = band_keys(sig)
+    b2 = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("band").alias("band2"),
+        F.col("bk").alias("bk2"),
+    )
+    cand = (
+        bands.join(
+            b2,
+            (F.col("band") == F.col("band2"))
+            & (F.col("bk") == F.col("bk2"))
+            & (F.col("doc_id") < F.col("doc_b")),
+        )
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_shingles").alias("n_a"),
+        F.col("gset").alias("gs_a"),
+        *[F.col(f"s{i}").alias(f"sa{i}") for i in range(N_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_shingles").alias("n_b"),
+        F.col("gset").alias("gs_b"),
+        *[F.col(f"s{i}").alias(f"sb{i}") for i in range(N_HASHES)],
+    )
+    match_expr = None
+    for i in range(N_HASHES):
+        term = F.when(F.col(f"sa{i}") == F.col(f"sb{i}"), 1).otherwise(0)
+        match_expr = term if match_expr is None else match_expr + term
+    joined = cand.join(sa, "doc_a").join(sb, "doc_b")
+    shared = F.size(F.array_intersect("gs_a", "gs_b")).cast("double")
+    exact = shared / (F.col("n_a") + F.col("n_b") - shared)
+    est = match_expr.cast("double") / F.lit(float(N_HASHES))
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        match_expr.cast("long").alias("n_sig_match"),
+        est.alias("jaccard_est"),
+        exact.alias("jaccard"),
+        F.abs(est - exact).alias("abs_err"),
+    )

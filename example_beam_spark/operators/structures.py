@@ -1787,8 +1787,9 @@ def ivfpq_scan_codes(
 ):
     """The cellpart query path over an EXPLICIT (codes_dir, quantizers)
     index — shared by ivfpq_cellpart_scan and the append-without-retrain
-    entry, whose index directory holds base + appended inverted-list
-    files."""
+    entries. ``codes_dir`` may be one root or a list of roots (the
+    streamed-ingestion index is base dir + per-micro-batch dirs); the
+    probed-cell predicate prunes cell directories under EVERY root."""
     import numpy as np
 
     from example_beam_spark.operators.ivf import nprobe_for
@@ -1819,7 +1820,17 @@ def ivfpq_scan_codes(
 
     # the pruned read: cell IN (...) reaches the scan as a
     # PartitionFilter -> unprobed directories are never opened
-    pruned = spark.read.parquet(codes_dir).filter(
+    # multiple roots are read as a union of per-root scans (one
+    # spark.read.parquet over sibling partitioned roots trips
+    # CONFLICTING_DIRECTORY_STRUCTURES partition discovery); the
+    # probed-cell filter pushes into EVERY per-root scan, so directory
+    # pruning is preserved per segment
+    roots = [codes_dir] if isinstance(codes_dir, str) else list(codes_dir)
+    from functools import reduce
+
+    pruned = reduce(
+        DataFrame.unionByName, [spark.read.parquet(r) for r in roots]
+    ).filter(
         F.col("cell").isin(sorted(probed_union))
     )
 

@@ -271,3 +271,41 @@ def test_ivfpq_append_leaves_base_files_untouched(spark, tmp_path):
     for p, sz in before.items():
         assert after[p] == sz, p  # nothing rewritten
     assert len(after) > len(before)  # the delta landed as new files
+
+
+def test_ivfpq_append_stream_equals_batch_append(spark, tmp_path):
+    """Streamed ingestion loses nothing: the stream-ingested index
+    (base dir + per-micro-batch cell-partitioned dirs, frozen-quantizer
+    encode inside the streaming graph) yields EXACTLY the batch-append
+    index's topk frame — and the ingestion really was multi-batch
+    (>= 2 batch directories), so the equality isn't a single-batch
+    degenerate."""
+    from example_beam_spark.operators.scalepaths import (
+        _ivfpq_appended_index,
+        _ivfpq_streamed_index,
+    )
+    from example_beam_spark.operators.structures import (
+        exact_rerank_topk,
+        ivfpq_scan_codes,
+    )
+    from example_beam_spark.sources import load_table
+
+    d = planted_corpus(str(tmp_path / "sappend_planted"), n=4000, n_clusters=100)
+    emb = load_table(spark, d, "embeddings").select("vec_id", "embedding")
+
+    def topk_rows(roots, C, books, n_total):
+        shortlist, _, _, _ = ivfpq_scan_codes(spark, emb, roots, C, books, n_total)
+        return sorted(
+            (r.query_id, r.rk, r.neighbor_id, r.cosine)
+            for r in exact_rerank_topk(emb, shortlist).collect()
+        )
+
+    roots, C, books, n_total = _ivfpq_streamed_index(spark, d)
+    assert len(roots) >= 3, roots  # base + >= 2 ingestion batches
+    streamed = topk_rows(roots, C, books, n_total)
+
+    bdir, C2, books2, n2 = _ivfpq_appended_index(spark, d)
+    batch = topk_rows(bdir, C2, books2, n2)
+    drain_cleanups()
+    assert streamed == batch
+    assert len(streamed) >= 5
