@@ -735,6 +735,59 @@ def dkmeans_lane(out_dir: str) -> None:
     print(json.dumps(result))
 
 
+def dkmeans_third_decade(out_dir: str, n: int = 20_000_000) -> None:
+    """The clamp-free trainer at the THIRD decade: k = ⌈√20M⌉ = 4,473
+    centers refined over ALL 20M rows (no sample anywhere after init) —
+    the companion point to cellpart20m's two-level-on-a-sample: both
+    capacity paths past the 3,125-cell clamp, one trading extra linear
+    passes for sampling-independent centroids. Reuses the ann20m corpus
+    and the scan-based exact truth."""
+    import math
+
+    from example_beam_spark.operators.ivf import (
+        ivf_trained_frames,
+        nprobe_for,
+        train_coarse_centers_distributed,
+    )
+    from example_beam_spark.operators.similarity import N_QUERIES
+    from example_beam_spark.registry import drain_cleanups
+    from example_beam_spark.session import get_spark
+    from example_beam_spark.sources.parquet import load_table
+    from tools.planted import planted_corpus
+
+    spark = get_spark(app_name="stress_lane_dkmeans20m")
+    d = os.path.join(out_dir, "planted_1000x")
+    if not os.path.exists(os.path.join(d, "embeddings.parquet")):
+        t0 = time.time()
+        planted_corpus(d, n=n, n_clusters=n // 100)
+        print(f"# planted {n} vectors in {time.time() - t0:.1f}s -> {d}")
+
+    row: dict = {"n": n}
+    t0 = time.time()
+    truth = exact_topk_truth(spark, d)
+    row["truth_scan_sec"] = round(time.time() - t0, 2)
+
+    emb = load_table(spark, d, "embeddings")
+    k = math.isqrt(n - 1) + 1
+    t0 = time.time()
+    C, hist = train_coarse_centers_distributed(emb, k, n_total=n)
+    row["train_sec"] = round(time.time() - t0, 2)
+    row["k"] = int(C.shape[0])
+    row["nprobe"] = nprobe_for(len(C))
+    row["obj_history"] = [round(h, 5) for h in hist]
+    t0 = time.time()
+    topk, cands = ivf_trained_frames(emb, centers=C, nprobe=nprobe_for(len(C)))
+    got: dict[int, set[int]] = {}
+    for r in topk.collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(got.get(q, set()) & t) / len(t) for q, t in truth.items()]
+    row["recall_at_10"] = round(sum(recalls) / len(recalls), 3)
+    row["scanned_frac"] = round(cands.count() / (N_QUERIES * (n - 1)), 5)
+    row["query_sec"] = round(time.time() - t0, 2)
+    drain_cleanups()
+    print(json.dumps(row))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out-dir", default="/tmp/spark_graft_stress")
@@ -748,6 +801,7 @@ def main() -> None:
             "ann20m",
             "cellpart20m",
             "dkmeans2m",
+            "dkmeans20m",
         ),
         default="10x",
         help="100x runs the core-dedup second-decade lane (own corpus "
@@ -772,6 +826,9 @@ def main() -> None:
         return
     if args.lane == "dkmeans2m":
         dkmeans_lane(args.out_dir.rstrip("/") + "_ann2m")
+        return
+    if args.lane == "dkmeans20m":
+        dkmeans_third_decade(args.out_dir.rstrip("/") + "_ann20m")
         return
 
     if not all(
