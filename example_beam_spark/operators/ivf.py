@@ -880,6 +880,15 @@ def ivf_trained_frames(
         (F.col("vec_id") < N_QUERIES) & (F.col("crk") <= nprobe)
     ).select(F.col("vec_id").alias("query_id"), "cell")
 
+    if members_filter is not None:
+        # pre-filter on the ID-ONLY assignment frame, BEFORE vectors are
+        # attached: dropped candidates never shuffle their d-float rows,
+        # and the exact dot below sees only predicate-passing members
+        cells = cells.join(
+            members_filter,
+            cells.vec_id == members_filter.neighbor_id,
+            "left_semi",
+        )
     members = cells.join(
         base.select(
             F.col("vec_id").alias("neighbor_id"),
@@ -888,9 +897,6 @@ def ivf_trained_frames(
         ),
         cells.vec_id == F.col("neighbor_id"),
     ).select("neighbor_id", "cell", "n_v", "n_nrm")
-    if members_filter is not None:
-        # pre-filter: candidates drop BEFORE the exact dot (docstring)
-        members = members.join(members_filter, "neighbor_id", "left_semi")
     queries = base.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("q_v"),
