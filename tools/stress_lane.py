@@ -755,7 +755,17 @@ def dkmeans_third_decade(out_dir: str, n: int = 20_000_000) -> None:
     from example_beam_spark.sources.parquet import load_table
     from tools.planted import planted_corpus
 
-    spark = get_spark(app_name="stress_lane_dkmeans20m")
+    # third-decade jobs hold multi-minute driver-side phases (the k=4.5k
+    # seeded init) between Spark actions — widen the rpc/broadcast
+    # timeouts so a busy machine can't kill the run mid-lane
+    spark = get_spark(
+        app_name="stress_lane_dkmeans20m",
+        extra_conf={
+            "spark.network.timeout": "800s",
+            "spark.executor.heartbeatInterval": "60s",
+            "spark.sql.broadcastTimeout": "1200",
+        },
+    )
     d = os.path.join(out_dir, "planted_1000x")
     if not os.path.exists(os.path.join(d, "embeddings.parquet")):
         t0 = time.time()
