@@ -185,23 +185,50 @@ def _sign(j: int, i: int) -> float:
     return 1.0 if hashlib.md5(f"{j}:{i}".encode()).hexdigest()[0] < "8" else -1.0
 
 
-def _signs_sql(j: int) -> str:
-    """512-element ±1.0 literal array for hyperplane j."""
-    return "array(" + ",".join(
-        f"{_sign(j, i):.1f}D" for i in range(1, _MAX_DIM + 1)
-    ) + ")"
+_SIGNS_NP_CACHE: dict[int, "object"] = {}
+
+
+def _signs_np(j: int):
+    """512-element ±1.0 float64 vector for hyperplane j (cached)."""
+    import numpy as np
+
+    arr = _SIGNS_NP_CACHE.get(j)
+    if arr is None:
+        arr = np.asarray(
+            [_sign(j, i) for i in range(1, _MAX_DIM + 1)], dtype=np.float64
+        )
+        _SIGNS_NP_CACHE[j] = arr
+    return arr
+
+
+def _proj_expr(j: int) -> Column:
+    """Quantized hyperplane-j projection of ``embedding`` as double —
+    aggregate(zip_with(embedding, signs_j, FLOOR((x*s)*1e12)::BIGINT)).
+
+    The sign vector is bound as ONE ``Literal`` array node
+    (``F.lit(ndarray)``) instead of the former 512-child ``array(...)``
+    SQL text: the values and per-row arithmetic are identical, but the
+    expression tree shrinks ~500× per hyperplane, which collapsed the
+    analyzer/optimizer cost that dominated the COLD wall of every
+    banded/bucketed query (measured: embedding_neardup_pairs DataFrame
+    build 9.5 s → sub-second at sf0.1; see OPTIMIZATION_r14.md)."""
+    sgn = F.lit(_signs_np(j))
+    prods = F.zip_with(
+        "embedding",
+        F.slice(sgn, F.lit(1), F.size("embedding")),
+        lambda x, s: F.floor(x.cast("double") * s * F.lit(float(_SCALE))).cast(
+            "long"
+        ),
+    )
+    return F.aggregate(
+        prods, F.lit(0).cast("long"), lambda acc, v: acc + v
+    ).cast("double")
 
 
 def _bucket_expr_spark() -> Column:
     projs = []
     for j in range(LSH_BITS):
-        proj = F.expr(
-            f"""CAST(aggregate(
-                    zip_with(embedding,
-                             slice({_signs_sql(j)}, 1, size(embedding)),
-                             (x, s) -> CAST(FLOOR(CAST(x AS DOUBLE) * s * {_SCALE}) AS BIGINT)),
-                    CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)"""
-        )
+        proj = _proj_expr(j)
         projs.append(F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
     out = projs[0]
     for p in projs[1:]:
@@ -583,18 +610,12 @@ def band_keys_array(r: int, n_rows: int) -> Column:
 
 
 def _band_key_expr(band: int, r: int) -> Column:
-    """r-bit band key from hyperplanes band·r .. band·r+r-1 (literal
+    """r-bit band key from hyperplanes band·r .. band·r+r-1 (Literal
     sign arrays; same quantized projection as _bucket_expr_spark)."""
     projs = []
     for bit in range(r):
         j = band * r + bit
-        proj = F.expr(
-            f"""CAST(aggregate(
-                    zip_with(embedding,
-                             slice({_signs_sql(j)}, 1, size(embedding)),
-                             (x, s) -> CAST(FLOOR(CAST(x AS DOUBLE) * s * {_SCALE}) AS BIGINT)),
-                    CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)"""
-        )
+        proj = _proj_expr(j)
         projs.append(F.when(proj >= 0, F.lit(1 << bit)).otherwise(F.lit(0)))
     out = projs[0]
     for p in projs[1:]:
