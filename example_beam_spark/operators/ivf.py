@@ -583,11 +583,17 @@ def train_two_level_centers(
 # every accumulated element is quantized ONCE to fixed point
 # (floor(x · 2^24) as int64, the repo's standard order-independence
 # trick — similarity.dot_dec) and all reduction is exact int64
-# addition, which is associative and commutative. The trained centers
-# are therefore BIT-IDENTICAL for any partitioning of the same rows
-# (pinned by tests/test_dkmeans.py), closing the init nondeterminism
-# as well because the seeded driver-side _lloyd on the hash-threshold
-# sample provides the init. Overflow headroom: |floor(x·2^24)| ≤ 2^24
+# addition, which is associative and commutative. The REDUCTION is
+# therefore bit-identical for any partitioning of the same rows
+# (pinned by tests/test_dkmeans.py at two partitionings), closing the
+# init nondeterminism as well because the seeded driver-side _lloyd on
+# the hash-threshold sample provides the init. Scope caveat (r13
+# advice): per-row ASSIGNMENT goes through BLAS GEMM (X @ Cᵀ), whose
+# rounding is not specified across BLAS builds/thread shapes — a
+# near-tie argmax could flip a row's cell on a different build. The
+# bit-determinism contract is: fixed BLAS build ⇒ fixed fit under any
+# partitioning; across builds the fit is deterministic up to GEMM
+# rounding of near-tie assignments. Overflow headroom: |floor(x·2^24)| ≤ 2^24
 # per unit-vector element, so a cell of m members sums to < m·2^24 —
 # int64 holds to m ≈ 5.5e11 rows per cell (guarded below).
 

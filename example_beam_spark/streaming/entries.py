@@ -174,6 +174,21 @@ def _prepare_stream_session(
         spark.conf.set(_PROVIDER_KEY, _HDFS_PROVIDER)
     else:
         spark.conf.set(_PROVIDER_KEY, ROCKSDB_PROVIDER)
+        # Changelog checkpointing: commit a per-batch changelog instead
+        # of uploading full RocksDB SST snapshots every micro-batch
+        # (snapshots continue in the background) — the documented
+        # low-commit-latency mode for RocksDB state stores, and the
+        # right production setting when state mutates a small fraction
+        # per batch. The r14 drain decomposition measured the plain
+        # snapshot-per-commit path 1.5-4 s slower per bounded drain at
+        # 8 store instances (tools/repeat_probe.py). Binds at checkpoint
+        # creation like the provider itself; EBS_ROCKSDB_CHANGELOG=0
+        # restores the snapshot path for lane sweeps.
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled",
+            os.environ.get("EBS_ROCKSDB_CHANGELOG", "true"),
+        )
 
 
 _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
