@@ -184,10 +184,11 @@ def _prepare_stream_session(
         # 8 store instances (tools/repeat_probe.py). Binds at checkpoint
         # creation like the provider itself; EBS_ROCKSDB_CHANGELOG=0
         # restores the snapshot path for lane sweeps.
+        _chg = os.environ.get("EBS_ROCKSDB_CHANGELOG", "true").lower()
         spark.conf.set(
             "spark.sql.streaming.stateStore.rocksdb."
             "changelogCheckpointing.enabled",
-            os.environ.get("EBS_ROCKSDB_CHANGELOG", "true"),
+            "false" if _chg in ("0", "false", "no") else "true",
         )
 
 
