@@ -577,7 +577,12 @@ def events_topk_types_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_to_final,
     )
 
-    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    # windowed count into few groups: store machinery dominates (r14
+    # drain-sizing A/B class — tools/drain_sizing_ab.py)
+    ev = read_events_stream(
+        spark, sf_dir,
+        shuffle_partitions=min(8, spark.sparkContext.defaultParallelism),
+    ).withWatermark("ts", "1 hour")
     agg = (
         ev.groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(F.count("*").cast("long").alias("n_events"))
@@ -651,7 +656,12 @@ def kmv_distinct_users_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_to_append,
     )
 
-    ev = read_events_stream(spark, sf_dir)
+    # bounded per-bucket state (k smallest hashes): few instances win
+    # (r14 drain-sizing A/B class — tools/drain_sizing_ab.py)
+    ev = read_events_stream(
+        spark, sf_dir,
+        shuffle_partitions=min(8, spark.sparkContext.defaultParallelism),
+    )
     keyed = ev.select(
         _h60_spark(F.col("user_id").cast("string")).alias("h")
     ).withColumn("bucket", F.pmod("h", F.lit(_KMV_BUCKETS)))

@@ -361,7 +361,14 @@ def ctr_fixed_capped_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship CTR query executed as a REAL streaming job (StateStore
     windowed aggregation, watermark, update mode) — final state equals the
     batch ctr_fixed_capped result, gated by the same oracle."""
-    ev = read_events_stream(spark, sf_dir).withColumnRenamed("ts", "event_time")
+    # JVM windowed agg on a bounded drain: store machinery dominates, so
+    # few instances win (r14 interleaved A/B, tools/drain_sizing_ab.py:
+    # 2.9 s at 32 -> 1.65 s at 8; rows identical) — same conclusion as
+    # the r10 matrix for the stream-stream join and session window
+    ev = read_events_stream(
+        spark, sf_dir,
+        shuffle_partitions=min(8, spark.sparkContext.defaultParallelism),
+    ).withColumnRenamed("ts", "event_time")
     ev = ev.filter(F.col("event_type").isin("click", "view")).select(
         "user_id",
         "event_time",
@@ -381,7 +388,11 @@ def ctr_sliding_total_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     duration/period = 2 windows; StateStore keeps (key × open windows)
     rows, evicted by the watermark. Final state equals the batch
     ctr_sliding_total, gated by the same oracle."""
-    ev = read_events_stream(spark, sf_dir).withColumnRenamed("ts", "event_time")
+    # same store-machinery profile as ctr_fixed_capped_stream (A/B above)
+    ev = read_events_stream(
+        spark, sf_dir,
+        shuffle_partitions=min(8, spark.sparkContext.defaultParallelism),
+    ).withColumnRenamed("ts", "event_time")
     ev = ev.filter(F.col("event_type").isin("click", "view")).select(
         "user_id",
         "event_time",
@@ -415,7 +426,12 @@ def dedup_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     state at the watermark; that variant trades global exactness for
     bounded state, so the oracle-exact entry uses the global form.
     """
-    ev = read_events_stream(spark, sf_dir).select("user_id", "event_type")
+    # dedup StateStore drain: few instances win (r14 A/B on the
+    # within-watermark sibling: 2.35 s at 32 -> 1.56 s at 8)
+    ev = read_events_stream(
+        spark, sf_dir,
+        shuffle_partitions=min(8, spark.sparkContext.defaultParallelism),
+    ).select("user_id", "event_type")
     distinct = ev.dropDuplicates(["user_id", "event_type"]).withColumn(
         "seen", F.lit(1).cast("long")
     )
@@ -453,7 +469,11 @@ def dedup_stream_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     pinned by a replay test
     (tests/test_streaming.py::test_drop_duplicates_within_watermark_evicts_state).
     """
-    ev = read_events_stream(spark, sf_dir).select(
+    # r14 A/B (tools/drain_sizing_ab.py): 2.35 s at 32 -> 1.56 s at 8
+    ev = read_events_stream(
+        spark, sf_dir,
+        shuffle_partitions=min(8, spark.sparkContext.defaultParallelism),
+    ).select(
         "user_id",
         "event_type",
         F.date_trunc("hour", F.col("ts")).alias("hour_bucket"),
@@ -592,9 +612,14 @@ def lookup_cache_join_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         lookup_cache_join_stream,
     )
 
-    ev = read_events_stream_flushed(spark, sf_dir).withColumnRenamed(
-        "ts", "event_time"
-    )
+    # moderate Python-stateful kernel: few store instances still win
+    # (r14 interleaved A/B, tools/drain_sizing_ab.py: 9.4/13.5 s at 32
+    # -> 7.2/8.8 s at 8; rows identical) — consistent with the r10
+    # matrix's 6.5 -> 5.2 reading for this drain
+    ev = read_events_stream_flushed(
+        spark, sf_dir,
+        shuffle_partitions=min(8, spark.sparkContext.defaultParallelism),
+    ).withColumnRenamed("ts", "event_time")
     ev = ev.withWatermark("event_time", "1 hour")
     # drop sentinels AFTER the watermark node (unsplittable CASE predicate)
     union = ev.filter(
@@ -964,7 +989,12 @@ def events_weekly_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from example_beam_spark.operators.analytics import drift_from_weekly
     from example_beam_spark.sources import load_table
 
-    ev = read_events_stream(spark, sf_dir)
+    # weeks × types JVM windowed agg: store machinery dominates (r14 A/B,
+    # tools/drain_sizing_ab.py: 1.61 s at 32 -> 1.16 s at 8; rows identical)
+    ev = read_events_stream(
+        spark, sf_dir,
+        shuffle_partitions=min(8, spark.sparkContext.defaultParallelism),
+    )
     agg = (
         ev.select(
             F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
@@ -999,7 +1029,12 @@ def events_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     buffered event set."""
     from example_beam_spark.streaming.funnel_stream import funnel_stream
 
-    ev = read_events_stream(spark, sf_dir)
+    # per-user Python-stateful kernel, light rows: few instances still win
+    # (r14 A/B, tools/drain_sizing_ab.py: 1.94 s at 32 -> 1.76 s at 8)
+    ev = read_events_stream(
+        spark, sf_dir,
+        shuffle_partitions=min(8, spark.sparkContext.defaultParallelism),
+    )
     keyed = ev.select(
         "user_id", F.col("ts").alias("event_time"), "event_type"
     )

@@ -102,9 +102,14 @@ def events_markov_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_to_append,
     )
 
-    ev = read_events_stream(spark, sf_dir).select(
-        "user_id", "ts", "event_id", "event_type"
-    )
+    # light Python-stateful kernel (one row per user): store machinery
+    # dominates, few instances win (r14 interleaved A/B,
+    # tools/drain_sizing_ab.py: 2.9 s at 32 -> 2.6 s at 8) — the repeat
+    # stream's profile, not the heavy custom-window kernel's
+    ev = read_events_stream(
+        spark, sf_dir,
+        shuffle_partitions=min(8, spark.sparkContext.defaultParallelism),
+    ).select("user_id", "ts", "event_id", "event_type")
     pairs = run_to_append(markov_pairs_stream(ev), spark)
     cnt = pairs.groupBy("from_type", "to_type").agg(
         F.count("*").cast("long").alias("n")
