@@ -396,8 +396,16 @@ def train_merge_list(docs: DataFrame, rounds: int) -> list[tuple[int, str, str, 
     rows (one per round — the bounded artifact; ``bpe_encode`` folds them
     back into map-side column expressions)."""
     from pyspark import StorageLevel
+
+    from example_beam_spark.sources.parquet import spread_small_input
+
+    # Spread BEFORE the tokenize: the fixture corpus scans as ONE
+    # partition, which made the regex tokenize and all ten rounds'
+    # pair-explode + partial-agg run single-task (r15 decomposition:
+    # 3.4 s materialize + 0.65 s/round on one core). At real scale the
+    # scan already yields >= parallelism splits and this is a no-op.
     base = (
-        docs.select(
+        spread_small_input(docs, docs.sparkSession).select(
             F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 0).alias("t")
         )
         .select(

@@ -850,9 +850,24 @@ def _docs_stream_flushed(spark: SparkSession, sf_dir: str) -> DataFrame:
             mt = base_ns + (i + 1) * 2_000_000_000
             os.utime(sentinel, ns=(mt, mt))
         _DOC_STREAM_STAGE[key] = d
+    # Collapsed schedule (r15, the read_events_stream_flushed discipline):
+    # member + both sentinels in ONE batch — the doc rows are processed
+    # with the watermark still unset, and the final flush runs in the
+    # post-watermark no-data micro-batch, cutting two ~1-2 s machinery
+    # batches per drain. Requires noDataMicroBatches (default true).
+    assert (
+        spark.conf.get(
+            "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+        ).lower()
+        == "true"
+    ), (
+        "collapsed staging schedule: final sentinel flush depends on the "
+        "post-watermark no-data micro-batch, but "
+        "spark.sql.streaming.noDataMicroBatches.enabled is false"
+    )
     return (
         spark.readStream.schema("doc_id long, text string, ts_us long")
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 3)
         .parquet(d)
     )
 

@@ -461,7 +461,13 @@ def ann_topk_ivf_dkmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = _layout_key(spark, sf_dir, "embeddings")
     hit = _DKMEANS_CENTERS.get(key)
     if hit is None:
-        n = emb.count()
+        # n from the parquet footers (guide §6): the count only sizes
+        # k = ceil(sqrt(n)) and the sample threshold, so the separate
+        # pre-training count JOB (r14 verdict #6) is replaced by a
+        # metadata read — exact, and one fewer job in the first fit.
+        from example_beam_spark.sources.parquet import parquet_rowcount
+
+        n = parquet_rowcount(sf_dir, "embeddings")
         k = max(IVF_COARSE_MIN_K, math.isqrt(max(n, 1) - 1) + 1)
         C, _hist = train_coarse_centers_distributed(emb, k, n_total=n)
         hit = (C,)

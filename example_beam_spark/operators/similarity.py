@@ -225,15 +225,61 @@ def _proj_expr(j: int) -> Column:
     ).cast("double")
 
 
+def _projs_sql(total: int) -> str:
+    """SQL text computing array<long> of the quantized projections for
+    hyperplanes 0..total-1 in ONE expression over ``embedding``:
+    element j = SUM_i FLOOR((x_i·s_ij)·1e12)::BIGINT — the exact
+    per-element arithmetic and int64 sum of :func:`_proj_expr`, computed
+    for all hyperplanes in a single pass.
+
+    r14 bound each hyperplane's signs as its own ``F.lit(ndarray)``
+    Literal, but kept one (zip_with + aggregate) HOF pair PER hyperplane
+    — and the r15 interleaved probe showed the remaining cost was
+    driver-side COLUMN CONSTRUCTION (pyspark walks lit() values and HOF
+    lambdas over py4j node by node): 3.2 s of build per
+    embedding_neardup_pairs call against 0.7 s of exec; the build WAS
+    the query. SQL text parses in ONE py4j call (~20 ms for the
+    12k-element sign matrix), the sign matrix rides as one flattened
+    array of ±1D literals (element-major: flat[(i-1)·total + j] = sign
+    of hyperplane j at element i) that the optimizer constant-folds to a
+    single array Literal, and an index-aware transform slices each
+    element's sign row out of it. Per-bit values are unchanged (int64
+    sums are order-free and each element op is the same IEEE sequence);
+    pinned against the per-bit forms by
+    tests/test_scaleops.py::test_band_keys_compact_equals_per_bit."""
+    import numpy as np
+
+    flat = np.stack([_signs_np(j) for j in range(total)], axis=1).ravel()
+    sgn = "array(" + ",".join("1D" if v > 0 else "-1D" for v in flat) + ")"
+    return (
+        f"aggregate("
+        f"transform(embedding, (x, i) -> transform("
+        f"slice({sgn}, i * {total} + 1, {total}), "
+        f"s -> CAST(FLOOR(CAST(x AS DOUBLE) * s * {_SCALE}D) AS BIGINT))), "
+        f"array_repeat(0L, {total}), "
+        f"(acc, row) -> zip_with(acc, row, (a, b) -> a + b))"
+    )
+
+
+def _bkey_sql(ps: str, lo: int, bits: int) -> str:
+    """SQL text for the ``bits``-wide key from projections ``ps[lo..]``:
+    bit b set iff ps[lo+b] >= 0 — the same when(proj >= 0, 1<<bit) sum
+    as the per-bit forms, as one zip_with/aggregate over the bound
+    array (NULL projections contribute 0 on both forms)."""
+    weights = "array(" + ",".join(f"{1 << b}L" for b in range(bits)) + ")"
+    return (
+        f"CAST(aggregate(zip_with(slice({ps}, {lo + 1}, {bits}), {weights}, "
+        f"(p, w) -> IF(p >= 0, w, 0L)), 0L, (acc, v) -> acc + v) AS BIGINT)"
+    )
+
+
 def _bucket_expr_spark() -> Column:
-    projs = []
-    for j in range(LSH_BITS):
-        proj = _proj_expr(j)
-        projs.append(F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
-    out = projs[0]
-    for p in projs[1:]:
-        out = out + p
-    return out.cast("long")
+    """8-bit LSH bucket id — the let-binding transform-over-singleton
+    idiom evaluates the shared projection array once per row."""
+    return F.expr(
+        f"element_at(transform(array({_projs_sql(LSH_BITS)}), "
+        f"ps -> {_bkey_sql('ps', 0, LSH_BITS)}), 1)"
+    )
 
 
 def _bucket_sql() -> str:
@@ -603,10 +649,24 @@ def _bucket_verify_frame(banded: DataFrame) -> DataFrame:
 def band_keys_array(r: int, n_rows: int) -> Column:
     """array<long> of the NEARDUP_BANDS band keys for the ``embedding``
     column — HOF literal-array form below _KERNEL_MIN_ROWS, Arrow numpy
-    kernel above (bit-equal; see crossover comment)."""
+    kernel above (bit-equal; see crossover comment).
+
+    The HOF form computes all NEARDUP_BANDS·r projections with ONE
+    :func:`_projs_expr` (let-bound so the heavy subtree appears and
+    evaluates once) and derives each band's r-bit key from its slice —
+    value-identical to the per-bit :func:`_band_key_expr` chain (pinned
+    by tests/test_scaleops.py::test_band_keys_compact_equals_per_bit)
+    but ~r·NEARDUP_BANDS× smaller as an expression tree, which is what
+    the per-chained-op analyzer cost scales with."""
     if n_rows >= _KERNEL_MIN_ROWS:
         return _band_keys_kernel(r)(F.col("embedding"))
-    return F.array(*[_band_key_expr(b, r) for b in range(NEARDUP_BANDS)])
+    bkeys = ",".join(
+        _bkey_sql("ps", b * r, r) for b in range(NEARDUP_BANDS)
+    )
+    return F.expr(
+        f"element_at(transform(array({_projs_sql(NEARDUP_BANDS * r)}), "
+        f"ps -> array({bkeys})), 1)"
+    )
 
 
 def _band_key_expr(band: int, r: int) -> Column:

@@ -47,6 +47,20 @@ def parquet_members(path: str) -> list[str]:
     return [path]
 
 
+def parquet_rowcount(sf_dir: str, name: str) -> int:
+    """Exact table row count from the parquet FOOTERS (guide §6) — zero
+    Spark jobs, no data read. Parquet footers record num_rows per file;
+    summing members equals COUNT(*) of the unfiltered table. Used where
+    a query needs |table| only to size a parameter (e.g. the dkmeans
+    k = ceil(sqrt(n)) ladder) so the pre-count scan job disappears."""
+    import pyarrow.parquet as _pq
+
+    return sum(
+        _pq.ParquetFile(m).metadata.num_rows
+        for m in parquet_members(table_path(sf_dir, name))
+    )
+
+
 def first_parquet_member(path: str) -> str:
     """First physical parquet file behind a table path (file or directory) —
     the footer-negotiation probe target. Part-files of one write share one

@@ -796,34 +796,44 @@ def read_events_stream_flushed(
     n_members = sum(
         1 for f in os.listdir(d) if not f.startswith("zz_sentinel_")
     )
-    # The sentinel-flush mechanism REQUIRES each sentinel in its own
-    # micro-batch (a watermark update takes effect one batch later, and
-    # stateful eviction one batch after that). When the members are
-    # provably time-ordered, one file per trigger gives the full
-    # multi-batch schedule. When they are not, fall back to ALL members
-    # in the first batch (maxFilesPerTrigger = n_members picks the n
-    # oldest files, i.e. every member, since sentinels are forced
-    # newest) — the watermark then only advances after the whole corpus
-    # is processed, so no in-order row can be dropped as late. On THIS
-    # path, though, n_members ≥ 2 means the trigger admits BOTH sentinel
-    # files into one micro-batch, so the one-batch-per-sentinel invariant
-    # does not hold: the final eviction relies on Spark's post-watermark
-    # no-data micro-batch (noDataMicroBatches, default true) actually
-    # running before availableNow terminates — assert it is enabled so a
-    # session that disabled it fails loudly here, not with stranded state.
+    # Micro-batch schedule (r15: collapsed where the split batches carry
+    # no semantics — each extra availableNow batch costs ~1-2.5 s of pure
+    # machinery at 8 store instances: incremental planning, per-partition
+    # state-store open/commit, Python worker round trips, sink write;
+    # measured per-batch in OPTIMIZATION_r15.md).
+    #
+    # - MULTI-member, provably time-ordered staging (the multibatch
+    #   convergence lane): one file per trigger — the full multi-batch
+    #   schedule with the watermark advancing between data batches is the
+    #   point of that lane, and each sentinel must sit in its own batch
+    #   (a watermark update takes effect one batch later).
+    # - SINGLE-member staging (the standard fixture) or unprovable order:
+    #   ALL files — members AND sentinels — in ONE batch. The data is
+    #   processed with the watermark still unset (updates apply at batch
+    #   end), so no in-order row can be dropped as late and every
+    #   per-entry "whole corpus is one data batch" convergence argument
+    #   holds unchanged; the sentinels' only effect is the post-batch
+    #   watermark jump past year 2100. The final eviction/flush then
+    #   happens in Spark's post-watermark no-data micro-batch
+    #   (noDataMicroBatches, default true) — the same mechanism the
+    #   pre-r15 unordered path already relied on — so the drain is
+    #   2 micro-batches instead of 4. Assert the knob so a session that
+    #   disabled it fails loudly here, not with stranded state.
     ordered = _staged_files_time_ordered(d)
-    if not ordered:
+    if ordered and n_members > 1:
+        trigger_files = 1
+    else:
         assert (
             spark.conf.get(
                 "spark.sql.streaming.noDataMicroBatches.enabled", "true"
             ).lower()
             == "true"
         ), (
-            "unordered staging layout: final sentinel flush depends on the "
-            "post-watermark no-data micro-batch, but "
+            "collapsed staging schedule: final sentinel flush depends on "
+            "the post-watermark no-data micro-batch, but "
             "spark.sql.streaming.noDataMicroBatches.enabled is false"
         )
-    trigger_files = 1 if ordered else max(n_members, 1)
+        trigger_files = n_members + 2
     df = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", trigger_files)

@@ -72,14 +72,25 @@ def _fork_sink(out_dir: str):
 
     def sink(bdf: DataFrame, bid: int) -> None:
         _maybe_fail(bid)
-        matched, dlq = split_matched(bdf, "view_event_id")
-        root = os.path.join(out_dir, f"batch-{bid:09d}")
-        matched.withColumn("side", F.lit("matched")).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(root, "matched"))
-        dlq.withColumn("side", F.lit("dlq")).write.mode("overwrite").parquet(
-            os.path.join(root, "dlq")
-        )
+        # Persist the delivered micro-batch ONCE: without it, each side's
+        # write re-executes the batch's join plan from the state store —
+        # the two-sink fork paid the upstream work twice (guide §2.4
+        # "don't compute things twice"; r15 sweep showed the DLQ entry
+        # +2.6 s over the single-sink join). The persist/unpersist pair
+        # is batch-scoped, inside the foreachBatch delivery — standard
+        # multi-sink discipline, not a cross-run cache.
+        bdf.persist()
+        try:
+            matched, dlq = split_matched(bdf, "view_event_id")
+            root = os.path.join(out_dir, f"batch-{bid:09d}")
+            matched.withColumn("side", F.lit("matched")).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(root, "matched"))
+            dlq.withColumn("side", F.lit("dlq")).write.mode("overwrite").parquet(
+                os.path.join(root, "dlq")
+            )
+        finally:
+            bdf.unpersist()
 
     return sink
 

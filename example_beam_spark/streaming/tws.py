@@ -59,10 +59,15 @@ ROCKSDB_PROVIDER = (
 
 
 def stateful_impl(impl: str | None = None) -> str:
-    """Resolve the stateful-operator implementation flag."""
+    """Resolve the stateful-operator implementation flag. 'bucketed' is
+    the custom window's hash-bucketed gsts variant; entries without a
+    bucketed form treat it as 'gsts' (same applyInPandasWithState
+    machinery, per-key groups)."""
     impl = impl or os.environ.get("SPARK_GRAFT_STATEFUL_IMPL", "gsts")
-    if impl not in ("gsts", "tws"):
-        raise ValueError(f"unknown stateful impl {impl!r}; use 'gsts' or 'tws'")
+    if impl not in ("gsts", "tws", "bucketed"):
+        raise ValueError(
+            f"unknown stateful impl {impl!r}; use 'gsts', 'tws' or 'bucketed'"
+        )
     return impl
 
 

@@ -252,6 +252,50 @@ def test_neardup_kernel_equals_hof(spark):
         assert bad == 0, f"r={r}: {bad} rows diverge"
 
 
+def test_band_keys_compact_equals_per_bit(spark):
+    """The r15 compact single-parse band-key/bucket expressions (one
+    flattened sign Literal + index-aware transform, built as one SQL
+    string — see similarity._projs_sql) must be BIT-EQUAL to the r14
+    per-bit forms (_band_key_expr / per-bit _proj_expr sums): the
+    per-element FLOOR((x·s)·1e12) arithmetic is the same IEEE sequence
+    and the int64 sums are order-free, so any mismatch is a real
+    encoding bug (sign-matrix flattening, slice offsets, bit weights)."""
+    from pyspark.sql import functions as F
+
+    from example_beam_spark.operators.similarity import (
+        LSH_BITS,
+        NEARDUP_BANDS,
+        _band_key_expr,
+        _bucket_expr_spark,
+        _proj_expr,
+        band_keys_array,
+    )
+    from example_beam_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    bit_bucket = sum(
+        [
+            F.when(_proj_expr(j) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+            for j in range(1, LSH_BITS)
+        ],
+        F.when(_proj_expr(0) >= 0, F.lit(1)).otherwise(F.lit(0)),
+    ).cast("long")
+    for r in (6, 13):
+        per_bit = F.array(*[_band_key_expr(b, r) for b in range(NEARDUP_BANDS)])
+        both = emb.select(
+            "vec_id",
+            per_bit.alias("pb"),
+            band_keys_array(r, 0).alias("compact"),
+            bit_bucket.alias("pb_bucket"),
+            _bucket_expr_spark().alias("compact_bucket"),
+        )
+        bad = both.filter(
+            (F.col("pb") != F.col("compact"))
+            | (F.col("pb_bucket") != F.col("compact_bucket"))
+        ).count()
+        assert bad == 0, f"r={r}: {bad} rows diverge"
+
+
 def test_neardup_bucket_verify_equals_join(spark):
     """The bucket-grouped Arrow verify (scale path) must produce the
     IDENTICAL (vec_a, vec_b, n_bands, cosine) set as the pure-JVM

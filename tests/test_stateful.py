@@ -34,11 +34,13 @@ UNION_SCHEMA = T.StructType(
 TTL = 3600  # 1h, the reference's default (ScreenGlobalWindow...Enricher.scala:15)
 
 
-@pytest.fixture(params=["gsts", "tws"])
+@pytest.fixture(params=["gsts", "tws", "bucketed"])
 def impl(request, spark):
-    """Run every lookup-cache / custom-window scenario against BOTH
-    stateful implementations: 'gsts' (applyInPandasWithState) and 'tws'
-    (transformWithState named state + timers, streaming/tws.py). The tws
+    """Run every lookup-cache / custom-window scenario against ALL
+    stateful implementations: 'gsts' (applyInPandasWithState), 'tws'
+    (transformWithState named state + timers, streaming/tws.py), and
+    'bucketed' (the custom window's hash-bucketed gsts twin — the
+    lookup-cache scenarios treat it as gsts, see stateful_impl). The tws
     param skips — with the exact reason — where the container lacks the
     protobuf runtime PySpark's transformWithState client requires."""
     if request.param == "tws":
@@ -64,7 +66,7 @@ def impl(request, spark):
             else:
                 spark.conf.set(key, prev)
     else:
-        yield "gsts"
+        yield request.param
 
 
 def _screen(sid: str, pub: str = "p1") -> dict:
