@@ -137,15 +137,16 @@ def _prepare_stream_session(
         _SAVED_SHUFFLE = spark.conf.get("spark.sql.shuffle.partitions")
     # Partition sizing per the tools/drain_tuning.py matrix: state-store
     # instances (and their per-micro-batch open/commit) scale with this
-    # count. PYTHON-stateful drains (applyInPandasWithState — custom
-    # window, lookup cache, funnel, markov, cusum, repeat) are
-    # CPU-bound in the Arrow/Python kernel and want all cores (8
-    # partitions measured 14.8 → 29.9 s on the custom window);
-    # JVM-stateful drains on this bounded corpus (stream-stream join,
-    # session_window) are store-machinery-bound and want FEW instances
-    # (12.9 → 4.6 s and 5.0 → 2.5 s at 8) — those entries pass
-    # shuffle_partitions explicitly. EBS_STREAM_SHUFFLE overrides both
-    # for lane sweeps; production sizes to state volume, not cores.
+    # count. Since r14 every drain passes few instances explicitly
+    # (min(8, cores) for bounded-state drains, cardinality-derived for
+    # the unbounded-key ones — see keyed_drain_instances): store
+    # machinery, not CPU, dominates at corpus scale even for the
+    # Python-stateful kernels. The one exception was the heavy custom
+    # window kernel, which wanted all cores until the r15 bucketed
+    # rewrite collapsed its dispatch count; it now defaults here
+    # (shuffle_partitions=None → cores) with the bucket fan-out
+    # providing the parallelism. EBS_STREAM_SHUFFLE overrides for lane
+    # sweeps; production sizes to state volume, not cores.
     spark.conf.set(
         "spark.sql.shuffle.partitions",
         os.environ.get(
@@ -184,10 +185,15 @@ def _prepare_stream_session(
         # 8 store instances (tools/repeat_probe.py). Binds at checkpoint
         # creation like the provider itself; EBS_ROCKSDB_CHANGELOG=0
         # restores the snapshot path for lane sweeps.
+        global _SAVED_CHANGELOG
+        if _SAVED_CHANGELOG is _UNSET:
+            try:
+                _SAVED_CHANGELOG = spark.conf.get(_CHANGELOG_KEY)
+            except Exception:
+                _SAVED_CHANGELOG = None
         _chg = os.environ.get("EBS_ROCKSDB_CHANGELOG", "true").lower()
         spark.conf.set(
-            "spark.sql.streaming.stateStore.rocksdb."
-            "changelogCheckpointing.enabled",
+            _CHANGELOG_KEY,
             "false" if _chg in ("0", "false", "no") else "true",
         )
 
@@ -197,9 +203,13 @@ _HDFS_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state."
     "HDFSBackedStateStoreProvider"
 )
+_CHANGELOG_KEY = (
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+)
 _UNSET = object()
 _SAVED_SHUFFLE: str | None = None
 _SAVED_PROVIDER: object = _UNSET
+_SAVED_CHANGELOG: object = _UNSET
 
 
 def _restore_session(spark: SparkSession) -> None:
@@ -208,7 +218,7 @@ def _restore_session(spark: SparkSession) -> None:
     :func:`_prepare_stream_session`; called from the drain helpers'
     ``finally`` so the overrides never leak into later batch work in the
     same session)."""
-    global _SAVED_SHUFFLE, _SAVED_PROVIDER
+    global _SAVED_SHUFFLE, _SAVED_PROVIDER, _SAVED_CHANGELOG
     if _SAVED_SHUFFLE is not None:
         spark.conf.set("spark.sql.shuffle.partitions", _SAVED_SHUFFLE)
         _SAVED_SHUFFLE = None
@@ -218,6 +228,12 @@ def _restore_session(spark: SparkSession) -> None:
         else:
             spark.conf.set(_PROVIDER_KEY, _SAVED_PROVIDER)
         _SAVED_PROVIDER = _UNSET
+    if _SAVED_CHANGELOG is not _UNSET:
+        if _SAVED_CHANGELOG is None:
+            spark.conf.unset(_CHANGELOG_KEY)
+        else:
+            spark.conf.set(_CHANGELOG_KEY, _SAVED_CHANGELOG)
+        _SAVED_CHANGELOG = _UNSET
 
 
 # Per-micro-batch StreamingQueryProgress dicts of the LAST drained query
@@ -289,6 +305,56 @@ def state_rows_series(progress: list[dict] | None = None) -> list[dict]:
             }
         )
     return out
+
+
+# Distinct-key estimates per (sf_dir, column, source fingerprint) — one
+# approx_count_distinct job per session per corpus layout, shared by all
+# unbounded-key drains (invalidated by any fixture regeneration).
+_KEY_EST_CACHE: dict[tuple, int] = {}
+
+# Target per-instance state cardinality for unbounded-key drains: a
+# RocksDB store instance comfortably holds a few hundred thousand hot
+# per-key rows (state is a handful of scalars per key here); the r14
+# A/B fixed the local floor at 8 instances (kernel worker parallelism).
+_KEYS_PER_INSTANCE = 250_000
+
+
+def keyed_drain_instances(
+    spark: SparkSession, sf_dir: str, key_col: str = "user_id"
+) -> int:
+    """State-store instance count for UNBOUNDED-key drains (per-user
+    lookup cache / funnel / markov state), derived from the estimated
+    distinct-key cardinality instead of a constant (guide §2.4; r14
+    verdict #4): max(min(8, cores), ceil(keys / 250k)). At corpus scale
+    the measured 8-instance floor dominates (identical sf0.1 numbers);
+    at production key volumes the count grows with state so neither
+    per-instance memory nor state parallelism is capped by a local-mode
+    constant. EBS_STREAM_SHUFFLE still overrides downstream (the
+    estimate feeds shuffle_partitions via _prepare_stream_session,
+    whose env override wins). The estimate is one approx_count_distinct
+    job, cached per (sf_dir, column, source fingerprint)."""
+    from example_beam_spark.sources import load_table
+
+    members = parquet_members(table_path(sf_dir, "events"))
+    fp = tuple(
+        sorted(
+            (os.path.basename(m), os.stat(m).st_mtime_ns, os.stat(m).st_size)
+            for m in members
+        )
+    )
+    key = (os.path.abspath(sf_dir), key_col, fp)
+    est = _KEY_EST_CACHE.get(key)
+    if est is None:
+        from pyspark.sql import functions as _F
+
+        est = (
+            load_table(spark, sf_dir, "events")
+            .agg(_F.approx_count_distinct(key_col))
+            .collect()[0][0]
+        )
+        _KEY_EST_CACHE[key] = est
+    floor = min(8, spark.sparkContext.defaultParallelism)
+    return max(floor, -(-est // _KEYS_PER_INSTANCE))
 
 
 def read_events_stream(
@@ -614,11 +680,12 @@ def lookup_cache_join_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # moderate Python-stateful kernel: few store instances still win
     # (r14 interleaved A/B, tools/drain_sizing_ab.py: 9.4/13.5 s at 32
-    # -> 7.2/8.8 s at 8; rows identical) — consistent with the r10
-    # matrix's 6.5 -> 5.2 reading for this drain
+    # -> 7.2/8.8 s at 8; rows identical). UNBOUNDED per-user state, so
+    # the count derives from estimated key cardinality (r15 — the 8
+    # floor at corpus scale, growing with keys at production volume)
     ev = read_events_stream_flushed(
         spark, sf_dir,
-        shuffle_partitions=min(8, spark.sparkContext.defaultParallelism),
+        shuffle_partitions=keyed_drain_instances(spark, sf_dir),
     ).withColumnRenamed("ts", "event_time")
     ev = ev.withWatermark("event_time", "1 hour")
     # drop sentinels AFTER the watermark node (unsplittable CASE predicate)
@@ -1040,10 +1107,13 @@ def events_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from example_beam_spark.streaming.funnel_stream import funnel_stream
 
     # per-user Python-stateful kernel, light rows: few instances still win
-    # (r14 A/B, tools/drain_sizing_ab.py: 1.94 s at 32 -> 1.76 s at 8)
+    # (r14 A/B, tools/drain_sizing_ab.py: 1.94 s at 32 -> 1.76 s at 8).
+    # UNBOUNDED per-user state — instance count derives from estimated
+    # key cardinality (r15): the 8 floor at corpus scale, growing with
+    # keys at production volume.
     ev = read_events_stream(
         spark, sf_dir,
-        shuffle_partitions=min(8, spark.sparkContext.defaultParallelism),
+        shuffle_partitions=keyed_drain_instances(spark, sf_dir),
     )
     keyed = ev.select(
         "user_id", F.col("ts").alias("event_time"), "event_type"
