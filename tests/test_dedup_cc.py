@@ -6,6 +6,8 @@ converges in O(log n) star rounds vs O(n) propagation rounds."""
 
 from __future__ import annotations
 
+import pytest
+
 import random
 
 from example_beam_spark.operators.dedup import connected_components
@@ -17,6 +19,7 @@ def _labels(df):
     return {r["doc_id"]: r["label"] for r in df.collect()}
 
 
+@pytest.mark.slow  # 28 s CC round-count comparison; EBS_RUN_SLOW=1 runs it
 def test_chain_round_count_star_vs_propagation(spark):
     """64-node path graph: min-label propagation moves the minimum one
     hop per round (>= n/2 rounds); star contraction halves the

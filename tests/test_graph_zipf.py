@@ -22,6 +22,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from tools.graph_lane import lane_dir
 
+
+# Slow lane (zipf-corpus graph oracles: ~10-45 s each) —
+# skipped unless EBS_RUN_SLOW=1 so the external verify pytest run
+# completes; see pytest.ini / conftest.py.
+pytestmark = pytest.mark.slow
+
 ENTRIES = [
     "pagerank_term_graph",
     "label_propagation_terms",

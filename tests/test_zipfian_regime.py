@@ -9,6 +9,8 @@ corpus where the condition holds and assert the claims.
 
 from __future__ import annotations
 
+import pytest
+
 import sys
 from pathlib import Path
 
@@ -17,6 +19,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from tools.zipfian import pair_volumes, zipfian_corpus
 
 
+@pytest.mark.slow  # 22 s zipf ppjoin lane; EBS_RUN_SLOW=1 runs it
 def test_ppjoin_prefix_candidates_subquadratic(spark, tmp_path):
     """4x the docs must grow PPJoin prefix pairs FAR less than the 16x a
     quadratic process would show (zipfian 3-gram df tail: most shingles
