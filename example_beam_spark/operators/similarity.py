@@ -652,7 +652,7 @@ def band_keys_array(r: int, n_rows: int) -> Column:
     kernel above (bit-equal; see crossover comment).
 
     The HOF form computes all NEARDUP_BANDS·r projections with ONE
-    :func:`_projs_expr` (let-bound so the heavy subtree appears and
+    :func:`_projs_sql` (let-bound so the heavy subtree appears and
     evaluates once) and derives each band's r-bit key from its slice —
     value-identical to the per-bit :func:`_band_key_expr` chain (pinned
     by tests/test_scaleops.py::test_band_keys_compact_equals_per_bit)
